@@ -1,0 +1,54 @@
+"""Deterministic, vectorized hashing primitives.
+
+Everything that depends on randomness in this engine (synthetic data,
+minhash permutations, salting, sampling) is derived from counter-based
+hash streams so that results are reproducible across runs, block layouts
+and parallelism levels — a hard requirement for verdict parity across
+``num_cpus=8`` vs ``num_cpus=32`` runs (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_U64 = np.uint64
+
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_M1 = _U64(0xBF58476D1CE4E5B9)
+_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (public domain
+    algorithm, Steele et al.). Deterministic across platforms."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(_U64) + _GOLDEN).astype(_U64)
+        z = (z ^ (z >> _U64(30))) * _M1
+        z = (z ^ (z >> _U64(27))) * _M2
+        z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_stream(index: np.ndarray, channel: int, seed: int = 42) -> np.ndarray:
+    """A named deterministic uint64 stream per row index.
+
+    ``channel`` separates independent uses (lang choice, length draw, ...).
+    """
+    base = splitmix64(np.asarray(index, dtype=np.uint64) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
+    with np.errstate(over="ignore"):
+        return splitmix64(base + _U64(channel) * _GOLDEN)
+
+
+def uniform01(index: np.ndarray, channel: int, seed: int = 42) -> np.ndarray:
+    """Deterministic uniform [0,1) doubles per row index."""
+    return hash_stream(index, channel, seed).astype(np.float64) / 2.0**64
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Stable uint64 hash of a string/bytes array (pandas SipHash-style
+    ``hash_array``; deterministic for a fixed hash key across processes).
+    """
+    arr = pd.array(values) if not isinstance(values, (pd.Series, np.ndarray)) else values
+    key = f"{seed:032d}"[:16].ljust(16, "0")
+    return pd.util.hash_array(np.asarray(arr, dtype=object), hash_key=key, categorize=False).astype(np.uint64)

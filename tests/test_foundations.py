@@ -1,0 +1,177 @@
+"""Unit tests for hashing, sketches, extraction, generator determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cckp_toolkit_workflow_ray.functions.extract import extract_text, synthesize_html
+from cckp_toolkit_workflow_ray.functions.hashing import hash_stream, hash_strings, uniform01
+from cckp_toolkit_workflow_ray.functions.sketches import (
+    FixedHistogram,
+    HyperLogLog,
+    TDigest,
+    ks_statistic,
+    psi,
+)
+from cckp_toolkit_workflow_ray.schema import PAGES_SCHEMA, SchemaMismatchError, check_conformance
+from cckp_toolkit_workflow_ray.sources.pages import generate_pages_table, page_batch
+
+
+# ---------------------------------------------------------------- hashing
+def test_hash_stream_deterministic_and_channel_independent():
+    idx = np.arange(1000)
+    a = hash_stream(idx, channel=1)
+    b = hash_stream(idx, channel=1)
+    c = hash_stream(idx, channel=2)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    u = uniform01(idx, channel=3)
+    assert (u >= 0).all() and (u < 1).all()
+    assert abs(u.mean() - 0.5) < 0.05
+
+
+def test_hash_strings_stable():
+    v = ["abc", "def", "abc"]
+    h = hash_strings(v)
+    assert h[0] == h[2] and h[0] != h[1]
+    assert np.array_equal(h, hash_strings(v))
+
+
+# ---------------------------------------------------------------- sketches
+def test_tdigest_quantiles_close_to_exact():
+    rng = np.random.default_rng(0)
+    vals = rng.normal(100, 15, 50_000)
+    td = TDigest()
+    for chunk in np.array_split(vals, 37):
+        td.add(chunk)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        assert abs(td.quantile(q) - exact) < 1.5, q
+    assert td.count == 50_000
+
+
+def test_tdigest_merge_and_serde():
+    rng = np.random.default_rng(1)
+    vals = rng.exponential(10, 20_000)
+    parts = np.array_split(vals, 8)
+    digs = [TDigest().add(p) for p in parts]
+    merged = digs[0]
+    for d in digs[1:]:
+        merged.merge(TDigest.from_bytes(d.to_bytes()))
+    assert abs(merged.quantile(0.5) - np.quantile(vals, 0.5)) < 0.5
+    rt = TDigest.from_bytes(merged.to_bytes())
+    assert rt.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_hll_estimate_and_merge():
+    n = 100_000
+    h = hash_strings([f"url-{i}" for i in range(n)])
+    hll = HyperLogLog()
+    hll.add_hashes(h[: n // 2])
+    other = HyperLogLog().add_hashes(h[n // 2 :])
+    hll.merge(HyperLogLog.from_bytes(other.to_bytes()))
+    est = hll.estimate()
+    assert abs(est - n) / n < 0.03
+    # merge is order-free
+    a = HyperLogLog().add_hashes(h[::2])
+    b = HyperLogLog().add_hashes(h[1::2])
+    ab = HyperLogLog.from_bytes(a.to_bytes()).merge(b)
+    ba = HyperLogLog.from_bytes(b.to_bytes()).merge(a)
+    assert np.array_equal(ab.registers, ba.registers)
+
+
+def test_hll_small_cardinality_linear_counting():
+    hll = HyperLogLog().add_hashes(hash_strings([f"x{i}" for i in range(100)]))
+    assert abs(hll.estimate() - 100) < 3
+
+
+def test_fixed_histogram_ks_psi():
+    edges = np.linspace(0, 100, 21)
+    rng = np.random.default_rng(2)
+    a = FixedHistogram(edges).add(rng.uniform(0, 100, 10_000))
+    b = FixedHistogram(edges).add(rng.uniform(0, 100, 10_000))
+    c = FixedHistogram(edges).add(rng.uniform(30, 100, 10_000))
+    assert ks_statistic(a, b) < 0.03
+    assert ks_statistic(a, c) > 0.2
+    assert psi(a, b) < 0.05
+    assert psi(a, c) > 0.5
+    # merge = add, order-free, exact
+    m1 = FixedHistogram.from_bytes(a.to_bytes()).merge(b)
+    m2 = FixedHistogram.from_bytes(b.to_bytes()).merge(a)
+    assert np.array_equal(m1.counts, m2.counts)
+
+
+# ---------------------------------------------------------------- extract
+@pytest.mark.parametrize(
+    "text",
+    ["", "hello world", "a\nb\nc", "with & <angle> brackets", "trailing\n", "  spaces  kept "],
+)
+def test_extract_inverts_synthesize(text):
+    assert extract_text(synthesize_html(text, title=text[:10])) == text
+
+
+# ---------------------------------------------------------------- generator
+def test_generator_schema_and_determinism():
+    t1 = generate_pages_table(3000)
+    t2 = generate_pages_table(3000)
+    assert t1.schema.equals(PAGES_SCHEMA)
+    assert t1.equals(t2)
+    # batch-layout independence: generating in two halves gives identical rows
+    h1 = page_batch(np.arange(0, 1500))
+    h2 = page_batch(np.arange(1500, 3000))
+    assert pa.concat_tables([h1, h2]).equals(t1)
+
+
+def test_generator_seeded_violations_present():
+    t = generate_pages_table(4000).to_pandas()
+    assert (~t["url"].str.startswith("https://", na=False)).sum() == 4  # i%1000==1
+    assert t["text"].isna().sum() == 4
+    assert (t["text"] == "").sum() == 4
+    assert t["html"].isna().sum() == 4
+    assert t["lang"].isna().sum() == 4
+    assert t["warc_ts"].isna().sum() == 4
+    assert (t["lang"] == "xx").sum() == 4
+    assert t["url"].duplicated(keep=False).sum() > 20  # dups + hot key
+    # extraction invariant holds except for the seeded corruptions
+    bad = 0
+    for _, row in t.iterrows():
+        if row["html"] is None or row["text"] is None:
+            continue
+        if extract_text(row["html"]) != row["text"]:
+            bad += 1
+    assert bad == 8  # i%500==17 over 4000 rows
+
+
+def test_generator_drift_variant_shifts_lengths():
+    base = generate_pages_table(5000, violations=False).to_pandas()
+    drift = generate_pages_table(5000, violations=False, drift_lang="zh", drift_factor=0.4).to_pandas()
+    zl_base = base[base.lang == "zh"]["text"].str.len().mean()
+    zl_drift = drift[drift.lang == "zh"]["text"].str.len().mean()
+    en_base = base[base.lang == "en"]["text"].str.len().mean()
+    en_drift = drift[drift.lang == "en"]["text"].str.len().mean()
+    assert zl_drift < 0.6 * zl_base
+    assert abs(en_drift - en_base) < 1e-9
+
+
+# ---------------------------------------------------------------- schema gate
+def test_schema_conformance_fail_fast():
+    check_conformance(PAGES_SCHEMA)
+    bad = pa.schema([("uri", pa.string()), ("warc_ts", pa.string())])
+    with pytest.raises(SchemaMismatchError, match="missing required column 'url'"):
+        check_conformance(bad)
+
+
+def test_distributed_generation_matches_local(ray_session):
+    from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
+
+    ds = generate_pages_dataset(2000, override_num_blocks=7)
+    got = ds.to_pandas().sort_values("url", kind="mergesort").reset_index(drop=True)
+    want = (
+        generate_pages_table(2000)
+        .to_pandas()
+        .sort_values("url", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
