@@ -1,0 +1,87 @@
+"""Validation run configuration.
+
+The reference exposes its knobs as Nextflow params with defaults
+(``/root/reference/main.nf:16-20``) and per-process resources/containers
+(``nextflow.config:8-23``).  The engine analog is one dataclass: which
+checks run, their thresholds, and per-stage Ray sizing.
+
+Threshold semantics copy the reference's tri-level scoring exactly
+(``bin/analyze_joss.py:42-49``: scores GOOD=1.0 / OK=0.7 /
+NEEDS_IMPROVEMENT=0.3 / none=0.0; ``:48-49``: pass-rate thresholds
+GOOD>=0.9, OK>=0.7) applied per (partition, check) pass rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# reference: analyze_joss.py:42-49
+SCORE_GOOD = 1.0
+SCORE_OK = 0.7
+SCORE_NEEDS_IMPROVEMENT = 0.3
+SCORE_NONE = 0.0
+PASS_RATE_GOOD = 0.9
+PASS_RATE_OK = 0.7
+
+ROW_CHECKS = (
+    "presence_url",
+    "presence_warc_ts",
+    "presence_html",
+    "presence_text",
+    "presence_lang",
+    "url_format",
+    "extraction",
+    "referential_lang",
+)
+SHUFFLE_CHECKS = ("uniqueness_url",)
+PROFILE_CHECKS = ("drift_text_len",)
+
+DEFAULT_VALID_LANGS = ("en", "de", "fr", "es", "zh")
+
+# Fixed histogram edges for text length (chars).  Constant edges make the
+# drift statistics (KS / PSI) bit-deterministic across any block layout.
+TEXT_LEN_HIST_EDGES = tuple(float(x) for x in range(0, 2049, 32))
+
+
+@dataclass
+class ValidationConfig:
+    # which checks run (reference: params toggles, main.nf:16-20)
+    checks: tuple = ROW_CHECKS + SHUFFLE_CHECKS + PROFILE_CHECKS
+    url_regex: str = r"^https?://[^/\s]+/.+$"
+    valid_langs: tuple = DEFAULT_VALID_LANGS
+
+    # tri-level scoring thresholds (analyze_joss.py:48-49)
+    pass_rate_good: float = PASS_RATE_GOOD
+    pass_rate_ok: float = PASS_RATE_OK
+
+    # drift thresholds (applied to deterministic fixed-bin histograms)
+    ks_ok: float = 0.05      # ks <  ks_ok            -> good
+    ks_fail: float = 0.15    # ks >= ks_fail          -> FAIL verdict
+    psi_ok: float = 0.10
+    psi_fail: float = 0.25
+
+    # Ray sizing (reference analog: per-process cpus/containers)
+    batch_size: int = 2048          # html is wide; keep batches modest
+    check_concurrency: tuple | int = (1, 8)
+    uniqueness_batch_size: int = 65536  # url+lang only -> narrow, big batches
+    hll_p: int = 12                 # 4 KiB partials, ~1.6% distinct error
+    tdigest_compression: float = 200.0
+
+    # violation severity per check (default "error")
+    severities: dict = field(default_factory=dict)
+
+    def severity(self, check: str) -> str:
+        return self.severities.get(check, "error")
+
+
+def tri_level(pass_rate: float, n_rows: int, cfg: ValidationConfig) -> tuple[str, float]:
+    """(status, score) per the reference's threshold scorer
+    (analyze_joss.py:302-345): zero evaluated rows -> unknown/0.0."""
+    if n_rows == 0:
+        return "unknown", SCORE_NONE
+    if pass_rate >= cfg.pass_rate_good:
+        return "good", SCORE_GOOD
+    if pass_rate >= cfg.pass_rate_ok:
+        return "ok", SCORE_OK
+    return "needs_improvement", SCORE_NEEDS_IMPROVEMENT

@@ -1,0 +1,229 @@
+"""End-to-end validation pipeline (the ``main.nf`` workflow analog).
+
+Reference lifecycle (``/root/reference/main.nf:75-137``): sample-sheet
+source → fail-fast input validation → per-record fan-out (presence checks,
+metric profiling, test execution) → keyed joins → criteria scoring →
+report.  Ray-Data-first restructuring: the three per-record branches
+collapse into ONE streaming ``map_batches`` pass (columns accumulate; no
+join needed — SURVEY.md §2.5 J1), uniqueness adds one pruned-read shuffle,
+and everything downstream operates on the tiny derived stream.
+
+Dataflow::
+
+    read_parquet(pages)                         # full columns, 1 scan
+      └─ map_batches(CheckSuite actors)         # all row checks + partials
+           └─ write_parquet(out/stream)         # small long-form stream
+    read_parquet(pages, columns=[url,lang])     # pruned 2nd scan
+      └─ combiner + groupby(url) → dups         # the only all-to-all
+    stream → violations ∪ dup-violations → write_parquet(out/violations)
+    stream → hierarchical profile merge → profile table + drift verdicts
+    violations → groupby(lang, check).count → verdict table → report.json
+
+Nothing materializes the wide input; the driver only ever holds the
+per-lang merged profile (KiB) and the verdict table (rows = langs ×
+checks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ValidationConfig
+from ..functions.extract import EXTRACTOR_VERSION
+from ..schema import STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance
+from ..stages.checks import CheckSuite
+from ..stages.profile import (
+    ReferenceProfile,
+    merge_profiles,
+    profile_to_table,
+)
+from ..stages.uniqueness import duplicate_urls, duplicates_to_violations
+from ..stages.verdicts import assemble_verdicts
+
+
+def _dataset_schema(ds) -> pa.Schema | None:
+    sch = ds.schema()
+    if sch is None:
+        return None  # e.g. an empty generated dataset — nothing to gate on
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    if getattr(sch, "names", None) is None:
+        return None
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def _stream_to_violations(t: pa.Table) -> pa.Table:
+    v = t.filter(pc.equal(t.column("kind"), "violation"))
+    return v.select(["url", "lang", "check", "severity", "detail"]).cast(VIOLATIONS_SCHEMA)
+
+
+@dataclass
+class ValidationResult:
+    out_dir: str
+    verdicts: pd.DataFrame
+    profile: pa.Table
+    config: ValidationConfig
+    reference: ReferenceProfile | None = None
+    report: dict = field(default_factory=dict)
+
+    @property
+    def violations_path(self) -> str:
+        return os.path.join(self.out_dir, "violations")
+
+    def violations(self):
+        import ray.data as rd
+
+        return rd.read_parquet(self.violations_path)
+
+    def overall_verdict(self) -> str:
+        o = self.verdicts[self.verdicts.check == "__overall__"]
+        order = {"PASS": 0, "UNKNOWN": 1, "FAIL": 2}
+        return max(o["verdict"], key=order.get) if len(o) else "UNKNOWN"
+
+
+def validate(
+    source,
+    out_dir: str | None = None,
+    config: ValidationConfig | None = None,
+    reference_profile: ReferenceProfile | None = None,
+) -> ValidationResult:
+    """Run the full validation DAG over a pages table.
+
+    ``source``: parquet path(s) (preferred — enables pruned reads) or a
+    ``ray.data.Dataset`` with the pages schema.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cfg = config or ValidationConfig()
+    paths = source if isinstance(source, (str, list, tuple)) else None
+    ds = rd.read_parquet(paths) if paths is not None else source
+
+    # fail-fast physical-schema gate (main.nf:49-66 analog); an empty
+    # dataset has no observable schema — it must not crash (FIXTURES.md)
+    observed = _dataset_schema(ds)
+    if observed is not None:
+        check_conformance(observed)
+
+    out_dir = out_dir or tempfile.mkdtemp(dir="/tmp", prefix="cckp_validate_")
+    os.makedirs(out_dir, exist_ok=True)
+    stream_dir = os.path.join(out_dir, "stream")
+    viol_dir = os.path.join(out_dir, "violations")
+
+    # ---- pass 1: all row-local checks + profile partials, one scan -------
+    stream = ds.map_batches(
+        CheckSuite,
+        fn_constructor_kwargs={"config": cfg},
+        concurrency=cfg.check_concurrency,
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+    stream.write_parquet(stream_dir)
+    import pyarrow.parquet as pq
+
+    os.makedirs(stream_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(stream_dir)):
+        # 0-row input writes no files; keep the dir readable (FIXTURES.md:
+        # empty input must produce clean UNKNOWN verdicts, not crash)
+        pq.write_table(STREAM_SCHEMA.empty_table(), os.path.join(stream_dir, "empty.parquet"))
+    stream_ds = rd.read_parquet(stream_dir)
+
+    # ---- violations table (incl. uniqueness shuffle results) -------------
+    viol_ds = stream_ds.map_batches(_stream_to_violations, batch_format="pyarrow")
+    if "uniqueness_url" in cfg.checks:
+        dups = duplicate_urls(paths if paths is not None else ds, cfg)
+        dup_viols = dups.map_batches(duplicates_to_violations, batch_format="pyarrow")
+        viol_ds = viol_ds.union(dup_viols)
+    viol_ds.write_parquet(viol_dir)
+    # an empty result writes no files; keep the contract that the violations
+    # directory is always a readable parquet table with the declared schema
+    os.makedirs(viol_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(viol_dir)):
+        pq.write_table(
+            VIOLATIONS_SCHEMA.empty_table(), os.path.join(viol_dir, "empty.parquet")
+        )
+
+    # ---- small derived tables --------------------------------------------
+    counts_df = (
+        rd.read_parquet(viol_dir, columns=["lang", "check"])
+        .groupby(["lang", "check"])
+        .aggregate(Count(alias_name="n_violations"))
+        .to_pandas()
+    )
+    if counts_df.empty:
+        counts_df = pd.DataFrame(columns=["lang", "check", "n_violations"])
+    profiles = merge_profiles(stream_ds, cfg)
+    verdicts = assemble_verdicts(profiles, counts_df, cfg, reference_profile)
+    profile_tbl = profile_to_table(profiles)
+
+    # ---- persist verdicts/profile + driver report (K3/K5 analog) ---------
+    pq.write_table(
+        pa.Table.from_pandas(verdicts, preserve_index=False),
+        os.path.join(out_dir, "verdicts.parquet"),
+    )
+    pq.write_table(profile_tbl, os.path.join(out_dir, "profile.parquet"))
+
+    report = {
+        "extractor_version": EXTRACTOR_VERSION,
+        "config_fingerprint": hashlib.sha256(
+            json.dumps(
+                {k: v for k, v in vars(cfg).items() if not isinstance(v, dict)},
+                sort_keys=True, default=str,
+            ).encode()
+        ).hexdigest()[:16],
+        "n_rows": int(sum(p["n_rows"] for p in profiles.values())),
+        "n_violations": int(counts_df["n_violations"].sum()) if len(counts_df) else 0,
+        "violations_by_check": {
+            check: int(g["n_violations"].sum())
+            for check, g in counts_df.groupby("check")
+        },
+        "overall_by_lang": {
+            r.lang: r.verdict
+            for r in verdicts[verdicts.check == "__overall__"].itertuples()
+        },
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+
+    return ValidationResult(
+        out_dir=out_dir, verdicts=verdicts, profile=profile_tbl,
+        config=cfg, reference=reference_profile, report=report,
+    )
+
+
+def run_check(check: str, source, out_dir: str | None = None,
+              config: ValidationConfig | None = None,
+              reference_profile: ReferenceProfile | None = None) -> ValidationResult:
+    """Run a single check standalone — the engine analog of the reference's
+    standalone per-module workflow (AnalyzeJOSSCriteria.nf:43-61)."""
+    cfg = config or ValidationConfig()
+    cfg = ValidationConfig(**{**vars(cfg), "checks": (check,)})
+    return validate(source, out_dir=out_dir, config=cfg, reference_profile=reference_profile)
+
+
+def build_reference_profile(source, config: ValidationConfig | None = None) -> ReferenceProfile:
+    """Profile a clean corpus into the broadcast reference-profile side
+    (drift baseline + valid-lang set)."""
+    import ray.data as rd
+
+    cfg = config or ValidationConfig()
+    profile_cfg = ValidationConfig(**{**vars(cfg), "checks": ()})
+    ds = rd.read_parquet(source) if isinstance(source, (str, list, tuple)) else source
+    stream = ds.map_batches(
+        CheckSuite,
+        fn_constructor_kwargs={"config": profile_cfg},
+        concurrency=cfg.check_concurrency,
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+    profiles = merge_profiles(stream, cfg)
+    return ReferenceProfile.from_merged(profiles)

@@ -70,8 +70,10 @@ PROFILE_SCHEMA = pa.schema(
 )
 
 # Internal single-pass long stream emitted by the CheckSuite stage; every
-# downstream table (violations, verdicts, profile) derives from it.
-# kind: "violation" | "counts" | "sketch"
+# downstream table (violations, verdicts, profile) derives from it, so the
+# big input is scanned exactly once for all row-local checks + profiling.
+# kind: "violation" (one row per violated check per input row) or
+# "profile" (one row per (batch, lang): serialized stats/sketch partial).
 STREAM_SCHEMA = pa.schema(
     [
         ("kind", pa.string()),
@@ -80,8 +82,7 @@ STREAM_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("severity", pa.string()),
         ("detail", pa.string()),
-        ("n", pa.int64()),
-        ("payload", pa.binary()),  # serialized sketch partials
+        ("payload", pa.binary()),  # serialized per-batch profile partial
     ]
 )
 

@@ -1,0 +1,252 @@
+"""Single-pass row-local check suite — the engine's hot stage.
+
+One actor-pool ``map_batches`` over zero-copy Arrow batches evaluates every
+row-local check (required-field presence, URL format, HTML→text extraction
+validity, referential lang membership) AND accumulates the per-batch stats
+partials the profile/drift stages merge later.  This collapses the
+reference's three parallel per-record branches — ProcessRepo (presence
+checks, ``modules/ProcessRepo.nf:41-86``), RunAlmanack (metric profiling,
+``modules/RunAlmanack.nf:42-79``) and TestExecutor — into one streaming
+pass over the input, so the 100 TB table is scanned exactly once.
+
+Stateful-setup analog: the reference pip-installs its tooling in *every*
+task (``RunAlmanack.nf:51-52``, ``TestExecutor.nf:47``); here the compiled
+regex, broadcast valid-lang set, and sketch factories are built once per
+actor in ``__init__`` and reused across batches.
+
+Output: the long STREAM_SCHEMA table —
+``kind="violation"`` rows (one per violated check per input row; the
+errorStrategy-ignore semantics of ProcessRepo.nf:19 mean a bad row never
+aborts the run) and ``kind="profile"`` rows (one pickled partial per
+(batch, lang): counts, null counts, min/max/sum, t-digest, fixed-bin
+histogram, HyperLogLog).  Violations are rare and partials are O(KiB), so
+the stream is tiny relative to the input — the combiner pattern that keeps
+wide state off the shuffle path.
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ValidationConfig, TEXT_LEN_HIST_EDGES
+from ..functions.extract import extract_text
+from ..functions.hashing import hash_strings
+from ..functions.sketches import FixedHistogram, HyperLogLog, TDigest
+from ..schema import STREAM_SCHEMA
+
+MISSING_LANG = "__missing__"
+
+
+def _empty_partial(cfg: ValidationConfig) -> dict:
+    return {
+        "n_rows": 0,
+        "nulls": {c: 0 for c in ("url", "warc_ts", "html", "text", "lang")},
+        "text_len": {"n": 0, "sum": 0, "min": None, "max": None},
+        "html_len": {"n": 0, "sum": 0, "min": None, "max": None},
+        "warc_ts": {"n": 0, "min": None, "max": None},
+        "tdigest_text": TDigest(cfg.tdigest_compression),
+        "hist_text": FixedHistogram(np.asarray(TEXT_LEN_HIST_EDGES)),
+        "hll_url": HyperLogLog(cfg.hll_p),
+    }
+
+
+def serialize_partial(p: dict) -> bytes:
+    q = dict(p)
+    q["tdigest_text"] = p["tdigest_text"].to_bytes()
+    q["hist_text"] = p["hist_text"].to_bytes()
+    q["hll_url"] = p["hll_url"].to_bytes()
+    return pickle.dumps(q, protocol=4)
+
+
+def deserialize_partial(b: bytes) -> dict:
+    q = pickle.loads(b)
+    q["tdigest_text"] = TDigest.from_bytes(q["tdigest_text"])
+    q["hist_text"] = FixedHistogram.from_bytes(q["hist_text"])
+    q["hll_url"] = HyperLogLog.from_bytes(q["hll_url"])
+    return q
+
+
+def merge_partials(parts: list[dict], cfg: ValidationConfig) -> dict:
+    """Deterministic associative merge of profile partials."""
+    out = _empty_partial(cfg)
+    for p in parts:
+        out["n_rows"] += p["n_rows"]
+        for c in out["nulls"]:
+            out["nulls"][c] += p["nulls"][c]
+        for key in ("text_len", "html_len"):
+            a, b = out[key], p[key]
+            a["n"] += b["n"]
+            a["sum"] += b["sum"]
+            for mk, fn in (("min", min), ("max", max)):
+                if b[mk] is not None:
+                    a[mk] = b[mk] if a[mk] is None else fn(a[mk], b[mk])
+        a, b = out["warc_ts"], p["warc_ts"]
+        a["n"] += b["n"]
+        for mk, fn in (("min", min), ("max", max)):
+            if b[mk] is not None:
+                a[mk] = b[mk] if a[mk] is None else fn(a[mk], b[mk])
+        out["tdigest_text"].merge(p["tdigest_text"])
+        out["hist_text"].merge(p["hist_text"])
+        out["hll_url"].merge(p["hll_url"])
+    return out
+
+
+class CheckSuite:
+    """Callable actor class for ``map_batches(CheckSuite, concurrency=...)``."""
+
+    def __init__(self, config: ValidationConfig | None = None):
+        self.cfg = config or ValidationConfig()
+        self.url_re = re.compile(self.cfg.url_regex)          # compiled once per actor
+        self.valid_langs = set(self.cfg.valid_langs)
+        self._valid_lang_arr = pa.array(sorted(self.valid_langs), type=pa.string())
+        self.enabled = set(self.cfg.checks)
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _null_or_empty_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        isnull = pc.is_null(col)
+        t = col.type
+        if pa.types.is_string(t):
+            empty = pc.equal(pc.fill_null(col, ""), "")
+            return pc.or_(isnull, empty).to_numpy(zero_copy_only=False)
+        if pa.types.is_binary(t):
+            empty = pc.equal(pc.binary_length(pc.fill_null(col, b"")), 0)
+            return pc.or_(isnull, empty).to_numpy(zero_copy_only=False)
+        return isnull.to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        urls = batch.column("url")
+        langs = batch.column("lang")
+        texts = batch.column("text")
+        htmls = batch.column("html")
+        ts = batch.column("warc_ts")
+
+        url_np = urls.to_numpy(zero_copy_only=False)
+        lang_np = langs.to_numpy(zero_copy_only=False)
+        lang_attr = np.where(
+            pc.is_null(langs).to_numpy(zero_copy_only=False), MISSING_LANG, lang_np
+        )
+
+        out_kind: list[str] = []
+        out_lang: list = []
+        out_check: list[str] = []
+        out_url: list = []
+        out_sev: list = []
+        out_detail: list = []
+        out_payload: list = []
+
+        def emit_violations(mask: np.ndarray, check: str, detail):
+            idxs = np.flatnonzero(mask)
+            if idxs.size == 0:
+                return
+            sev = cfg.severity(check)
+            for i in idxs.tolist():
+                out_kind.append("violation")
+                out_lang.append(lang_attr[i])
+                out_check.append(check)
+                out_url.append(url_np[i])
+                out_sev.append(sev)
+                out_detail.append(detail if isinstance(detail, str) else detail(i))
+                out_payload.append(None)
+
+        # ---- presence checks (ProcessRepo.nf:49-81 analog) ---------------
+        presence_masks = {}
+        for colname, col in (
+            ("url", urls), ("warc_ts", ts), ("html", htmls), ("text", texts), ("lang", langs),
+        ):
+            m = self._null_or_empty_mask(col)
+            presence_masks[colname] = m
+            check = f"presence_{colname}"
+            if check in self.enabled:
+                emit_violations(m, check, f"{colname} is null or empty")
+
+        # ---- url format (main.nf:62-66 analog) ---------------------------
+        if "url_format" in self.enabled:
+            ok = pc.match_substring_regex(pc.fill_null(urls, ""), cfg.url_regex)
+            bad = pc.and_(
+                pc.invert(ok), pc.invert(pa.array(presence_masks["url"]))
+            ).to_numpy(zero_copy_only=False)
+            emit_violations(bad, "url_format", "url does not match required pattern")
+
+        # ---- referential lang membership (RunAlmanack.nf:77-78 chain
+        # analog: value must exist in the reference partition set) ---------
+        if "referential_lang" in self.enabled:
+            known = pc.is_in(pc.fill_null(langs, ""), value_set=self._valid_lang_arr)
+            bad = pc.and_(
+                pc.invert(known), pc.invert(pa.array(presence_masks["lang"]))
+            ).to_numpy(zero_copy_only=False)
+            emit_violations(
+                bad, "referential_lang",
+                lambda i: f"lang '{lang_np[i]}' not in reference profile",
+            )
+
+        # ---- extraction validity (ProcessRepo.nf:41-44 analog; the
+        # per-row invariant: extract_text(html) == text byte-identically) --
+        if "extraction" in self.enabled:
+            text_np = texts.to_numpy(zero_copy_only=False)
+            html_np = htmls.to_numpy(zero_copy_only=False)
+            checkable = ~(presence_masks["html"] | presence_masks["text"])
+            mismatch = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(checkable).tolist():
+                try:
+                    if extract_text(html_np[i]) != text_np[i]:
+                        mismatch[i] = True
+                except (ValueError, UnicodeDecodeError):
+                    mismatch[i] = True
+            emit_violations(mismatch, "extraction", "extract_text(html) != text")
+
+        # ---- profile partials (RunAlmanack.nf:68 / almanack.table analog)
+        text_len = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+        html_len = pc.binary_length(htmls).to_numpy(zero_copy_only=False).astype(np.float64)
+        ts_np = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        url_hashes = hash_strings(url_np)
+
+        for lang in np.unique(lang_attr):
+            sel = lang_attr == lang
+            p = _empty_partial(cfg)
+            p["n_rows"] = int(sel.sum())
+            for c in p["nulls"]:
+                p["nulls"][c] = int((presence_masks[c] & sel).sum())
+            for key, vals in (("text_len", text_len[sel]), ("html_len", html_len[sel])):
+                v = vals[~np.isnan(vals)]
+                if v.size:
+                    p[key] = {"n": int(v.size), "sum": float(v.sum()),
+                              "min": float(v.min()), "max": float(v.max())}
+            tv = ts_np[sel]
+            tv = tv[~np.isnan(tv)]
+            if tv.size:
+                p["warc_ts"] = {"n": int(tv.size), "min": float(tv.min()), "max": float(tv.max())}
+            tl = text_len[sel]
+            tl = tl[~np.isnan(tl)]
+            p["tdigest_text"].add(tl)
+            p["hist_text"].add(tl)
+            not_null_url = sel & ~presence_masks["url"]
+            p["hll_url"].add_hashes(url_hashes[not_null_url])
+
+            out_kind.append("profile")
+            out_lang.append(lang)
+            out_check.append("__profile__")
+            out_url.append(None)
+            out_sev.append(None)
+            out_detail.append(None)
+            out_payload.append(serialize_partial(p))
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_kind, type=pa.string()),
+                pa.array(out_lang, type=pa.string()),
+                pa.array(out_check, type=pa.string()),
+                pa.array(out_url, type=pa.string()),
+                pa.array(out_sev, type=pa.string()),
+                pa.array(out_detail, type=pa.string()),
+                pa.array(out_payload, type=pa.binary()),
+            ],
+            schema=STREAM_SCHEMA,
+        )
