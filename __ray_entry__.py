@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship validation pipeline on pages synthesized
+deterministically from sf0.001; ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2) over ``sf_dir``; ``oracle_sql``
+gives the DuckDB-equivalent SQL for every SQL-expressible query (column
+names match exactly).  Ray is initialised by the caller — nothing here
+calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,155 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from cckp_toolkit_workflow_ray.pipelines import queries as q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full validation DAG over a 10k-row pages table derived
+    deterministically (seed=42) from the sf0.001 scale point; returns the
+    per-(lang, check) verdict table."""
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+    from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
+
+    res = validate(generate_pages_dataset(10_000, seed=42))
+    return res.verdicts
+
+
+def _pages_validate(sf_dir: str) -> Any:
+    """Rows-only check: deterministic verdict table of the full engine on a
+    synthesized pages table (size tied to the scale point)."""
+    import pyarrow.parquet as pq
+
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+    from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    res = validate(generate_pages_dataset(20 * n_docs, seed=42))
+    df = res.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "presence_check": q.presence_check,
+        "format_check": q.format_check,
+        "referential_lang_check": q.referential_lang_check,
+        "referential_events_check": q.referential_events_check,
+        "stats_profile": q.stats_profile,
+        "distinct_sources": q.distinct_sources,
+        "uniqueness_nchars": q.uniqueness_nchars,
+        "exact_dedup": q.exact_dedup,
+        "keyword_check": q.keyword_check,
+        "topk_longest": q.topk_longest,
+        "deterministic_sample": q.deterministic_sample,
+        "token_count": q.token_count,
+        "verdict_rollup": q.verdict_rollup,
+        "windowed_events": q.windowed_events,
+        "asof_last_order": q.asof_last_order,
+        "pages_validate": _pages_validate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "presence_check": """
+            SELECT lang,
+                   count(*) AS n_rows,
+                   count(*) FILTER (WHERE text IS NULL OR text = '') AS n_text_missing,
+                   count(*) FILTER (WHERE source IS NULL OR source = '') AS n_source_missing
+            FROM documents GROUP BY lang
+        """,
+        "format_check": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE NOT regexp_matches(coalesce(source, ''), '^src1[0-9]$')
+        """,
+        "referential_lang_check": """
+            SELECT lang,
+                   count(*) AS n_rows,
+                   count(*) FILTER (WHERE coalesce(lang,'') NOT IN ('en','de','fr')) AS n_violations
+            FROM documents GROUP BY lang
+        """,
+        "referential_events_check": """
+            SELECT e.event_type,
+                   count(*) AS n_events,
+                   count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY e.event_type
+        """,
+        "stats_profile": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "distinct_sources": """
+            SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "uniqueness_nchars": """
+            SELECT n_chars, count(*) AS n_dups
+            FROM documents GROUP BY n_chars HAVING count(*) > 1
+        """,
+        "exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY substr(text, 1, 16)
+        """,
+        "keyword_check": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE text LIKE '%query%') AS n_query,
+                   count(*) FILTER (WHERE text LIKE '%join%') AS n_join,
+                   count(*) FILTER (WHERE text LIKE '%query%' AND text LIKE '%join%') AS n_both
+            FROM documents GROUP BY lang
+        """,
+        "topk_longest": """
+            SELECT lang, doc_id, n_chars, rk FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
+        """,
+        "token_count": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN length(text) = 0 THEN 0
+                                 ELSE length(text) - length(replace(text, ' ', '')) + 1
+                            END) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "verdict_rollup": """
+            SELECT lang, n_rows, n_violations,
+                   1.0 - CAST(n_violations AS DOUBLE) / n_rows AS pass_rate,
+                   CASE WHEN 1.0 - CAST(n_violations AS DOUBLE) / n_rows >= 0.9 THEN 'good'
+                        WHEN 1.0 - CAST(n_violations AS DOUBLE) / n_rows >= 0.7 THEN 'ok'
+                        ELSE 'needs_improvement' END AS status,
+                   CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS verdict
+            FROM (
+                SELECT lang, count(*) AS n_rows,
+                       count(*) FILTER (WHERE n_chars < 200) AS n_violations
+                FROM documents GROUP BY lang
+            )
+        """,
+        "windowed_events": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "asof_last_order": """
+            SELECT e.event_id, max(o.o_orderdate) AS last_order_date
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
+        """,
+    }

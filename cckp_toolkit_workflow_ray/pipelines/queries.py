@@ -1,0 +1,402 @@
+"""Driver-facing query suite over the shared testdata tables.
+
+Each function takes ``sf_dir`` and returns a small result (pyarrow Table /
+pandas DataFrame); each has a matching ANSI-SQL oracle in
+``__ray_entry__.oracle_sql`` that DuckDB runs on the same parquet.  The
+functions exercise the engine's operator inventory (SURVEY.md §2) over the
+driver tables ``documents``/``events``/``orders``/``customer`` — the same
+check semantics the pages pipeline runs, expressed over the tables the
+correctness gate can see.
+
+Scale notes on every query: partial aggregation inside ``map_batches``
+(combiner) before any ``groupby``, pruned ``read_parquet(columns=...)``,
+broadcast small sides — never a driver-side loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PASS_RATE_GOOD, PASS_RATE_OK
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _sum_by_key(partials, keys: list[str], cols: list[str]):
+    """groupby(keys).sum(cols) over an already-combined partial stream."""
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# validation-family queries over `documents`
+# ---------------------------------------------------------------------------
+
+
+def presence_check(sf_dir: str) -> pa.Table:
+    """Required-field presence per lang (ProcessRepo.nf:49-81 analog)."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        text_missing = pc.or_(pc.is_null(t.column("text")),
+                              pc.equal(pc.fill_null(t.column("text"), ""), ""))
+        src_missing = pc.or_(pc.is_null(t.column("source")),
+                             pc.equal(pc.fill_null(t.column("source"), ""), ""))
+        df = pd.DataFrame({
+            "lang": lang.to_numpy(zero_copy_only=False),
+            "n_rows": 1,
+            "n_text_missing": text_missing.to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_source_missing": src_missing.to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    out = _sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n_rows", "n_text_missing", "n_source_missing"],
+    )
+    return out.to_pandas()
+
+
+def format_check(sf_dir: str) -> pa.Table:
+    """Per-row format-violation listing (url-regex P1 analog on `source`)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        ok = pc.match_substring_regex(pc.fill_null(t.column("source"), ""), r"^src1[0-9]$")
+        return t.filter(pc.invert(ok))
+
+    return ds.map_batches(bad, batch_format="pyarrow").to_pandas()
+
+
+def referential_lang_check(sf_dir: str) -> pa.Table:
+    """Broadcast semi-join membership check (J4 analog): lang must be in a
+    reference set; per-lang violation counts."""
+    valid = pa.array(["en", "de", "fr"], type=pa.string())
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        viol = pc.invert(pc.is_in(pc.fill_null(lang, ""), value_set=valid))
+        df = pd.DataFrame({
+            "lang": lang.to_numpy(zero_copy_only=False),
+            "n_rows": 1,
+            "n_violations": viol.to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang"], ["n_rows", "n_violations"]).to_pandas()
+
+
+def referential_events_check(sf_dir: str) -> pa.Table:
+    """True FK check: events.user_id ⊆ customer.c_custkey via a broadcast
+    key set (anti-join without a shuffle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    key_ref = ray.put(set(keys.column("c_custkey").to_pylist()))
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    class Checker:
+        def __init__(self, ref):
+            self.valid = np.asarray(sorted(ray.get(ref)), dtype=np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.valid, uid)
+            pos = np.clip(pos, 0, len(self.valid) - 1)
+            orphan = self.valid[pos] != uid
+            df = pd.DataFrame({
+                "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+                "n_events": 1,
+                "n_orphans": orphan.astype(np.int64),
+            })
+            return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(),
+                                        preserve_index=False)
+
+    partials = ds.map_batches(
+        Checker, fn_constructor_kwargs={"ref": key_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return _sum_by_key(partials, ["event_type"], ["n_events", "n_orphans"]).to_pandas()
+
+
+def stats_profile(sf_dir: str) -> pa.Table:
+    """Single-pass per-lang column stats (almanack.table / RunAlmanack.nf:68
+    analog): count, min, max, sum, mean of n_chars."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("lang").agg(
+            n_docs=("n_chars", "size"), min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"), sum_chars=("n_chars", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Min("min_chars", alias_name="min_chars"),
+        Max("max_chars", alias_name="max_chars"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+    df = agg.to_pandas()
+    df["avg_chars"] = df["sum_chars"].astype(np.float64) / df["n_docs"]
+    return df
+
+
+def distinct_sources(sf_dir: str) -> pa.Table:
+    """Exact distinct-count per group, two-phase: per-batch unique pairs
+    (combiner) → global unique → count per lang."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["lang", "source"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    uniq = pairs.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
+    return (
+        uniq.groupby("lang")
+        .aggregate(Count(alias_name="n_sources"))
+        .to_pandas()[["lang", "n_sources"]]
+    )
+
+
+def uniqueness_nchars(sf_dir: str) -> pa.Table:
+    """Uniqueness check (SURVEY.md §2.7): duplicate-key groups of n_chars
+    with per-batch combiner before the groupby exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            t.column("n_chars").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"n_chars": vals, "n_dups": counts.astype(np.int64)})
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").groupby("n_chars").aggregate(
+        Sum("n_dups", alias_name="n_dups")
+    )
+    return totals.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_dups"), 1)), batch_format="pyarrow"
+    ).to_pandas()
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup: keep min doc_id per 16-char text prefix (hash-partition
+    + per-group first; combiner = per-batch min)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t.column("text").to_pandas().str.slice(0, 16),
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("k", as_index=False)["doc_id"].min(), preserve_index=False
+        )
+
+    kept = ds.map_batches(partial, batch_format="pyarrow").groupby("k").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+    return kept.to_pandas()[["doc_id"]]
+
+
+def keyword_check(sf_dir: str) -> pa.Table:
+    """Content keyword predicates (analyze_joss.py:133-157 analog):
+    substring any-match + conjunction, vectorized per batch."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        has_q = pc.match_substring(txt, "query")
+        has_j = pc.match_substring(txt, "join")
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            "n_query": has_q.to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_join": has_j.to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_both": pc.and_(has_q, has_j).to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang"], ["n_docs", "n_query", "n_join", "n_both"]).to_pandas()
+
+
+def topk_longest(sf_dir: str) -> pa.Table:
+    """Top-5 docs per lang by (n_chars DESC, doc_id ASC) — per-group heap
+    via map_groups (no global sort)."""
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("lang").map_groups(top5, batch_format="pandas").to_pandas()
+
+
+def deterministic_sample(sf_dir: str) -> pa.Table:
+    """Seed-stable sampling (SURVEY.md §2.7): key-mod filter, never
+    random_sample."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def token_count(sf_dir: str) -> pa.Table:
+    """Token counting (text-analysis op): whitespace tokens, vectorized
+    (count separators + 1), aggregated per lang."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        n_spaces = pc.count_substring(txt, " ")
+        nonempty = pc.greater(pc.utf8_length(txt), 0)
+        toks = pc.add(n_spaces, nonempty.cast(pa.int64()))
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            "total_tokens": toks.to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang"], ["n_docs", "total_tokens"]).to_pandas()
+
+
+def verdict_rollup(sf_dir: str) -> pa.Table:
+    """Tri-level threshold verdict per lang (analyze_joss.py:42-49,302-345
+    semantics): violation = n_chars < 200."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_rows": 1,
+            "n_violations": (
+                t.column("n_chars").to_numpy(zero_copy_only=False) < 200
+            ).astype(np.int64),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    df = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["lang"], ["n_rows", "n_violations"]).to_pandas()
+    df["pass_rate"] = 1.0 - df["n_violations"].astype(np.float64) / df["n_rows"]
+    df["status"] = np.where(df.pass_rate >= PASS_RATE_GOOD, "good",
+                            np.where(df.pass_rate >= PASS_RATE_OK, "ok", "needs_improvement"))
+    df["verdict"] = np.where(df.n_violations == 0, "PASS", "FAIL")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# events-table queries (windowed aggregate + as-of lookup)
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def windowed_events(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windowed aggregate per event_type (custom-operator
+    family: window = derived key + groupby; no event-time machinery
+    needed for batch data)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // _HOUR_US) * _HOUR_US
+        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+            "window_start_us": win,
+            "n_events": 1,
+            "sum_value_cents": cents,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "window_start_us"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    df = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["event_type", "window_start_us"],
+                     ["n_events", "sum_value_cents"]).to_pandas()
+    df["window_start"] = pd.to_datetime(df.pop("window_start_us"), unit="us")
+    return df[["event_type", "window_start", "n_events", "sum_value_cents"]]
+
+
+def asof_last_order(sf_dir: str) -> pa.Table:
+    """As-of lookup (custom operator): for each event, the latest
+    o_orderdate of the same customer at or before the event time.
+    Broadcast small side (orders sorted by (custkey, date)) + vectorized
+    searchsorted per batch — no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    ck = orders.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    od = orders.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    base = int(od.min()) if len(od) else 0
+    span = int(od.max()) - base + 1 if len(od) else 1
+    enc = ck * span + (od - base)
+    order_ref = ray.put((np.sort(enc), base, span))
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    class AsOf:
+        def __init__(self, ref):
+            self.enc, self.base, self.span = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            q = uid * self.span + np.clip(ts - self.base, -1, self.span - 1)
+            pos = np.searchsorted(self.enc, q, side="right") - 1
+            ok = pos >= 0
+            hit = np.where(ok, self.enc[np.clip(pos, 0, None)], 0)
+            same_key = ok & (hit // self.span == uid)
+            date_us = np.where(same_key, hit % self.span + self.base, 0)
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "last_order_date": pa.array(
+                    [int(d) if k else None for d, k in zip(date_us.tolist(), same_key.tolist())],
+                    type=pa.timestamp("us"),
+                ),
+            })
+
+    return ds.map_batches(
+        AsOf, fn_constructor_kwargs={"ref": order_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
