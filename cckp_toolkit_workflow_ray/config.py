@@ -61,10 +61,12 @@ class ValidationConfig:
     psi_ok: float = 0.10
     psi_fail: float = 0.25
 
-    # Ray sizing (reference analog: per-process cpus/containers)
-    batch_size: int = 2048          # html is wide; keep batches modest
-    check_concurrency: tuple | int = (1, 8)
-    uniqueness_batch_size: int = 65536  # url+lang only -> narrow, big batches
+    # Ray sizing (reference analog: per-process cpus/containers).
+    # check_concurrency None -> autoscale the actor pool to the cluster's
+    # CPU count at run time (resolved in pipelines.validate).
+    batch_size: int = 8192          # ~7 MB of html per batch; fewer, larger partials
+    check_concurrency: tuple | int | None = None
+    uniqueness_batch_size: int = 131072  # url+lang only -> narrow columns, big batches amortize actor adds
     hll_p: int = 12                 # 4 KiB partials, ~1.6% distinct error
     tdigest_compression: float = 200.0
 

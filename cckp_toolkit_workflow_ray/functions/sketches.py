@@ -58,29 +58,23 @@ class TDigest:
         return self.compression / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
 
     def _compress(self):
+        """Vectorized k-space binning (Dunning's scale-function clustering):
+        sort centroids, bucket by floor(k(q_mid)), merge each bucket with
+        one reduceat pass.  Fully numpy — no per-centroid Python loop."""
         if self.means.size <= 1:
             return
         order = np.lexsort((self.weights, self.means))  # stable, deterministic
         means, weights = self.means[order], self.weights[order]
         total = weights.sum()
-        out_m, out_w = [], []
-        cur_m, cur_w = means[0], weights[0]
-        w_so_far = 0.0
-        for m, w in zip(means[1:], weights[1:]):
-            q0 = w_so_far / total
-            q1 = (w_so_far + cur_w + w) / total
-            if self._k(np.float64(q1)) - self._k(np.float64(q0)) <= 1.0:
-                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                cur_m, cur_w = m, w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        cum = np.cumsum(weights)
+        q_mid = (cum - weights / 2.0) / total
+        bucket = np.floor(self._k(q_mid)).astype(np.int64)
+        # group boundaries where the bucket id changes
+        starts = np.flatnonzero(np.concatenate([[True], bucket[1:] != bucket[:-1]]))
+        w_sums = np.add.reduceat(weights, starts)
+        mw_sums = np.add.reduceat(means * weights, starts)
+        self.means = mw_sums / w_sums
+        self.weights = w_sums
 
     # -- queries ------------------------------------------------------------
     @property

@@ -29,7 +29,9 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import sys
 import tempfile
+import time
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -39,7 +41,7 @@ import pyarrow.compute as pc
 from ..config import ValidationConfig
 from ..functions.extract import EXTRACTOR_VERSION
 from ..schema import STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance
-from ..stages.checks import CheckSuite
+from ..stages.checks import CheckSuite, make_check_fn
 from ..stages.profile import (
     ReferenceProfile,
     merge_profiles,
@@ -59,6 +61,19 @@ def _dataset_schema(ds) -> pa.Schema | None:
     if getattr(sch, "names", None) is None:
         return None
     return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def _resolve_concurrency(cfg: ValidationConfig) -> tuple | int:
+    """Autoscale the check actor pool to the cluster: (1, #CPUs)."""
+    if cfg.check_concurrency is not None:
+        return cfg.check_concurrency
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return (max(2, ncpu // 4), max(2, ncpu))
 
 
 def _stream_to_violations(t: pa.Table) -> pa.Table:
@@ -90,6 +105,20 @@ class ValidationResult:
         return max(o["verdict"], key=order.get) if len(o) else "UNKNOWN"
 
 
+class _PhaseTimer:
+    """Opt-in phase timing: set CCKP_TIMING=1 to print wall times to stderr."""
+
+    def __init__(self):
+        self.enabled = os.environ.get("CCKP_TIMING") == "1"
+        self.t = time.perf_counter()
+
+    def lap(self, name: str):
+        if self.enabled:
+            now = time.perf_counter()
+            print(f"[validate] {name}: {now - self.t:.2f}s", file=sys.stderr)
+            self.t = now
+
+
 def validate(
     source,
     out_dir: str | None = None,
@@ -102,7 +131,6 @@ def validate(
     ``ray.data.Dataset`` with the pages schema.
     """
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     cfg = config or ValidationConfig()
     paths = source if isinstance(source, (str, list, tuple)) else None
@@ -119,16 +147,29 @@ def validate(
     stream_dir = os.path.join(out_dir, "stream")
     viol_dir = os.path.join(out_dir, "violations")
 
-    # ---- pass 1: all row-local checks + profile partials, one scan -------
+    # ---- pass 1: all row-local checks + profile partials, one scan.
+    # Task-based (not actor-pool) so Ray fuses the checks onto the
+    # parquet-read tasks: the wide html column never enters the object
+    # store (see stages.checks.make_check_fn).  The uniqueness pass runs
+    # sequentially after it — measured faster than thread-overlapping the
+    # two scans, which just contend for the same CPUs.
+    import pyarrow.parquet as pq
+
+    timer = _PhaseTimer()
     stream = ds.map_batches(
-        CheckSuite,
-        fn_constructor_kwargs={"config": cfg},
-        concurrency=cfg.check_concurrency,
+        make_check_fn(cfg),
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
     )
-    stream.write_parquet(stream_dir)
-    import pyarrow.parquet as pq
+    # coalesce the tiny derived stream into a few files so downstream
+    # re-reads don't pay per-file task overhead
+    stream.repartition(16).write_parquet(stream_dir)
+    timer.lap("stream pass")
+
+    dups = None
+    if "uniqueness_url" in cfg.checks:
+        dups = duplicate_urls(paths if paths is not None else ds, cfg).materialize()
+    timer.lap("uniqueness")
 
     os.makedirs(stream_dir, exist_ok=True)
     if not any(f.endswith(".parquet") for f in os.listdir(stream_dir)):
@@ -139,11 +180,11 @@ def validate(
 
     # ---- violations table (incl. uniqueness shuffle results) -------------
     viol_ds = stream_ds.map_batches(_stream_to_violations, batch_format="pyarrow")
-    if "uniqueness_url" in cfg.checks:
-        dups = duplicate_urls(paths if paths is not None else ds, cfg)
+    if dups is not None:
         dup_viols = dups.map_batches(duplicates_to_violations, batch_format="pyarrow")
         viol_ds = viol_ds.union(dup_viols)
     viol_ds.write_parquet(viol_dir)
+    timer.lap("violations write")
     # an empty result writes no files; keep the contract that the violations
     # directory is always a readable parquet table with the declared schema
     os.makedirs(viol_dir, exist_ok=True)
@@ -153,15 +194,32 @@ def validate(
         )
 
     # ---- small derived tables --------------------------------------------
-    counts_df = (
+    # per-batch combiner + driver merge: the per-(lang, check) cardinality
+    # is tiny, so no distributed groupby is needed for the counts
+    def _count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "check": t.column("check").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["lang", "check"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_violations"}), preserve_index=False
+        )
+
+    counts_parts = (
         rd.read_parquet(viol_dir, columns=["lang", "check"])
-        .groupby(["lang", "check"])
-        .aggregate(Count(alias_name="n_violations"))
+        .map_batches(_count_partial, batch_format="pyarrow")
         .to_pandas()
     )
-    if counts_df.empty:
+    if counts_parts.empty:
         counts_df = pd.DataFrame(columns=["lang", "check", "n_violations"])
+    else:
+        counts_df = counts_parts.groupby(["lang", "check"], as_index=False)[
+            "n_violations"
+        ].sum()
+    timer.lap("violation counts")
     profiles = merge_profiles(stream_ds, cfg)
+    timer.lap("profile merge")
     verdicts = assemble_verdicts(profiles, counts_df, cfg, reference_profile)
     profile_tbl = profile_to_table(profiles)
 
@@ -191,6 +249,7 @@ def validate(
             for r in verdicts[verdicts.check == "__overall__"].itertuples()
         },
     }
+    timer.lap("verdicts+persist")
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
 
@@ -219,9 +278,7 @@ def build_reference_profile(source, config: ValidationConfig | None = None) -> R
     profile_cfg = ValidationConfig(**{**vars(cfg), "checks": ()})
     ds = rd.read_parquet(source) if isinstance(source, (str, list, tuple)) else source
     stream = ds.map_batches(
-        CheckSuite,
-        fn_constructor_kwargs={"config": profile_cfg},
-        concurrency=cfg.check_concurrency,
+        make_check_fn(profile_cfg),
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
     )

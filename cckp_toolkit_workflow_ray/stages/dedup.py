@@ -1,0 +1,365 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These extend the reference's identity semantics (join keys as record
+identity, ``/root/reference/main.nf:101-102``) to the dedup family a
+web-scale corpus needs: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Shared scale motif — **rare-duplicate-key groupby**: every variant reduces
+to "find the int keys that occur more than once" (content hashes, LSH band
+buckets, SimHash bands).  Keys are ~unique, duplicates are the rare case,
+so instead of a full groupby shuffle the engine
+
+1. combines per batch (``np.unique`` → ``(key, n)`` int partials),
+2. range-sorts the *ints only* and extracts candidate keys vectorized
+   (``stages.groupagg.candidate_duplicates``), and
+3. resolves the (small) duplicate-key set with a second pruned scan
+   against a broadcast key array.
+
+No strings or documents ever cross the exchange; both scans fuse with the
+parquet read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash_strings, splitmix64
+
+# ---------------------------------------------------------------------------
+# shared: rare-duplicate int-key detection over a (key -> partial count) fn
+# ---------------------------------------------------------------------------
+
+
+def find_duplicate_int_keys(ds, partial_fn, batch_size: int = 65536) -> pd.DataFrame:
+    """Run ``partial_fn`` (batch -> pa.Table with int64 'key' + 'n') over
+    ``ds``, then return a DataFrame (key, n) of keys with global n > 1."""
+    from .groupagg import candidate_duplicates
+
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=batch_size)
+    cands = candidate_duplicates(partials, ["key"], "n").to_pandas()
+    if cands.empty:
+        return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    totals = cands.groupby("key", as_index=False)["n"].sum()
+    return totals[totals["n"] > 1].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
+                        batch_size: int = 65536):
+    """Drop exact-content duplicates, keeping the minimum id per content.
+
+    Two pruned passes + one filtered full pass; only the (rare) duplicated
+    content keys and their winning ids are ever centralized:
+
+    1. find duplicated content-hash keys (rare-duplicate-key groupby);
+    2. recover ``min(id)`` per duplicated key via a broadcast-filtered
+       scan (per-batch combine keeps the transfer ≤ |dup_keys| per batch);
+    3. stream the full dataset, keeping rows whose key is not duplicated
+       or whose id is the winner.
+    """
+    import ray
+    import ray.data as rd
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        keys = hash_strings(
+            t.column(text_col).to_numpy(zero_copy_only=False), seed=7
+        ).astype(np.int64)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table({"key": uniq, "n": counts.astype(np.int64)})
+
+    pruned = ds.select_columns([text_col]) if hasattr(ds, "select_columns") else ds
+    dup_keys = find_duplicate_int_keys(pruned, key_partial, batch_size)
+    if dup_keys.empty:
+        return ds
+    dup_sorted = np.sort(dup_keys["key"].to_numpy())
+
+    def winners_partial(t: pa.Table) -> pa.Table:
+        keys = hash_strings(
+            t.column(text_col).to_numpy(zero_copy_only=False), seed=7
+        ).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(dup_sorted, keys), 0, dup_sorted.size - 1)
+        sel = dup_sorted[pos] == keys
+        if not sel.any():
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "winner": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"key": keys[sel], "winner": ids[sel]})
+        g = df.groupby("key", as_index=False)["winner"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    wp = ds.select_columns([text_col, id_col]).map_batches(
+        winners_partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    winners = wp.groupby("key")["winner"].min()
+    wkeys = winners.index.to_numpy()
+    wids = winners.to_numpy()
+    order = np.argsort(wkeys)
+    wkeys, wids = wkeys[order], wids[order]
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = hash_strings(
+            t.column(text_col).to_numpy(zero_copy_only=False), seed=7
+        ).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(wkeys, keys), 0, max(0, wkeys.size - 1))
+        is_dup = (wkeys.size > 0) & (wkeys[pos] == keys)
+        keep_mask = ~is_dup | (ids == wids[pos])
+        return t.filter(pa.array(keep_mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# shingling / MinHash / SimHash primitives (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct hashed character k-shingles of one document (uint64)."""
+    b = text.encode("utf-8", "ignore")
+    if len(b) < k:
+        b = b + b"\x00" * (k - len(b))
+    arr = np.frombuffer(b, dtype=np.uint8)
+    n = arr.size - k + 1
+    # polynomial rolling hash, fully vectorized via strided windows
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (windows * mult[::-1]).sum(axis=1)
+    return np.unique(splitmix64(h))
+
+
+_MINHASH_P = np.uint64((1 << 61) - 1)
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 11) -> np.ndarray:
+    """num_perm-wide MinHash signature from hashed shingles (universal
+    hashing a*x+b mod p, all permutations vectorized at once)."""
+    a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)) | np.uint64(1)
+    b = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 977))
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (num_perm, n_shingles) — fine for per-doc shingle counts
+        vals = (np.outer(a, shingles) + b[:, None]) % _MINHASH_P
+    return vals.min(axis=1)
+
+
+def band_hashes(signature: np.ndarray, bands: int) -> np.ndarray:
+    """Hash each band of the signature to one uint64 bucket key."""
+    rows = signature.size // bands
+    sig = signature[: rows * bands].reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.zeros(bands, dtype=np.uint64)
+        for r in range(rows):
+            h = splitmix64(h ^ sig[:, r])
+        # mix the band index in so identical band contents in different
+        # bands never collide into one bucket
+        return splitmix64(h + np.arange(bands, dtype=np.uint64))
+
+
+def simhash64(token_hashes: np.ndarray) -> np.uint64:
+    """Classic 64-bit SimHash over hashed tokens."""
+    if token_hashes.size == 0:
+        return np.uint64(0)
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    score = bits.sum(axis=0) * 2 - token_hashes.size
+    return np.uint64(np.packbits((score > 0)[::-1]).view(">u8")[0])
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.6,
+                      batch_size: int = 4096) -> pd.DataFrame:
+    """Near-duplicate pairs via shingle→MinHash→band→bucket→verify.
+
+    Pipeline: per-batch signatures (vectorized) → (bucket_key, n) int
+    partials → rare-duplicate-key groupby finds collided buckets → a
+    second scan recovers (bucket, doc) membership for collided buckets
+    only → exact shingle-Jaccard verification per candidate pair.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Scale notes: the bucket exchange is ints-only; membership recovery is
+    bounded by |collided buckets| per batch; verification recomputes the
+    two shingle sets per pair (stateless) and distributes over candidate
+    pairs via a broadcast id set.  Assumes candidate pairs are rare —
+    the standard LSH regime.
+    """
+    import ray
+    import ray.data as rd
+
+    def sig_buckets(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        keys = []
+        for txt in texts:
+            sh = char_shingle_hashes(txt or "", shingle_k)
+            sig = minhash_signature(sh, num_perm)
+            keys.append(band_hashes(sig, bands).astype(np.int64))
+        allk = np.concatenate(keys) if keys else np.empty(0, dtype=np.int64)
+        uniq, counts = np.unique(allk, return_counts=True)
+        return pa.table({"key": uniq, "n": counts.astype(np.int64)})
+
+    pruned = ds.select_columns([text_col])
+    dup_buckets = find_duplicate_int_keys(pruned, sig_buckets, batch_size)
+    if dup_buckets.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    bucket_sorted = np.sort(dup_buckets["key"].to_numpy())
+
+    def memberships(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_k, out_id = [], []
+        for txt, did in zip(texts, ids):
+            sh = char_shingle_hashes(txt or "", shingle_k)
+            sig = minhash_signature(sh, num_perm)
+            bh = band_hashes(sig, bands).astype(np.int64)
+            pos = np.clip(np.searchsorted(bucket_sorted, bh), 0, bucket_sorted.size - 1)
+            hit = bucket_sorted[pos] == bh
+            for kk in bh[hit]:
+                out_k.append(int(kk))
+                out_id.append(int(did))
+        return pa.table({"bucket": pa.array(out_k, type=pa.int64()),
+                         "doc": pa.array(out_id, type=pa.int64())})
+
+    mem = ds.select_columns([text_col, id_col]).map_batches(
+        memberships, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+
+    # candidate pairs: all doc pairs sharing a collided bucket
+    pairs = set()
+    for _, grp in mem.groupby("bucket"):
+        docs = sorted(set(grp["doc"]))
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs.add((docs[i], docs[j]))
+    if not pairs:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    # verification: exact shingle Jaccard for candidate docs only
+    cand_ids = np.array(sorted({d for p in pairs for d in p}), dtype=np.int64)
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sel = np.isin(ids, cand_ids)
+        out_id, out_sh = [], []
+        for txt, did in zip(texts[sel], ids[sel]):
+            out_id.append(int(did))
+            out_sh.append(char_shingle_hashes(txt or "", shingle_k).tobytes())
+        return pa.table({"doc": pa.array(out_id, type=pa.int64()),
+                         "shingles": pa.array(out_sh, type=pa.binary())})
+
+    sets_df = ds.select_columns([text_col, id_col]).map_batches(
+        shingle_sets, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    sh_map = {
+        int(r.doc): np.frombuffer(r.shingles, dtype=np.uint64)
+        for r in sets_df.itertuples()
+    }
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = sh_map.get(a), sh_map.get(b)
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= jaccard_threshold:
+            rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, batch_size: int = 4096) -> pd.DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Bucketing: split the 64-bit simhash into (max_hamming + 1) bands — by
+    pigeonhole, any pair within the distance bound matches exactly on at
+    least one band.  Band buckets feed the same rare-duplicate-key
+    machinery; verification checks exact hamming distance.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def doc_simhash(texts) -> np.ndarray:
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, txt in enumerate(texts):
+            toks = (txt or "").split()
+            out[i] = simhash64(hash_strings(np.array(toks, dtype=object), seed=5)) if toks else np.uint64(0)
+        return out
+
+    def band_keys(sh: np.ndarray) -> np.ndarray:
+        """(n_docs, n_bands) int64 bucket keys: band index mixed with bits."""
+        cols = []
+        for bnd in range(n_bands):
+            bits = (sh >> np.uint64(bnd * width)) & np.uint64((1 << width) - 1)
+            cols.append(splitmix64(bits + np.uint64(bnd * 2654435761)).astype(np.int64))
+        return np.stack(cols, axis=1)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        sh = doc_simhash(t.column(text_col).to_numpy(zero_copy_only=False))
+        keys = band_keys(sh).ravel()
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table({"key": uniq, "n": counts.astype(np.int64)})
+
+    dup_buckets = find_duplicate_int_keys(
+        ds.select_columns([text_col]), bucket_partial, batch_size
+    )
+    if dup_buckets.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    bucket_sorted = np.sort(dup_buckets["key"].to_numpy())
+
+    def memberships(t: pa.Table) -> pa.Table:
+        sh = doc_simhash(t.column(text_col).to_numpy(zero_copy_only=False))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys = band_keys(sh)
+        out_k, out_id, out_sh = [], [], []
+        for i in range(keys.shape[0]):
+            pos = np.clip(np.searchsorted(bucket_sorted, keys[i]), 0, bucket_sorted.size - 1)
+            hit = bucket_sorted[pos] == keys[i]
+            for kk in keys[i][hit]:
+                out_k.append(int(kk))
+                out_id.append(int(ids[i]))
+                out_sh.append(int(sh[i]))
+        return pa.table({"bucket": pa.array(out_k, type=pa.int64()),
+                         "doc": pa.array(out_id, type=pa.int64()),
+                         "simhash": pa.array(np.array(out_sh, dtype=np.uint64).astype(np.int64))})
+
+    mem = ds.select_columns([text_col, id_col]).map_batches(
+        memberships, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    sh_of = dict(zip(mem["doc"], mem["simhash"].astype(np.int64).astype(np.uint64)))
+    pairs = set()
+    for _, grp in mem.groupby("bucket"):
+        docs = sorted(set(grp["doc"]))
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs.add((docs[i], docs[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        d = int(hamming_distance64(np.array([sh_of[a]]), np.array([sh_of[b]]))[0])
+        if d <= max_hamming:
+            rows.append((a, b, d))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])

@@ -164,12 +164,13 @@ def test_schema_conformance_fail_fast():
 def test_distributed_generation_matches_local(ray_session):
     from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
 
+    keys = ["url", "warc_ts", "text"]  # url alone isn't unique (seeded dups)
     ds = generate_pages_dataset(2000, override_num_blocks=7)
-    got = ds.to_pandas().sort_values("url", kind="mergesort").reset_index(drop=True)
+    got = ds.to_pandas().sort_values(keys, kind="mergesort").reset_index(drop=True)
     want = (
         generate_pages_table(2000)
         .to_pandas()
-        .sort_values("url", kind="mergesort")
+        .sort_values(keys, kind="mergesort")
         .reset_index(drop=True)
     )
     import pandas as pd
