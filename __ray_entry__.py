@@ -59,6 +59,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": q.windowed_events,
         "asof_last_order": q.asof_last_order,
         "pages_validate": _pages_validate,
+        # training-data ops (dedup / similarity / text analysis)
+        "exact_dedup_full": q.exact_dedup_full,
+        "minhash_dedup": q.minhash_dedup,
+        "simhash_dedup": q.simhash_dedup,
+        "knn_embeddings": q.knn_embeddings,
+        "embedding_neardup": q.embedding_neardup,
+        "bpe_token_count": q.bpe_token_count,
+        "quality_check": q.quality_check,
+        "langid_confusion": q.langid_confusion,
+        "fingerprint_docs": q.fingerprint_docs,
     }
 
 
@@ -163,5 +173,56 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
+        """,
+        "exact_dedup_full": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM corpus GROUP BY text
+        """,
+        "knn_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 10
+            )
+            SELECT query_id, neighbor_id, rk FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                    e.vec_id ASC
+                       ) AS rk
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rk <= 10
+        """,
+        "bpe_token_count": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(
+                       text, '[A-Za-z]{1,4}|\\d|[^\\sA-Za-z\\d]'))) AS BIGINT)
+                       AS bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_check": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE
+                       n_words < 5
+                       OR (n_chars - CASE WHEN n_words > 1 THEN n_words - 1 ELSE 0 END)
+                          / CAST(CASE WHEN n_words > 1 THEN n_words ELSE 1 END AS DOUBLE) > 12.0
+                       OR n_alpha / CAST(CASE WHEN n_chars > 1 THEN n_chars ELSE 1 END AS DOUBLE) < 0.5
+                   ) AS n_low_quality
+            FROM (
+                SELECT lang,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(CASE WHEN length(text) > 0
+                                 THEN length(text) - length(replace(text, ' ', '')) + 1
+                                 ELSE 0 END AS DOUBLE) AS n_words,
+                       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+                FROM documents
+            ) GROUP BY lang
         """,
     }

@@ -1,0 +1,183 @@
+"""Text-analysis primitives: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Generalizes the reference's content predicates — lowercase keyword
+batteries (``/root/reference/bin/analyze_joss.py:133-157``), project-type
+classification by surface features (``bin/run_tests.py:41-71``), and
+threshold scoring (``bin/analyze_joss.py:302-345``) — into the text ops a
+web-corpus pipeline needs.  All are pure, deterministic, and vectorized or
+cheap-per-row; stateful pieces (the lang-ID profile) are built once and
+broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .hashing import hash_strings, splitmix64
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that with for on".split()
+)
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+
+
+def whitespace_token_counts(texts: pd.Series) -> np.ndarray:
+    """Vectorized whitespace token counts (0 for empty/null)."""
+    s = texts.fillna("")
+    return np.where(s.str.len() > 0, s.str.count(" ") + 1, 0).astype(np.int64)
+
+
+_BPE_PIECE_RE = re.compile(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]")
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Deterministic BPE-style token estimate: alphabetic runs split into
+    ≤4-char pieces, digits and punctuation one token each (a standard
+    public approximation of subword tokenizers)."""
+    return len(_BPE_PIECE_RE.findall(text or ""))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc quality signals (vectorized): length, word stats,
+    punctuation/digit/space ratios, stopword ratio, mean word length."""
+    s = texts.fillna("")
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    n_words = whitespace_token_counts(s)
+    n_alpha = s.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+    n_digit = s.str.count(r"\d").to_numpy(dtype=np.int64)
+    n_punct = s.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_word_len = np.where(n_words > 0, (n_chars - (n_words - 1).clip(0)) / n_words.clip(1), 0.0)
+    denom = n_chars.clip(1)
+    stop = s.str.lower().str.findall(_WORD_RE).map(
+        lambda ws: sum(1 for w in ws if w in STOPWORDS)
+    ).to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": n_punct / denom,
+        "digit_ratio": n_digit / denom,
+        "alpha_ratio": n_alpha / denom,
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": np.where(n_words > 0, stop / n_words.clip(1), 0.0),
+    })
+
+
+def quality_score(metrics: pd.DataFrame) -> np.ndarray:
+    """Scalar quality in [0,1]: fraction of heuristic gates passed (the
+    tri-level scorer consumes this like a pass rate)."""
+    gates = [
+        metrics["n_words"].to_numpy() >= 5,
+        metrics["mean_word_len"].to_numpy() <= 12,
+        metrics["punct_ratio"].to_numpy() <= 0.2,
+        metrics["digit_ratio"].to_numpy() <= 0.3,
+        metrics["alpha_ratio"].to_numpy() >= 0.5,
+    ]
+    return np.mean(np.stack(gates), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# language identification (character n-gram profiles)
+# ---------------------------------------------------------------------------
+
+
+def _trigram_counts(text: str) -> dict:
+    t = " " + (text or "").lower() + " "
+    out: dict = {}
+    for i in range(len(t) - 2):
+        g = t[i : i + 3]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+class LangIdModel:
+    """N-gram heuristic language identifier.
+
+    Train: top-N trigram frequency profile per language from labelled
+    sample text.  Predict: cosine similarity between a document's trigram
+    counts and each profile.  Built once on the driver (small sample),
+    broadcast to workers; prediction is per-row but dict-based and cheap.
+    """
+
+    def __init__(self, profiles: dict[str, dict]):
+        self.profiles = profiles
+        self._norms = {
+            lang: float(np.sqrt(sum(v * v for v in prof.values())))
+            for lang, prof in profiles.items()
+        }
+
+    @classmethod
+    def train(cls, texts_by_lang: dict[str, list[str]], top_n: int = 300) -> "LangIdModel":
+        profiles = {}
+        for lang, texts in sorted(texts_by_lang.items()):
+            counts: dict = {}
+            for t in texts:
+                for g, c in _trigram_counts(t).items():
+                    counts[g] = counts.get(g, 0) + c
+            top = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n])
+            profiles[lang] = top
+        return cls(profiles)
+
+    def predict(self, text: str) -> str:
+        counts = _trigram_counts(text)
+        if not counts:
+            return "unknown"
+        norm_d = float(np.sqrt(sum(v * v for v in counts.values())))
+        best_lang, best_sim = "unknown", -1.0
+        for lang in sorted(self.profiles):
+            prof = self.profiles[lang]
+            dot = sum(c * prof.get(g, 0) for g, c in counts.items())
+            sim = dot / (norm_d * self._norms[lang]) if self._norms[lang] else 0.0
+            if sim > best_sim:
+                best_lang, best_sim = lang, sim
+        return best_lang
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing over rolling hashes)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing fingerprint (Schleimer et al.): rolling k-gram hashes,
+    minimum per sliding window, deduplicated.  Deterministic; two
+    documents sharing long substrings share fingerprint values."""
+    b = (text or "").encode("utf-8", "ignore")
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = splitmix64((windows * mult[::-1]).sum(axis=1))
+    if h.size <= window:
+        return np.unique(h.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+    return np.unique(mins)
+
+
+def fingerprint64(text: str) -> int:
+    """One 64-bit document fingerprint: hash of the winnowed set."""
+    fp = winnow_fingerprint(text)
+    if fp.size == 0:
+        return 0
+    with np.errstate(over="ignore"):
+        acc = np.uint64(0xCBF29CE484222325)
+        for v in np.sort(fp):
+            acc = splitmix64(np.array([acc ^ v], dtype=np.uint64))[0]
+    return int(acc)

@@ -400,3 +400,211 @@ def asof_last_order(sf_dir: str) -> pa.Table:
         AsOf, fn_constructor_kwargs={"ref": order_ref},
         batch_format="pyarrow", concurrency=(1, 4),
     ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _derived_text_corpus(sf_dir: str):
+    """documents ∪ perturbed copies (deterministic) — a corpus with known
+    near-duplicates for the dedup operators.  Copies of every 10th doc get
+    their first word replaced; ids offset by 10_000_000."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % 10 == 0
+        texts = t.column("text").to_numpy(zero_copy_only=False)[sel]
+        new_texts = ["xqzv" + t0[t0.index(" "):] if " " in t0 else "xqzv" for t0 in texts]
+        return pa.table({
+            "doc_id": pa.array(ids[sel] + 10_000_000, type=pa.int64()),
+            "text": pa.array(new_texts, type=pa.string()),
+        })
+
+    return ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
+
+
+def exact_dedup_full(sf_dir: str) -> pa.Table:
+    """Engine-level exact dedup (stages.dedup.exact_dedup_dataset) over a
+    corpus with seeded exact duplicates; returns surviving doc_ids."""
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup_dataset
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def copy7(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % 7 == 0
+        return pa.table({
+            "doc_id": pa.array(ids[sel] + 10_000_000, type=pa.int64()),
+            "text": t.column("text").filter(pa.array(sel)),
+        })
+
+    corpus = ds.union(ds.map_batches(copy7, batch_format="pyarrow"))
+    kept = exact_dedup_dataset(corpus, text_col="text", id_col="doc_id")
+    return kept.select_columns(["doc_id"]).to_pandas()
+
+
+def minhash_dedup(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs over the derived corpus (rows-only)."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _derived_text_corpus(sf_dir), jaccard_threshold=0.5
+    )
+    return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_dedup(sf_dir: str) -> pa.Table:
+    """SimHash banding near-dup pairs over the derived corpus (rows-only)."""
+    from ..stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_derived_text_corpus(sf_dir), max_hamming=3)
+    return pairs[["id_a", "id_b", "hamming"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def knn_embeddings(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 for the first 10 vectors (exact ANN
+    baseline: broadcast query matrix, per-batch matmul + partial top-k)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_cosine
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = emb.to_pandas().sort_values("vec_id")
+    qdf = df[df.vec_id < 10]
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_cosine(ds, queries, qdf["vec_id"].to_numpy(), k=10)
+
+
+def embedding_neardup(sf_dir: str) -> pa.Table:
+    """Exact cosine near-dup pairs over embeddings ∪ noisy copies
+    (rows-only; natural data has no pairs above threshold)."""
+    import ray.data as rd
+
+    from ..functions.hashing import uniform01
+    from ..stages.similarity import near_dup_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def noisy_copies(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = ids % 5 == 0
+        from ..stages.similarity import _to_matrix
+
+        m = _to_matrix(t.column("embedding"))[sel]
+        ids_sel = ids[sel]
+        noise = (uniform01(np.repeat(ids_sel, m.shape[1]) * 97 +
+                           np.tile(np.arange(m.shape[1]), ids_sel.size), channel=9) - 0.5) * 0.01
+        m2 = m + noise.reshape(m.shape)
+        return pa.table({
+            "vec_id": pa.array(ids_sel + 10_000_000, type=pa.int64()),
+            "embedding": pa.array([row.astype(np.float32) for row in m2],
+                                  type=pa.list_(pa.float32())),
+        })
+
+    corpus = ds.union(ds.map_batches(noisy_copies, batch_format="pyarrow"))
+    pairs = near_dup_cosine(corpus, threshold=0.995)
+    return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def bpe_token_count(sf_dir: str) -> pa.Table:
+    """BPE-ish subword token estimate per lang (regex identical to the
+    DuckDB oracle's regexp_extract_all)."""
+    from ..functions.text import bpe_ish_token_count
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        toks = np.array([bpe_ish_token_count(x) for x in texts], dtype=np.int64)
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            "bpe_tokens": toks,
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang"], ["n_docs", "bpe_tokens"]).to_pandas()
+
+
+def quality_check(sf_dir: str) -> pa.Table:
+    """Quality gates per lang (text-quality scoring family): low-quality =
+    too few words, overlong mean word length, or low alphabetic ratio."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("text").to_numpy(zero_copy_only=False)).fillna("")
+        n_chars = s.str.len().to_numpy(dtype=np.float64)
+        n_words = np.where(n_chars > 0, s.str.count(" ").to_numpy(dtype=np.int64) + 1, 0).astype(np.float64)
+        n_alpha = s.str.count("[A-Za-z]").to_numpy(dtype=np.float64)
+        mean_wl = np.where(n_words > 0, (n_chars - np.clip(n_words - 1, 0, None)) / np.clip(n_words, 1, None), 0.0)
+        alpha_ratio = n_alpha / np.clip(n_chars, 1, None)
+        low = (n_words < 5) | (mean_wl > 12.0) | (alpha_ratio < 0.5)
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            "n_low_quality": low.astype(np.int64),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang"], ["n_docs", "n_low_quality"]).to_pandas()
+
+
+def langid_confusion(sf_dir: str) -> pa.Table:
+    """Language-ID heuristic (char-trigram profiles trained on a per-lang
+    sample, broadcast; rows-only): confusion counts (lang, predicted, n)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.text import LangIdModel
+
+    sample = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas().sort_values("doc_id")
+    by_lang = {
+        lang: grp.head(40)["text"].tolist() for lang, grp in sample.groupby("lang")
+    }
+    model_ref = ray.put(LangIdModel.train(by_lang))
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        model = ray.get(model_ref)
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        pred = [model.predict(x) for x in texts]
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "predicted": pred,
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "predicted"], as_index=False).sum(), preserve_index=False
+        )
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "predicted"], ["n"]).to_pandas()
+
+
+def fingerprint_docs(sf_dir: str) -> pa.Table:
+    """Winnowing document fingerprints (rows-only, deterministic)."""
+    from ..functions.text import fingerprint64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        fps = np.array([fingerprint64(x) for x in texts], dtype=np.uint64).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps)})
+
+    return ds.map_batches(partial, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)

@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), every batch computes one vectorized matmul against it, and
+each batch emits only its local top-k per query; the driver merges the
+tiny partials.  Scale path: LSH bucketing by random-hyperplane sign bits
+restricts the matmul to colliding buckets.
+
+Scale notes: nothing shuffles — the candidate flow is
+(batch × queries × k) rows, independent of corpus size; the broadcast is
+one object-store put regardless of task count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64
+
+
+def _to_matrix(col) -> np.ndarray:
+    """Stack an Arrow list<float> column into a (n, d) float64 matrix."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               batch_size: int = 4096) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector against the dataset.
+
+    Returns (query_id, neighbor_id, rank) with deterministic tie-break
+    (cosine DESC, neighbor_id ASC).  Per-batch partial top-k keeps the
+    merged candidate set at O(n_batches × |queries| × k).
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if m.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        sims = qm @ m.T                      # (n_queries, n_batch)
+        kk = min(k, m.shape[0])
+        # local top-k per query with exact (sim desc, id asc) tie-break —
+        # ties at the k boundary must not drop the id-tie-break winner
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            idx = np.lexsort((ids, -s))[:kk]
+            out_q.extend([qi] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    rows = []
+    for qi, grp in parts.groupby("query_id"):
+        grp = grp.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            rows.append((int(query_ids[qi]), int(r.neighbor_id), rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rk"])
+
+
+def near_dup_cosine(ds, threshold: float = 0.99, vec_col: str = "embedding",
+                    id_col: str = "vec_id", batch_size: int = 4096) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold, exact.
+
+    Each batch multiplies against the full broadcast matrix — O(n²/B)
+    flops but fully vectorized and embarrassingly parallel; suitable when
+    the normalized matrix fits worker memory (2M × 64-d ≈ 1 GB).  For
+    corpora beyond that, use :func:`near_dup_cosine_lsh`.
+    Returns (id_a, id_b, sim) with id_a < id_b.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    m_all = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_a, m_a = ray.get(ref)
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sims = m @ m_a.T
+        bi, aj = np.nonzero(sims >= threshold)
+        keep = ids[bi] < ids_a[aj]          # dedupe + drop self-pairs
+        return pa.table({"id_a": pa.array(ids[bi][keep], type=pa.int64()),
+                         "id_b": pa.array(ids_a[aj][keep], type=pa.int64()),
+                         "sim": pa.array(sims[bi, aj][keep], type=pa.float64())})
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
+                        n_tables: int = 8, vec_col: str = "embedding",
+                        id_col: str = "vec_id", batch_size: int = 4096,
+                        seed: int = 23) -> pd.DataFrame:
+    """Approximate near-dup pairs: random-hyperplane LSH buckets →
+    exact cosine verification within colliding buckets.
+
+    The scale path: bucket keys are ints, candidate recovery follows the
+    same rare-duplicate-key motif as the dedup family.  Recall rises with
+    n_tables; precision is exact (every emitted pair is verified).
+    """
+    import ray
+
+    # deterministic hyperplanes from the seed
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+    d = len(first[0][vec_col])
+    rng_vals = splitmix64(
+        np.arange(n_tables * n_planes * d, dtype=np.uint64) + np.uint64(seed * 7919)
+    ).astype(np.float64) / 2.0**64 - 0.5
+    planes = rng_vals.reshape(n_tables, n_planes, d)
+    planes_ref = ray.put(planes)
+
+    def bucket_membership(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        out_b, out_i = [], []
+        for tab in range(n_tables):
+            signs = (m @ pl[tab].T) > 0                     # (n, n_planes)
+            key = np.zeros(m.shape[0], dtype=np.uint64)
+            for p in range(n_planes):
+                key = (key << np.uint64(1)) | signs[:, p].astype(np.uint64)
+            mixed = splitmix64(key + np.uint64(tab * 0x9E3779B1)).astype(np.int64)
+            out_b.append(mixed)
+            out_i.append(ids)
+        return pa.table({"bucket": pa.array(np.concatenate(out_b)),
+                         "doc": pa.array(np.concatenate(out_i), type=pa.int64())})
+
+    mem = ds.select_columns([id_col, vec_col]).map_batches(
+        bucket_membership, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    pairs = set()
+    for _, grp in mem.groupby("bucket"):
+        docs = sorted(set(grp["doc"]))
+        if len(docs) < 2 or len(docs) > 1000:  # skip degenerate giant buckets
+            continue
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs.add((docs[i], docs[j]))
+    if not pairs:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+
+    cand = pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
+    vecs = ds.select_columns([id_col, vec_col]).to_pandas()
+    vm = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64) for _, r in vecs.iterrows()}
+    sims = []
+    for r in cand.itertuples():
+        a, b = vm[r.id_a], vm[r.id_b]
+        sims.append(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+    cand["sim"] = sims
+    return cand[cand["sim"] >= threshold].reset_index(drop=True)

@@ -1,0 +1,201 @@
+"""Oracle tests for dedup, similarity, and text-analysis operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cckp_toolkit_workflow_ray.functions.text import (
+    LangIdModel,
+    bpe_ish_token_count,
+    fingerprint64,
+    quality_metrics,
+    quality_score,
+    winnow_fingerprint,
+)
+from cckp_toolkit_workflow_ray.stages.dedup import (
+    char_shingle_hashes,
+    exact_dedup_dataset,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from cckp_toolkit_workflow_ray.stages.similarity import (
+    knn_cosine,
+    near_dup_cosine,
+    near_dup_cosine_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = char_shingle_hashes(a, k), char_shingle_hashes(b, k)
+    inter = np.intersect1d(sa, sb).size
+    return inter / (sa.size + sb.size - inter)
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(ray_session):
+    """documents + perturbed near-dup copies + exact copies."""
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    near = base[base.doc_id % 10 == 0].copy()
+    near["doc_id"] += 10_000_000
+    near["text"] = near["text"].map(lambda t: "xqzv" + t[t.index(" "):] if " " in t else "xqzv")
+    exact = base[base.doc_id % 7 == 0].copy()
+    exact["doc_id"] += 20_000_000
+    return pd.concat([base, near, exact], ignore_index=True)
+
+
+def _to_ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+# ---------------------------------------------------------------- exact dedup
+def test_exact_dedup_matches_pandas_oracle(ray_session, doc_corpus):
+    kept = exact_dedup_dataset(_to_ds(doc_corpus), "text", "doc_id").to_pandas()
+    want = set(doc_corpus.groupby("text")["doc_id"].min())
+    assert set(kept["doc_id"]) == want
+    # idempotent: no duplicates remain
+    assert kept["text"].nunique() == len(kept)
+
+
+# ---------------------------------------------------------------- minhash lsh
+def test_minhash_lsh_finds_seeded_near_dups(ray_session, doc_corpus):
+    pairs = minhash_lsh_pairs(_to_ds(doc_corpus), jaccard_threshold=0.5)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    # every reported pair truly has jaccard >= threshold (exact verify)
+    texts = dict(zip(doc_corpus.doc_id, doc_corpus.text))
+    for a, b in got:
+        assert _jaccard(texts[a], texts[b]) >= 0.5
+    # every seeded high-jaccard (original, perturbed-copy) pair is found
+    for did in doc_corpus[doc_corpus.doc_id < 10_000_000].doc_id:
+        if did % 10 == 0:
+            j = _jaccard(texts[did], texts[did + 10_000_000])
+            if j >= 0.7:  # well above threshold -> detection ~certain
+                assert (did, did + 10_000_000) in got, (did, j)
+    # exact copies are jaccard-1.0 pairs and must all be present
+    for did in doc_corpus[doc_corpus.doc_id < 10_000_000].doc_id:
+        if did % 7 == 0:
+            assert (did, did + 20_000_000) in got
+
+
+# ---------------------------------------------------------------- simhash
+def test_simhash_pairs_seeded_and_verified(ray_session, doc_corpus):
+    pairs = simhash_pairs(_to_ds(doc_corpus), max_hamming=3)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (pairs.hamming <= 3).all()
+    # exact copies have identical simhash (distance 0) -> always found
+    for did in doc_corpus[doc_corpus.doc_id < 10_000_000].doc_id:
+        if did % 7 == 0:
+            assert (did, did + 20_000_000) in got
+
+
+# ---------------------------------------------------------------- knn
+def test_knn_matches_numpy_oracle(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    queries = m[:5]
+    got = knn_cosine(
+        rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        queries, ids[:5], k=7,
+    )
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi in range(5):
+        order = np.lexsort((ids, -sims[qi]))[:7]
+        want = ids[order].tolist()
+        have = got[got.query_id == ids[qi]].sort_values("rk")["neighbor_id"].tolist()
+        assert have == want
+
+
+# ---------------------------------------------------------------- near-dup cosine
+@pytest.fixture(scope="module")
+def emb_corpus(ray_session):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(5)
+    sel = emb.vec_id.to_numpy() % 5 == 0
+    copies = m[sel] + rng.normal(0, 0.001, m[sel].shape)
+    df = pd.concat(
+        [emb, pd.DataFrame({"vec_id": emb.vec_id[sel] + 10_000_000,
+                            "embedding": [c.astype(np.float32) for c in copies]})],
+        ignore_index=True,
+    )
+    return df
+
+
+def _exact_pairs(df, threshold):
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df.embedding])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ids = df.vec_id.to_numpy()
+    out = set()
+    ii, jj = np.nonzero(sims >= threshold)
+    for i, j in zip(ii, jj):
+        if ids[i] < ids[j]:
+            out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_near_dup_cosine_exact(ray_session, emb_corpus):
+    got = near_dup_cosine(_to_ds(emb_corpus), threshold=0.995)
+    assert set(zip(got.id_a, got.id_b)) == _exact_pairs(emb_corpus, 0.995)
+    assert len(got) > 0  # seeded noisy copies are above threshold
+
+
+def test_near_dup_cosine_lsh_precision_and_recall(ray_session, emb_corpus):
+    got = near_dup_cosine_lsh(_to_ds(emb_corpus), threshold=0.995)
+    got_pairs = set(zip(got.id_a, got.id_b))
+    exact = _exact_pairs(emb_corpus, 0.995)
+    assert got_pairs <= exact                    # precision is exact
+    assert len(got_pairs) >= 0.9 * len(exact)    # near-identical vectors collide
+
+
+# ---------------------------------------------------------------- text ops
+def test_quality_metrics_and_score():
+    s = pd.Series(["the cat sat on the mat quickly", "x", "", "1234 5678 9999 0000 1111"])
+    m = quality_metrics(s)
+    assert m.loc[0, "n_words"] == 7
+    assert m.loc[2, "n_words"] == 0
+    assert m.loc[3, "digit_ratio"] > 0.5
+    sc = quality_score(m)
+    assert sc[0] > sc[3]
+
+
+def test_bpe_ish_token_count():
+    assert bpe_ish_token_count("hello") == 2       # hell + o
+    assert bpe_ish_token_count("a b") == 2
+    assert bpe_ish_token_count("") == 0
+    assert bpe_ish_token_count("12.5") == 4        # 1 2 . 5
+
+
+def test_langid_discriminates_synthetic_langs():
+    texts = {
+        "aa": ["wibble wobble wubble flimble bimble " * 5] * 10,
+        "bb": ["zxqv krzt plmn vrzk qzpt xkcd " * 5] * 10,
+    }
+    model = LangIdModel.train(texts)
+    assert model.predict("wibble flimble wobble") == "aa"
+    assert model.predict("zxqv plmn krzt") == "bb"
+    assert model.predict("") == "unknown"
+
+
+def test_fingerprint_copy_detection():
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a  # exact copy
+    c = "completely different content with no overlap whatsoever here at all"
+    assert fingerprint64(a) == fingerprint64(b)
+    assert fingerprint64(a) != fingerprint64(c)
+    fa, fc = winnow_fingerprint(a), winnow_fingerprint(c)
+    assert np.intersect1d(fa, fc).size == 0

@@ -75,3 +75,21 @@ def test_entry_returns_rows(ray_session):
     out = entrymod.entry()
     assert len(out) > 0
     assert {"lang", "check", "verdict"} <= set(out.columns)
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_are_deterministic(ray_session, name):
+    fn = entrymod.queries()[name]
+    a = fn(SF_DIR)
+    if not isinstance(a, pd.DataFrame):
+        a = a.to_pandas()
+    assert len(a) >= 0 and len(a.columns) > 0
+    b = fn(SF_DIR)
+    if not isinstance(b, pd.DataFrame):
+        b = b.to_pandas()
+    a = _norm(a)
+    b = _norm(b)
+    pd.testing.assert_frame_equal(a, b)
