@@ -1,0 +1,255 @@
+"""Per-partition checkpoint/resume — the Nextflow ``-resume`` analog.
+
+The reference resumes via a content-addressed task cache
+(``/root/reference/nextflow.config:14``: every (process, inputs) pair maps
+to a ``work/`` dir; unchanged tasks are skipped) and idempotent publishDir
+copies.  The engine analog (SURVEY.md §4): the expensive per-row scan is
+partitioned by input file group; each partition writes its derived stream
+to ``out/partitions/<pid>/`` ATOMICALLY (temp dir + rename) together with
+a ``manifest.json`` carrying lineage — input files with sizes, the config
+fingerprint, extractor version — plus row/violation metrics.  On resume a
+partition is skipped iff its manifest matches the current inputs+config;
+anything interrupted mid-write leaves no manifest and re-runs.  A
+partition whose check pass *errored* writes no manifest either, so
+UNKNOWN-producing failures re-run rather than being treated as complete
+(SURVEY.md §7.3).
+
+The cross-partition phases (uniqueness, profile merge, verdicts) are
+cheap relative to the scan and re-run on every invocation over the
+completed partition streams + a pruned input scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import ValidationConfig
+from ..functions.extract import EXTRACTOR_VERSION
+from ..schema import STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance
+
+MANIFEST_NAME = "manifest.json"
+
+
+def config_fingerprint(cfg: ValidationConfig) -> str:
+    payload = json.dumps(
+        {k: v for k, v in vars(cfg).items() if not isinstance(v, dict)},
+        sort_keys=True, default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _input_lineage(files: list[str]) -> list[dict]:
+    return [
+        {"path": f, "size": os.path.getsize(f)}
+        for f in sorted(files)
+    ]
+
+
+def partition_inputs(input_path: str, files_per_partition: int = 1) -> list[list[str]]:
+    """Deterministic partitioning of an input directory into file groups."""
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [input_path]
+    return [
+        files[i : i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+
+
+def partition_id(files: list[str]) -> str:
+    return hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:12]
+
+
+def manifest_is_valid(part_dir: str, files: list[str], cfg_fp: str) -> bool:
+    mpath = os.path.join(part_dir, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return (
+        m.get("status") == "complete"
+        and m.get("config_fingerprint") == cfg_fp
+        and m.get("extractor_version") == EXTRACTOR_VERSION
+        and m.get("inputs") == _input_lineage(files)
+    )
+
+
+def run_partitioned_validation(
+    input_path: str,
+    out_dir: str,
+    config: ValidationConfig | None = None,
+    reference_profile=None,
+    files_per_partition: int = 1,
+    _fault_after: int | None = None,
+):
+    """Resumable validation over a parquet directory.
+
+    Phase 1 (checkpointed): per input-file-group, run the single-pass
+    check/profile scan and persist its derived stream + manifest.
+    Phase 2 (recomputed each run): uniqueness over the pruned input,
+    profile merge, verdicts, violations, report — all derived from the
+    tiny streams.
+
+    ``_fault_after`` is a test hook: raise after N freshly-computed
+    partitions to simulate a mid-run crash.
+
+    Returns (ValidationResult, stats) where stats counts skipped/computed
+    partitions.
+    """
+    import ray.data as rd
+
+    from ..pipelines.validate import ValidationResult, _stream_to_violations
+    from ..stages.checks import make_check_fn
+    from ..stages.profile import merge_profiles, profile_to_table
+    from ..stages.uniqueness import duplicate_urls, duplicates_to_violations
+    from ..stages.verdicts import assemble_verdicts
+
+    cfg = config or ValidationConfig()
+    cfg_fp = config_fingerprint(cfg)
+    parts = partition_inputs(input_path, files_per_partition)
+    parts_root = os.path.join(out_dir, "partitions")
+    os.makedirs(parts_root, exist_ok=True)
+
+    # fail-fast schema gate on the whole input (main.nf:49-66 analog)
+    all_files = [f for grp in parts for f in grp]
+    if all_files:
+        check_conformance(pq.read_schema(all_files[0]))
+
+    computed = skipped = 0
+    part_dirs = []
+    for grp in parts:
+        pid = partition_id(grp)
+        part_dir = os.path.join(parts_root, pid)
+        part_dirs.append(part_dir)
+        if manifest_is_valid(part_dir, grp, cfg_fp):
+            skipped += 1
+            continue
+        if _fault_after is not None and computed >= _fault_after:
+            raise RuntimeError(f"injected fault after {computed} partitions")
+
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        stream = rd.read_parquet(grp).map_batches(
+            make_check_fn(cfg), batch_size=cfg.batch_size, batch_format="pyarrow"
+        )
+        stream.repartition(2).write_parquet(os.path.join(tmp_dir, "stream"))
+        os.makedirs(os.path.join(tmp_dir, "stream"), exist_ok=True)
+        if not any(
+            f.endswith(".parquet") for f in os.listdir(os.path.join(tmp_dir, "stream"))
+        ):
+            pq.write_table(
+                STREAM_SCHEMA.empty_table(),
+                os.path.join(tmp_dir, "stream", "empty.parquet"),
+            )
+        # partition metrics for the manifest (lineage + stats)
+        import pyarrow.dataset as pads
+
+        st = (
+            pads.dataset(os.path.join(tmp_dir, "stream"), format="parquet")
+            .to_table(columns=["kind"])
+            .column("kind")
+            .to_pylist()
+        )
+        n_viol = sum(1 for k in st if k == "violation")
+        n_rows = sum(pq.read_metadata(f).num_rows for f in grp)
+        manifest = {
+            "status": "complete",
+            "partition_id": pid,
+            "inputs": _input_lineage(grp),
+            "config_fingerprint": cfg_fp,
+            "extractor_version": EXTRACTOR_VERSION,
+            "n_rows": n_rows,
+            "n_stream_violations": n_viol,
+        }
+        with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp_dir, part_dir)  # atomic publish
+        computed += 1
+
+    # ---- phase 2: cross-partition assembly (recomputed each run) ---------
+    stream_files = [
+        os.path.join(d, "stream", f)
+        for d in part_dirs
+        for f in sorted(os.listdir(os.path.join(d, "stream")))
+        if f.endswith(".parquet")
+    ]
+    stream_ds = rd.read_parquet(stream_files)
+    viol_dir = os.path.join(out_dir, "violations")
+    shutil.rmtree(viol_dir, ignore_errors=True)
+
+    viol_ds = stream_ds.map_batches(_stream_to_violations, batch_format="pyarrow")
+    dups = None
+    if "uniqueness_url" in cfg.checks:
+        dups = duplicate_urls(all_files, cfg).materialize()
+        viol_ds = viol_ds.union(
+            dups.map_batches(duplicates_to_violations, batch_format="pyarrow")
+        )
+    viol_ds.write_parquet(viol_dir)
+    os.makedirs(viol_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(viol_dir)):
+        pq.write_table(
+            VIOLATIONS_SCHEMA.empty_table(), os.path.join(viol_dir, "empty.parquet")
+        )
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "check": t.column("check").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["lang", "check"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_violations"}), preserve_index=False
+        )
+
+    counts_parts = (
+        rd.read_parquet(viol_dir, columns=["lang", "check"])
+        .map_batches(_count_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    counts_df = (
+        pd.DataFrame(columns=["lang", "check", "n_violations"])
+        if counts_parts.empty
+        else counts_parts.groupby(["lang", "check"], as_index=False)["n_violations"].sum()
+    )
+    profiles = merge_profiles(stream_ds, cfg)
+    verdicts = assemble_verdicts(profiles, counts_df, cfg, reference_profile)
+    profile_tbl = profile_to_table(profiles)
+    pq.write_table(
+        pa.Table.from_pandas(verdicts, preserve_index=False),
+        os.path.join(out_dir, "verdicts.parquet"),
+    )
+    pq.write_table(profile_tbl, os.path.join(out_dir, "profile.parquet"))
+
+    report = {
+        "extractor_version": EXTRACTOR_VERSION,
+        "config_fingerprint": cfg_fp,
+        "n_rows": int(sum(p["n_rows"] for p in profiles.values())),
+        "n_violations": int(counts_df["n_violations"].sum()) if len(counts_df) else 0,
+        "partitions_total": len(parts),
+        "partitions_computed": computed,
+        "partitions_skipped": skipped,
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+
+    result = ValidationResult(
+        out_dir=out_dir, verdicts=verdicts, profile=profile_tbl,
+        config=cfg, reference=reference_profile, report=report,
+    )
+    return result, {"computed": computed, "skipped": skipped, "total": len(parts)}

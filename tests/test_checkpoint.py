@@ -1,0 +1,104 @@
+"""Resume tests (SURVEY.md §5.6): kill after k partitions, rerun, assert
+identical final outputs and that completed partitions were skipped."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from cckp_toolkit_workflow_ray.config import ValidationConfig
+from cckp_toolkit_workflow_ray.state.checkpoint import (
+    manifest_is_valid,
+    partition_id,
+    partition_inputs,
+    run_partitioned_validation,
+)
+
+
+@pytest.fixture(scope="module")
+def multi_file_pages(ray_session, tmp_path_factory):
+    """A pages dir with several parquet files (one partition each)."""
+    from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
+
+    out = str(tmp_path_factory.mktemp("pages_parts"))
+    generate_pages_dataset(6000, override_num_blocks=6).repartition(6).write_parquet(out)
+    return out
+
+
+def _mtimes(out_dir):
+    root = os.path.join(out_dir, "partitions")
+    out = {}
+    for pid in os.listdir(root):
+        for base, _, files in os.walk(os.path.join(root, pid)):
+            for f in files:
+                p = os.path.join(base, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_kill_resume_identical_outputs(ray_session, multi_file_pages, tmp_path_factory):
+    cfg = ValidationConfig()
+    clean_dir = str(tmp_path_factory.mktemp("ckpt_clean"))
+    res_clean, stats = run_partitioned_validation(multi_file_pages, clean_dir, cfg)
+    assert stats["computed"] == stats["total"] > 1
+
+    # crash after 2 partitions
+    crash_dir = str(tmp_path_factory.mktemp("ckpt_crash"))
+    with pytest.raises(RuntimeError, match="injected fault"):
+        run_partitioned_validation(multi_file_pages, crash_dir, cfg, _fault_after=2)
+    done_before = _mtimes(crash_dir)
+    assert len(os.listdir(os.path.join(crash_dir, "partitions"))) == 2
+
+    # resume: completed partitions skipped (files untouched), rest computed
+    res2, stats2 = run_partitioned_validation(multi_file_pages, crash_dir, cfg)
+    assert stats2["skipped"] == 2
+    assert stats2["computed"] == stats2["total"] - 2
+    after = _mtimes(crash_dir)
+    for p, t in done_before.items():
+        assert after[p] == t, f"completed partition file was rewritten: {p}"
+
+    # final outputs identical to the clean run
+    a = res_clean.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    b = res2.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    va = res_clean.violations().to_pandas()
+    vb = res2.violations().to_pandas()
+    key = ["url", "lang", "check", "detail"]
+    pd.testing.assert_frame_equal(
+        va.sort_values(key).reset_index(drop=True)[key],
+        vb.sort_values(key).reset_index(drop=True)[key],
+    )
+
+
+def test_config_change_invalidates_manifests(ray_session, multi_file_pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt_cfg"))
+    _, s1 = run_partitioned_validation(multi_file_pages, out, ValidationConfig())
+    # same config -> all skipped
+    _, s2 = run_partitioned_validation(multi_file_pages, out, ValidationConfig())
+    assert s2["skipped"] == s2["total"] and s2["computed"] == 0
+    # different check set -> full recompute
+    cfg3 = ValidationConfig(checks=("url_format",))
+    _, s3 = run_partitioned_validation(multi_file_pages, out, cfg3)
+    assert s3["computed"] == s3["total"]
+
+
+def test_partition_helpers(multi_file_pages):
+    parts = partition_inputs(multi_file_pages)
+    assert len(parts) >= 2 and all(len(p) == 1 for p in parts)
+    assert partition_id(parts[0]) != partition_id(parts[1])
+    assert not manifest_is_valid("/nonexistent", parts[0], "x")
+
+
+def test_partitioned_matches_monolithic(ray_session, multi_file_pages, tmp_path_factory):
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+
+    cfg = ValidationConfig()
+    mono = validate(multi_file_pages, out_dir=str(tmp_path_factory.mktemp("mono")), config=cfg)
+    part, _ = run_partitioned_validation(
+        multi_file_pages, str(tmp_path_factory.mktemp("part")), cfg
+    )
+    a = mono.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    b = part.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["pass_rate"]), b.drop(columns=["pass_rate"]), check_exact=True
+    )

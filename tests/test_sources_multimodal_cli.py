@@ -1,0 +1,135 @@
+"""Tests for extra sources (CSV sample sheet, JSON), multimodal stubs,
+and the CLI driven as a real subprocess."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cckp_toolkit_workflow_ray.sources.readers import (
+    SampleSheetError,
+    dataset_from_sample_sheet,
+    dataset_from_value,
+    read_pages,
+    read_sample_sheet,
+)
+from cckp_toolkit_workflow_ray.stages.multimodal import (
+    DecodeImage,
+    ResizeImage,
+    decode_features,
+    synthesize_image,
+)
+
+
+# ---------------------------------------------------------------- sources
+def test_sample_sheet_semantics(tmp_path):
+    p = tmp_path / "sheet.csv"
+    p.write_text("url,notes\n https://a/x , hi\n\nhttps://b/y,\n  ,\n")
+    assert read_sample_sheet(str(p)) == ["https://a/x", "https://b/y"]
+
+
+def test_sample_sheet_missing_column_fails_fast(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("name,description\nfoo,bar\n")
+    with pytest.raises(SampleSheetError, match="no 'url' column"):
+        read_sample_sheet(str(p))
+    p2 = tmp_path / "empty.csv"
+    p2.write_text("")
+    with pytest.raises(SampleSheetError, match="empty"):
+        read_sample_sheet(str(p2))
+
+
+def test_sample_sheet_and_value_datasets(ray_session, tmp_path):
+    p = tmp_path / "sheet.csv"
+    p.write_text("url\nhttps://a/x\nhttps://b/y\n")
+    assert dataset_from_sample_sheet(str(p)).count() == 2
+    assert dataset_from_value("https://c/z").take_all() == [{"url": "https://c/z"}]
+
+
+def test_read_pages_pruned_and_filtered(ray_session, tiny_pages_dir):
+    ds = read_pages(tiny_pages_dir, columns=["url", "lang"], langs=["en"])
+    df = ds.to_pandas()
+    assert set(df.columns) == {"url", "lang"}
+    assert (df["lang"] == "en").all() and len(df) > 0
+
+
+# ---------------------------------------------------------------- multimodal
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+
+
+def test_fake_decode_roundtrip_and_actor_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = []
+    for i in range(32):
+        w, h = 8 + i % 5, 6 + i % 3
+        rows.append({"image_id": i, "payload": synthesize_image(i, w, h), "format": "img1"})
+    rows.append({"image_id": 99, "payload": b"garbage", "format": "img1"})
+    ds = rd.from_items(rows)
+    feats = decode_features(ds, fake=True, batch_size=8).to_pandas()
+    assert len(feats) == 33
+    ok = feats[feats.image_id < 99]
+    assert ok.decode_ok.all()
+    assert (ok.width == (8 + ok.image_id % 5)).all()
+    bad = feats[feats.image_id == 99].iloc[0]
+    assert not bad.decode_ok  # malformed payload -> flagged, never raises
+
+
+def test_resize_image(ray_session):
+    import pyarrow as pa
+
+    t = pa.table({
+        "image_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([synthesize_image(1, 16, 12)], type=pa.binary()),
+        "format": pa.array(["img1"]),
+    })
+    out = ResizeImage((4, 4), fake=True)(t)
+    dec = DecodeImage(fake=True)._decode(out.column("payload")[0].as_py())
+    assert dec[0] == 4 and dec[1] == 4
+
+
+# ---------------------------------------------------------------- CLI
+CLI_ENV = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+
+def _cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "cckp_toolkit_workflow_ray.cli", "--num-cpus", "4", *args],
+        capture_output=True, text=True, env=CLI_ENV, cwd="/root/repo", timeout=300,
+    )
+
+
+def test_cli_generate_validate_resume(tmp_path):
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    r = _cli("generate", "--n", "3000", "--out", pages)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _cli("validate", "--input", pages, "--out", out)
+    assert r.returncode == 1, r.stderr[-2000:]  # seeded violations -> FAIL exit
+    rep = json.loads(r.stdout)
+    assert rep["n_rows"] == 3000 and rep["n_violations"] > 0
+    assert os.path.exists(os.path.join(out, "verdicts.parquet"))
+    # resumable mode: second run skips all partitions
+    out2 = str(tmp_path / "out2")
+    r = _cli("validate", "--input", pages, "--out", out2, "--resume")
+    assert r.returncode == 1, r.stderr[-2000:]
+    r = _cli("validate", "--input", pages, "--out", out2, "--resume")
+    rep2 = json.loads(r.stdout)
+    assert rep2["skipped"] == rep2["total"] and rep2["computed"] == 0
+
+
+def test_cli_profile_and_single_check(tmp_path):
+    pages = str(tmp_path / "pages")
+    _cli("generate", "--n", "2000", "--out", pages, "--no-violations")
+    ref = str(tmp_path / "ref.json")
+    r = _cli("profile", "--input", pages, "--out", ref)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert set(json.loads(r.stdout)["langs"]) == {"en", "de", "fr", "es", "zh"}
+    r = _cli("check", "--name", "url_format", "--input", pages, "--out", str(tmp_path / "co"))
+    assert r.returncode == 0, r.stderr[-2000:]  # clean corpus -> PASS exit 0
