@@ -1,0 +1,116 @@
+"""Report-stage tests + property-based tests (hypothesis) for the pure
+functions — the unit layer the reference lacks (SURVEY.md §5)."""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cckp_toolkit_workflow_ray.functions.extract import extract_text, synthesize_html
+from cckp_toolkit_workflow_ray.functions.hashing import hash_stream, splitmix64
+from cckp_toolkit_workflow_ray.functions.sketches import FixedHistogram, HyperLogLog, TDigest
+from cckp_toolkit_workflow_ray.pipelines.report import violation_examples, write_html_report
+
+
+# ---------------------------------------------------------------- report
+@pytest.fixture(scope="module")
+def result(ray_session, tiny_pages_dir, tmp_path_factory):
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+
+    return validate(tiny_pages_dir, out_dir=str(tmp_path_factory.mktemp("rep_out")))
+
+
+def test_violation_examples_capped_per_group(result):
+    ex = violation_examples(result, k=2)
+    sizes = ex.groupby(["lang", "check"]).size()
+    assert (sizes <= 2).all() and len(ex) > 0
+
+
+def test_html_report_written_and_escaped(result):
+    path = write_html_report(result, summarizer=lambda rep: "<b>summary & notes</b>")
+    assert os.path.exists(path)
+    content = open(path).read()
+    assert "Validation report" in content
+    assert "&lt;b&gt;summary &amp; notes&lt;/b&gt;" in content  # escaped
+    assert "uniqueness_url" in content
+
+
+def test_html_report_summarizer_failure_tolerated(result, tmp_path):
+    def bad(rep):
+        raise RuntimeError("agent down")
+
+    path = write_html_report(result, path=str(tmp_path / "r.html"), summarizer=bad)
+    assert "summarizer failed" in open(path).read()  # analyze.py:66-74 analog
+
+
+# ---------------------------------------------------------------- properties
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_extract_inverts_synthesize_property(text):
+    assert extract_text(synthesize_html(text, title=text[:16])) == text
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6), min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=50, deadline=None)
+def test_tdigest_quantile_bounds_property(values, nsplit):
+    """Quantiles of a digest always lie within [min, max] of the data and
+    count is preserved under arbitrary partitioning + merge."""
+    arr = np.asarray(values)
+    parts = np.array_split(arr, nsplit)
+    td = TDigest(compression=100)
+    for p in parts:
+        td.merge(TDigest(compression=100).add(p))
+    assert td.count == pytest.approx(len(values))
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        v = td.quantile(q)
+        assert arr.min() - 1e-9 <= v <= arr.max() + 1e-9
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=50, deadline=None)
+def test_hll_merge_equals_bulk_property(hashes, nsplit):
+    """Merging shard HLLs == one bulk HLL (register-exact), any split."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    bulk = HyperLogLog(p=10).add_hashes(h)
+    merged = HyperLogLog(p=10)
+    for part in np.array_split(h, nsplit):
+        merged.merge(HyperLogLog(p=10).add_hashes(part))
+    assert np.array_equal(bulk.registers, merged.registers)
+
+
+@given(st.lists(st.floats(min_value=0, max_value=100, allow_nan=False), max_size=400),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=50, deadline=None)
+def test_histogram_merge_exact_property(values, nsplit):
+    edges = np.linspace(0, 100, 11)
+    arr = np.asarray(values)
+    bulk = FixedHistogram(edges).add(arr)
+    merged = FixedHistogram(edges)
+    for part in np.array_split(arr, nsplit):
+        merged.merge(FixedHistogram(edges).add(part))
+    assert np.array_equal(bulk.counts, merged.counts)
+    assert bulk.total == len(values)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_splitmix_is_injective_on_sample(xs):
+    """splitmix64 is a bijection on uint64 — no collisions on distinct
+    inputs (sampled)."""
+    arr = np.unique(np.asarray(xs, dtype=np.uint64))
+    out = splitmix64(arr)
+    assert np.unique(out).size == arr.size
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=0, max_value=50))
+@settings(max_examples=100, deadline=None)
+def test_hash_stream_row_independence(idx, channel):
+    """A row's stream value depends only on (index, channel, seed) —
+    never on batch context (the determinism foundation)."""
+    single = hash_stream(np.array([idx]), channel)[0]
+    batch = hash_stream(np.arange(max(1, idx + 1)), channel)[idx]
+    assert single == batch
