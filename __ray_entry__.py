@@ -69,6 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_check": q.quality_check,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
+        # window + join operators
+        "sliding_events": q.sliding_events,
+        "session_windows": q.session_windows,
+        "hash_join_revenue": q.hash_join_revenue,
+        "enrich_events_nation": q.enrich_events_nation,
+        "asof_bucketed": q.asof_bucketed,
     }
 
 
@@ -224,5 +230,56 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
                 FROM documents
             ) GROUP BY lang
+        """,
+        "sliding_events": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events)
+            SELECT event_type,
+                   (us // 1800000000) * 1800000000 - k * 1800000000 AS window_start_us,
+                   count(*) AS n_events
+            FROM e CROSS JOIN (VALUES (0), (1)) AS t(k)
+            GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+            marked AS (
+                SELECT user_id, us,
+                       CASE WHEN lag(us) OVER w IS NULL
+                                 OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ),
+            sess AS (
+                SELECT user_id, us,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        "hash_join_revenue": """
+            SELECT o.o_orderstatus,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "enrich_events_nation": """
+            SELECT n.n_name, e.event_type, count(*) AS n_events
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, e.event_type
+        """,
+        "asof_bucketed": """
+            SELECT e.event_id, max(o.o_orderdate) AS last_order_date
+            FROM events e
+            LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
         """,
     }

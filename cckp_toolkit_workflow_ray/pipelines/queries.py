@@ -608,3 +608,122 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
     return ds.map_batches(partial, batch_format="pyarrow").to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# window + join operator queries
+# ---------------------------------------------------------------------------
+
+_HALF_HOUR_US = 1_800_000_000
+
+
+def sliding_events(sf_dir: str) -> pa.Table:
+    """Sliding-window counts (size 1h, hop 30min) per event_type."""
+    from ..stages.windows import sliding_window
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    df = sliding_window(ds, "ts", "event_type", size_us=2 * _HALF_HOUR_US,
+                        hop_us=_HALF_HOUR_US).to_pandas()
+    return df
+
+
+def session_windows(sf_dir: str) -> pa.Table:
+    """Gap-based sessions (30min) per user over the events log."""
+    from ..stages.windows import session_window
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return session_window(ds, "ts", "user_id", gap_us=_HALF_HOUR_US,
+                          order_cols=["event_id"]).to_pandas()
+
+
+def hash_join_revenue(sf_dir: str) -> pa.Table:
+    """Large-large bucketed hash join (lineitem ⋈ orders) + rollup:
+    revenue (1e-4 units, exact int) per order status."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10_000).astype(np.int64)
+        return pa.table({
+            "orderkey": t.column("l_orderkey"),
+            "revenue_e4": pa.array(rev),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": t.column("o_orderkey"),
+            "o_orderstatus": t.column("o_orderstatus"),
+        })
+
+    joined = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        on="orderkey", n_buckets=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderstatus", as_index=False).agg(
+            n_items=("orderkey", "size"), revenue_e4=("revenue_e4", "sum")
+        )
+        return g
+
+    return _sum_by_key(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus"], ["n_items", "revenue_e4"],
+    ).to_pandas()
+
+
+def enrich_events_nation(sf_dir: str) -> pa.Table:
+    """Two-hop broadcast dimension join: events → customer → nation,
+    rolled up to (n_name, event_type) counts."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim.rename(columns={"c_custkey": "user_id"})[["user_id", "n_name"]]
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    joined = broadcast_join(ds, dim, on="user_id", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["n_name", "event_type"], as_index=False).agg(
+            n_events=("user_id", "size")
+        )
+
+    return _sum_by_key(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_name", "event_type"], ["n_events"],
+    ).to_pandas()
+
+
+def asof_bucketed(sf_dir: str) -> pa.Table:
+    """Large-large as-of join (bucketed merge_asof) — same semantics as
+    asof_last_order but without broadcasting the right side."""
+    from ..stages.joins import asof_join_bucketed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("o_custkey"),
+                         "o_orderdate": t.column("o_orderdate")})
+
+    out = asof_join_bucketed(
+        ev, orders.map_batches(rename, batch_format="pyarrow"),
+        key="user_id", ts="ts", right_ts="o_orderdate", right_cols=[],
+        n_buckets=8,
+    ).to_pandas()
+    out = out.rename(columns={"o_orderdate": "last_order_date"})
+    return out[["event_id", "last_order_date"]]

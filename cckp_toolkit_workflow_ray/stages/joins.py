@@ -1,0 +1,123 @@
+"""Join operators — broadcast, semi/anti, bucketed hash join, as-of.
+
+The reference's only joins are small keyed ``combine``s
+(``/root/reference/main.nf:100-102,120-121``) that the engine's
+single-pipeline restructuring eliminates (SURVEY.md §2.5 J1).  These
+operators cover the cases a web-scale pipeline still genuinely needs:
+
+* **broadcast join / semi / anti** — small side ``ray.put`` once, looked
+  up per batch with numpy ``searchsorted`` / pandas merge.  No shuffle.
+* **bucketed hash join** — both sides large: add ``bucket = hash(key) %
+  B`` to both, tag, union, ``groupby(bucket).map_groups`` does a pandas
+  merge per bucket.  B bounds reducer memory (choose B so the larger
+  side's per-bucket slice fits a worker); skew: a hot key lands in one
+  bucket — pre-aggregate or broadcast that key's side when known.
+* **merge_asof per bucket** — as-of/range joins: sort both sides by
+  (key, ts) within buckets, ``pd.merge_asof`` per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash_strings
+
+
+def _key_hash(values: np.ndarray) -> np.ndarray:
+    if np.issubdtype(values.dtype, np.integer):
+        from ..functions.hashing import splitmix64
+
+        return splitmix64(values.astype(np.uint64)).astype(np.int64)
+    return hash_strings(values, seed=3).astype(np.int64)
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner",
+                   batch_size: int = 65536):
+    """Join a Dataset against a small pandas table (dimension-table join).
+    ``how``: inner | left."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(join_batch, batch_format="pandas", batch_size=batch_size)
+
+
+def semi_join(ds, keys, on: str, anti: bool = False, batch_size: int = 65536):
+    """Keep rows whose key is (not, for anti) in the broadcast key set."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(list(keys))))
+
+    def filt(t: pa.Table) -> pa.Table:
+        valid = ray.get(ref)
+        v = t.column(on).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(valid, v), 0, max(0, valid.size - 1))
+        hit = (valid.size > 0) & (valid[pos] == v)
+        return t.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _with_bucket_and_tag(ds, on: str, n_buckets: int, tag: int, batch_size: int):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _key_hash(df[on].to_numpy()) % n_buckets
+        df["__side"] = np.int8(tag)
+        return df
+
+    return ds.map_batches(add, batch_format="pandas", batch_size=batch_size)
+
+
+def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
+              batch_size: int = 65536):
+    """Large-large equi-join: explicit partitioned hash join.
+
+    Both sides get a ``bucket`` column and a side tag, are unioned, and
+    each bucket group splits by tag and pandas-merges.  Column sets must
+    be disjoint apart from the key.
+    """
+    l = _with_bucket_and_tag(left, on, n_buckets, 0, batch_size)
+    r = _with_bucket_and_tag(right, on, n_buckets, 1, batch_size)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
+        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
+        rg = rg.dropna(axis=1, how="all")  # union padding on missing cols
+        lg = lg.dropna(axis=1, how="all")
+        out = lg.merge(rg, on=on, how=how)
+        return out
+
+    return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
+                       right_cols: list[str], n_buckets: int = 32,
+                       batch_size: int = 65536):
+    """As-of join (latest right row per key with right_ts <= ts) for two
+    large sides: bucket by key hash, sort within the bucket group, and
+    ``pd.merge_asof`` per bucket."""
+    l = _with_bucket_and_tag(left, key, n_buckets, 0, batch_size)
+    r = _with_bucket_and_tag(right, key, n_buckets, 1, batch_size)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        if lg.empty:
+            return lg
+        lg = lg.sort_values([ts, key], kind="mergesort")
+        if rg.empty:
+            for c in right_cols:
+                lg[c] = pd.NA
+            return lg
+        rg = rg.sort_values([right_ts, key], kind="mergesort")
+        return pd.merge_asof(
+            lg, rg[[key, right_ts, *right_cols]],
+            left_on=ts, right_on=right_ts, by=key, direction="backward",
+        )
+
+    return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1,0 +1,129 @@
+"""Windowed aggregation operators (tumbling / sliding / session).
+
+Ray Data has no event-time/watermark machinery and the reference has no
+windows either (its channels are unordered streams, SURVEY.md §2.9), but
+an events-log table at scale needs them.  Batch semantics over a
+partitioned log:
+
+* **tumbling**: window id is a derived key → per-batch combiner +
+  groupby — no ordering assumption at all;
+* **sliding**: each row belongs to ``size/hop`` windows → vectorized
+  replication inside ``map_batches`` then the tumbling path;
+* **session** (gap-based): requires per-key time order → ``groupby(key)
+  .map_groups`` with a sorted pandas body; the ordering assumption is
+  *within one key group only* (documented per the guide), which the
+  group shuffle itself provides.
+
+All window ids are int64 epoch-microseconds — deterministic, join-safe,
+and exactly reproducible in SQL oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial_counts(key_col: str, win_col: str, value_col: str | None):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        aggs = {"n_events": (key_col, "size")}
+        if value_col is not None:
+            aggs["sum_value"] = (value_col, "sum")
+        return df.groupby([key_col, win_col], as_index=False).agg(**aggs)
+
+    return fn
+
+
+def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
+                    value_col: str | None = None):
+    """Per-(key, window) counts (+ optional sum) for tumbling windows.
+    Combiner inside map_batches, then a small groupby over partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key_col: t.column(key_col).to_numpy(zero_copy_only=False),
+            "window_start_us": (us // size_us) * size_us,
+        })
+        if value_col is not None:
+            df[value_col] = t.column(value_col).to_numpy(zero_copy_only=False)
+        g = _partial_counts(key_col, "window_start_us", value_col)(df)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum("n_events", alias_name="n_events")]
+    if value_col is not None:
+        aggs.append(Sum("sum_value", alias_name="sum_value"))
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start_us"])
+        .aggregate(*aggs)
+    )
+
+
+def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
+    """Per-(key, window) counts for sliding windows (window = [start,
+    start+size), starts every hop).  Each row replicates into size/hop
+    windows vectorized; then the tumbling aggregation path."""
+    assert size_us % hop_us == 0, "size must be a multiple of hop"
+    k = size_us // hop_us
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        base = (us // hop_us) * hop_us
+        starts = base[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_us
+        df = pd.DataFrame({
+            key_col: np.repeat(keys, k),
+            "window_start_us": starts.ravel(),
+        })
+        g = df.groupby([key_col, "window_start_us"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_events"}), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start_us"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+
+def session_window(ds, ts_col: str, key_col: str, gap_us: int,
+                   order_cols: list[str] | None = None):
+    """Gap-based sessionization per key.
+
+    A new session starts when the time since the previous event of the
+    same key exceeds ``gap_us``.  Ordering within a key is (ts, then
+    ``order_cols``) — a total order so results are deterministic under
+    timestamp ties.  Returns per-session rows:
+    (key, session_start_us, session_end_us, n_events).
+    """
+    order_cols = order_cols or []
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        # robust epoch-us regardless of pandas datetime unit (ns vs us)
+        g["_us"] = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        g = g.sort_values(["_us", *order_cols], kind="mergesort")
+        us = g["_us"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (us[1:] - us[:-1]) > gap_us
+        sid = np.cumsum(new)
+        out = (
+            pd.DataFrame({"sid": sid, "us": us})
+            .groupby("sid")
+            .agg(session_start_us=("us", "min"), session_end_us=("us", "max"),
+                 n_events=("us", "size"))
+            .reset_index(drop=True)
+        )
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    cols = [key_col, ts_col, *order_cols]
+    return ds.select_columns(cols).groupby(key_col).map_groups(
+        sessionize, batch_format="pandas"
+    )

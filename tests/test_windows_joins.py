@@ -1,0 +1,118 @@
+"""Unit tests for window and join operators (edge cases beyond the SQL
+oracle parity already covered in test_queries_oracle)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cckp_toolkit_workflow_ray.stages.joins import (
+    asof_join_bucketed,
+    broadcast_join,
+    hash_join,
+    semi_join,
+)
+from cckp_toolkit_workflow_ray.stages.windows import (
+    session_window,
+    sliding_window,
+    tumbling_window,
+)
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+HOUR = 3_600_000_000
+
+
+@pytest.fixture(scope="module")
+def events_df(ray_session):
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 01:10",
+         "2024-01-01 03:00", "2024-01-01 03:10", "2024-01-02 00:00"]
+    ).astype("datetime64[us]")
+    return pd.DataFrame({
+        "key": ["a", "a", "a", "a", "b", "a"],
+        "ts": ts,
+        "event_id": np.arange(6, dtype=np.int64),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+
+
+def test_tumbling_window_counts_and_sums(ray_session, events_df):
+    out = tumbling_window(_ds(events_df), "ts", "key", HOUR, value_col="value").to_pandas()
+    a0 = out[(out.key == "a") & (out.window_start_us == 1704067200000000)]
+    assert a0.n_events.iloc[0] == 2 and a0.sum_value.iloc[0] == 3.0
+    assert out.n_events.sum() == 6
+
+
+def test_sliding_window_membership(ray_session, events_df):
+    out = sliding_window(_ds(events_df), "ts", "key", size_us=HOUR, hop_us=HOUR // 2).to_pandas()
+    # every event belongs to exactly size/hop = 2 windows
+    assert out.n_events.sum() == 12
+
+
+def test_session_window_gaps(ray_session, events_df):
+    out = session_window(_ds(events_df), "ts", "key", gap_us=HOUR,
+                         order_cols=["event_id"]).to_pandas()
+    a = out[out.key == "a"].sort_values("session_start_us")
+    # a: (00:05,00:20,01:10) one session; (03:00) next; (next day) third
+    assert len(a) == 3
+    assert a.iloc[0].n_events == 3 and a.iloc[1].n_events == 1 and a.iloc[2].n_events == 1
+    assert len(out[out.key == "b"]) == 1
+
+
+def test_broadcast_and_semi_join(ray_session):
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "x": list("abcd")})
+    dim = pd.DataFrame({"k": [2, 4], "name": ["two", "four"]})
+    j = broadcast_join(_ds(left), dim, on="k").to_pandas().sort_values("k")
+    assert j.k.tolist() == [2, 4] and j.name.tolist() == ["two", "four"]
+    lj = broadcast_join(_ds(left), dim, on="k", how="left").to_pandas()
+    assert len(lj) == 4 and lj.name.isna().sum() == 2
+    s = semi_join(_ds(left), [2, 4], on="k").to_pandas()
+    assert sorted(s.k) == [2, 4]
+    a = semi_join(_ds(left), [2, 4], on="k", anti=True).to_pandas()
+    assert sorted(a.k) == [1, 3]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(0)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500), "x": rng.integers(0, 9, 500)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2), "y": np.arange(30) * 10})
+    got = hash_join(_ds(left), _ds(right), on="k", n_buckets=7).to_pandas()
+    want = left.merge(right, on="k")
+    key = ["k", "x", "y"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_asof_join_bucketed_matches_merge_asof(ray_session):
+    rng = np.random.default_rng(1)
+    base = pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[us]")
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10, 200),
+        "ts": base + rng.integers(0, 10**9, 200).astype("timedelta64[us]"),
+        "event_id": np.arange(200, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, 80),
+        "rts": base + rng.integers(0, 10**9, 80).astype("timedelta64[us]"),
+    })
+    got = asof_join_bucketed(_ds(left), _ds(right), key="k", ts="ts",
+                             right_ts="rts", right_cols=[], n_buckets=4).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("rts", kind="mergesort"),
+        left_on="ts", right_on="rts", by="k",
+    )
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        pd.to_datetime(g["rts"]), pd.to_datetime(w["rts"]), check_names=False
+    )
