@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "token_count",
     "windowed_events",
     "asof_last_order",
+    "hash_join_revenue",
+    "session_windows",
+    "enrich_events_nation",
+    "knn_embeddings",
 ]
 
 

@@ -78,19 +78,20 @@ def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
     """Large-large equi-join: explicit partitioned hash join.
 
     Both sides get a ``bucket`` column and a side tag, are unioned, and
-    each bucket group splits by tag and pandas-merges.  Column sets must
-    be disjoint apart from the key.
+    each bucket group splits by tag and pandas-merges (the union pads
+    each side's missing columns with nulls; the per-side column lists are
+    captured from the schemas up front so padding is dropped exactly).
+    Column sets must be disjoint apart from the key.
     """
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
     l = _with_bucket_and_tag(left, on, n_buckets, 0, batch_size)
     r = _with_bucket_and_tag(right, on, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
-        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
-        rg = rg.dropna(axis=1, how="all")  # union padding on missing cols
-        lg = lg.dropna(axis=1, how="all")
-        out = lg.merge(rg, on=on, how=how)
-        return out
+        lg = g[g["__side"] == 0][left_cols]
+        rg = g[g["__side"] == 1][right_cols]
+        return lg.merge(rg, on=on, how=how)
 
     return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
@@ -101,12 +102,13 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
     """As-of join (latest right row per key with right_ts <= ts) for two
     large sides: bucket by key hash, sort within the bucket group, and
     ``pd.merge_asof`` per bucket."""
+    left_cols = [c for c in left.schema().names]
     l = _with_bucket_and_tag(left, key, n_buckets, 0, batch_size)
     r = _with_bucket_and_tag(right, key, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        rg = g[g["__side"] == 1].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        lg = g[g["__side"] == 0][left_cols]
+        rg = g[g["__side"] == 1][[key, right_ts, *right_cols]]
         if lg.empty:
             return lg
         lg = lg.sort_values([ts, key], kind="mergesort")
