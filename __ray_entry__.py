@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_revenue": q.hash_join_revenue,
         "enrich_events_nation": q.enrich_events_nation,
         "asof_bucketed": q.asof_bucketed,
+        "top_orders": q.top_orders,
+        "json_props_stats": q.json_props_stats,
     }
 
 
@@ -179,6 +181,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, rk FROM (
+                SELECT o_orderkey, o_totalprice,
+                       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 20
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(coalesce(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                                          AS BIGINT), 0)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "exact_dedup_full": """
             WITH corpus AS (

@@ -727,3 +727,35 @@ def asof_bucketed(sf_dir: str) -> pa.Table:
     ).to_pandas()
     out = out.rename(columns={"o_orderdate": "last_order_date"})
     return out[["event_id", "last_order_date"]]
+
+
+def top_orders(sf_dir: str) -> pa.Table:
+    """Global sort + limit (SURVEY.md §2.7 top-k): 20 highest-value
+    orders with a deterministic (price DESC, key ASC) tie-break."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+    df = out.to_pandas().reset_index(drop=True)
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+def json_props_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured parsing (JSON artifact-reader family, S5 analog):
+    extract props.k per event, aggregate per event_type.  Vectorized
+    regex extract — no per-row json.loads."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("props").to_numpy(zero_copy_only=False)).fillna("")
+        k = pd.to_numeric(s.str.extract(r'"k":\s*(-?\d+)', expand=False),
+                          errors="coerce").fillna(0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+            "n_events": 1,
+            "sum_k": k,
+        })
+        return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(),
+                                    preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type"], ["n_events", "sum_k"]).to_pandas()
