@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_bucketed": q.asof_bucketed,
         "top_orders": q.top_orders,
         "json_props_stats": q.json_props_stats,
+        "drift_check": q.drift_check,
     }
 
 

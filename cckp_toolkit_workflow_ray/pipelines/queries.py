@@ -759,3 +759,27 @@ def json_props_stats(sf_dir: str) -> pa.Table:
 
     return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
                        ["event_type"], ["n_events", "sum_k"]).to_pandas()
+
+
+def drift_check(sf_dir: str) -> pa.Table:
+    """Distribution-drift verdicts (KS + PSI on deterministic fixed-bin
+    histograms vs a broadcast reference profile, rows-only): the baseline
+    is the clean synthetic corpus; the live run has the zh length
+    distribution shifted, so zh must FAIL while the others PASS."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.validate import build_reference_profile, validate
+    from ..sources.pages import generate_pages_dataset
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n = 20 * n_docs
+    ref = build_reference_profile(generate_pages_dataset(n, seed=42, violations=False))
+    res = validate(
+        generate_pages_dataset(n, seed=42, violations=False,
+                               drift_lang="zh", drift_factor=0.5),
+        reference_profile=ref,
+    )
+    d = res.verdicts[res.verdicts.check == "drift_text_len"]
+    return d[["lang", "check", "n_rows", "status", "verdict"]].sort_values(
+        "lang"
+    ).reset_index(drop=True)

@@ -63,19 +63,6 @@ def _dataset_schema(ds) -> pa.Schema | None:
     return pa.schema(list(zip(sch.names, sch.types)))
 
 
-def _resolve_concurrency(cfg: ValidationConfig) -> tuple | int:
-    """Autoscale the check actor pool to the cluster: (1, #CPUs)."""
-    if cfg.check_concurrency is not None:
-        return cfg.check_concurrency
-    import ray
-
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    return (max(2, ncpu // 4), max(2, ncpu))
-
-
 def _stream_to_violations(t: pa.Table) -> pa.Table:
     v = t.filter(pc.equal(t.column("kind"), "violation"))
     return v.select(["url", "lang", "check", "severity", "detail"]).cast(VIOLATIONS_SCHEMA)

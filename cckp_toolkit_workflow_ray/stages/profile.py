@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..config import ValidationConfig, TEXT_LEN_HIST_EDGES
+from ..config import ValidationConfig
 from ..functions.extract import EXTRACTOR_VERSION
 from ..functions.sketches import FixedHistogram
 from ..schema import PROFILE_SCHEMA
