@@ -133,3 +133,42 @@ def test_cli_profile_and_single_check(tmp_path):
     assert set(json.loads(r.stdout)["langs"]) == {"en", "de", "fr", "es", "zh"}
     r = _cli("check", "--name", "url_format", "--input", pages, "--out", str(tmp_path / "co"))
     assert r.returncode == 0, r.stderr[-2000:]  # clean corpus -> PASS exit 0
+
+
+# ---------------------------------------------------------------- sinks
+def test_publish_outputs_roundtrip(ray_session, tiny_pages_dir, tmp_path):
+    from cckp_toolkit_workflow_ray.pipelines.sinks import publish_outputs
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+
+    out = str(tmp_path / "run")
+    validate(tiny_pages_dir, out_dir=out)
+    target = str(tmp_path / "published")
+    paths = publish_outputs(out, target)
+    assert any(p.endswith("report.json") for p in paths)
+    assert any("violations" in p for p in paths)
+    import json
+
+    a = json.load(open(os.path.join(out, "report.json")))
+    b = json.load(open(os.path.join(target, "report.json")))
+    assert a == b
+
+
+# ---------------------------------------------------------------- schema gate
+def test_wrong_types_fail_fast(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+    from cckp_toolkit_workflow_ray.schema import SchemaMismatchError
+
+    bad = pa.table({
+        "url": pa.array(["https://a/b"]),
+        "warc_ts": pa.array(["2024-01-01"]),    # string, not timestamp
+        "html": pa.array(["<html>"]),           # string, not binary
+        "text": pa.array(["x"]),
+        "lang": pa.array(["en"]),
+    })
+    p = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, p)
+    with pytest.raises(SchemaMismatchError, match="warc_ts"):
+        validate(p, out_dir=str(tmp_path / "o"))
