@@ -35,3 +35,12 @@ def publish_outputs(out_dir: str, target_uri: str) -> list[str]:
                 w.write(r.read())
             published.append(dst)
     return sorted(published)
+
+
+def write_partitioned_by_key(ds, out_dir: str, key: str = "lang", **kwargs):
+    """Partitioned parquet layout: one directory per key value (the K4
+    publishDir-per-record analog as a key-range layout) — downstream
+    readers prune whole partitions by path, and a rerun can target a
+    single key's directory."""
+    ds.write_parquet(out_dir, partition_cols=[key], **kwargs)
+    return out_dir

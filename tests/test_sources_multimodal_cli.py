@@ -172,3 +172,17 @@ def test_wrong_types_fail_fast(ray_session, tmp_path):
     pq.write_table(bad, p)
     with pytest.raises(SchemaMismatchError, match="warc_ts"):
         validate(p, out_dir=str(tmp_path / "o"))
+
+
+def test_write_partitioned_by_key(ray_session, tmp_path):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.pipelines.sinks import write_partitioned_by_key
+    from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
+
+    out = str(tmp_path / "by_lang")
+    write_partitioned_by_key(generate_pages_dataset(2000, violations=False), out)
+    parts = sorted(os.listdir(out))
+    assert any(p.startswith("lang=") for p in parts)
+    en = rd.read_parquet(os.path.join(out, "lang=en")).count()
+    assert 0 < en < 2000
