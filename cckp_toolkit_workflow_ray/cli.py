@@ -23,6 +23,8 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
@@ -30,7 +32,9 @@ def _ensure_ray(num_cpus: int | None):
                       logging_level="ERROR")
         if num_cpus is not None:
             kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+        # honor a cluster address from the job environment (ray job
+        # submit); default to a fresh local instance otherwise
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

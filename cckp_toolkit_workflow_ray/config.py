@@ -66,7 +66,11 @@ class ValidationConfig:
     # CPU count at run time (resolved in pipelines.validate).
     batch_size: int = 8192          # ~7 MB of html per batch; fewer, larger partials
     check_concurrency: tuple | int | None = None
-    uniqueness_batch_size: int = 131072  # url+lang only -> narrow columns, big batches amortize actor adds
+    uniqueness_batch_size: int = 131072  # url+lang only -> narrow columns, big batches
+    # "sort" (default): retry-safe sorted-candidate exchange;
+    # "index": sharded counter actors (faster, but a retried map task
+    # double-counts — see stages/uniqueness.py docstring)
+    uniqueness_strategy: str = "sort"
     hll_p: int = 12                 # 4 KiB partials, ~1.6% distinct error
     tdigest_compression: float = 200.0
 

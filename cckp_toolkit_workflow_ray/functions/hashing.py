@@ -48,7 +48,13 @@ def uniform01(index: np.ndarray, channel: int, seed: int = 42) -> np.ndarray:
 def hash_strings(values, seed: int = 0) -> np.ndarray:
     """Stable uint64 hash of a string/bytes array (pandas SipHash-style
     ``hash_array``; deterministic for a fixed hash key across processes).
+
+    The 16-char hash key is derived from ``seed`` via blake2b so distinct
+    seeds give genuinely independent hash functions (a plain
+    ``f"{seed:032d}"[:16]`` would be all-zeros for any realistic seed).
     """
+    import hashlib
+
     arr = pd.array(values) if not isinstance(values, (pd.Series, np.ndarray)) else values
-    key = f"{seed:032d}"[:16].ljust(16, "0")
+    key = hashlib.blake2b(str(seed).encode(), digest_size=8).hexdigest()
     return pd.util.hash_array(np.asarray(arr, dtype=object), hash_key=key, categorize=False).astype(np.uint64)

@@ -537,7 +537,12 @@ def bpe_token_count(sf_dir: str) -> pa.Table:
 
 def quality_check(sf_dir: str) -> pa.Table:
     """Quality gates per lang (text-quality scoring family): low-quality =
-    too few words, overlong mean word length, or low alphabetic ratio."""
+    too few words, overlong mean word length, or low alphabetic ratio.
+
+    Deliberately hand-rolled rather than reusing functions.text
+    quality_metrics: this query's formulas must stay expression-for-
+    expression identical to its SQL oracle (the driver hash-compares
+    values), so the computation is pinned here next to the SQL."""
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:

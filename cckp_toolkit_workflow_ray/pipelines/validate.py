@@ -29,9 +29,11 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
+from dataclasses import replace as _dc_replace
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -66,6 +68,32 @@ def _dataset_schema(ds) -> pa.Schema | None:
 def _stream_to_violations(t: pa.Table) -> pa.Table:
     v = t.filter(pc.equal(t.column("kind"), "violation"))
     return v.select(["url", "lang", "check", "severity", "detail"]).cast(VIOLATIONS_SCHEMA)
+
+
+def violation_counts(viol_dir: str) -> pd.DataFrame:
+    """Per-(lang, check) violation counts: per-batch combiner + driver
+    merge — the cardinality is langs x checks, no distributed groupby
+    needed.  Shared by the monolithic and checkpointed paths."""
+    import ray.data as rd
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "check": t.column("check").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["lang", "check"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_violations"}), preserve_index=False
+        )
+
+    parts = (
+        rd.read_parquet(viol_dir, columns=["lang", "check"])
+        .map_batches(_count_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(columns=["lang", "check", "n_violations"])
+    return parts.groupby(["lang", "check"], as_index=False)["n_violations"].sum()
 
 
 @dataclass
@@ -120,6 +148,10 @@ def validate(
     import ray.data as rd
 
     cfg = config or ValidationConfig()
+    if reference_profile is not None:
+        # the reference profile is the authoritative membership set for
+        # the referential check (RunAlmanack.nf:77-78 chain analog)
+        cfg = _dc_replace(cfg, valid_langs=tuple(reference_profile.valid_langs))
     paths = source if isinstance(source, (str, list, tuple)) else None
     ds = rd.read_parquet(paths) if paths is not None else source
 
@@ -133,6 +165,10 @@ def validate(
     os.makedirs(out_dir, exist_ok=True)
     stream_dir = os.path.join(out_dir, "stream")
     viol_dir = os.path.join(out_dir, "violations")
+    # a rerun into the same out_dir must not mix with stale files
+    # (write_parquet appends new UUID-named part files)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    shutil.rmtree(viol_dir, ignore_errors=True)
 
     # ---- pass 1: all row-local checks + profile partials, one scan.
     # Task-based (not actor-pool) so Ray fuses the checks onto the
@@ -181,29 +217,7 @@ def validate(
         )
 
     # ---- small derived tables --------------------------------------------
-    # per-batch combiner + driver merge: the per-(lang, check) cardinality
-    # is tiny, so no distributed groupby is needed for the counts
-    def _count_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
-            "check": t.column("check").to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["lang", "check"], as_index=False).size()
-        return pa.Table.from_pandas(
-            g.rename(columns={"size": "n_violations"}), preserve_index=False
-        )
-
-    counts_parts = (
-        rd.read_parquet(viol_dir, columns=["lang", "check"])
-        .map_batches(_count_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    if counts_parts.empty:
-        counts_df = pd.DataFrame(columns=["lang", "check", "n_violations"])
-    else:
-        counts_df = counts_parts.groupby(["lang", "check"], as_index=False)[
-            "n_violations"
-        ].sum()
+    counts_df = violation_counts(viol_dir)
     timer.lap("violation counts")
     profiles = merge_profiles(stream_ds, cfg)
     timer.lap("profile merge")

@@ -89,8 +89,11 @@ def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
     r = _with_bucket_and_tag(right, on, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][left_cols]
-        rg = g[g["__side"] == 1][right_cols]
+        # a bucket whose rows all come from one side lacks the other
+        # side's columns entirely (union blocks keep their own schema) —
+        # reindex materializes the expected columns as nulls
+        lg = g[g["__side"] == 0].reindex(columns=left_cols)
+        rg = g[g["__side"] == 1].reindex(columns=right_cols)
         return lg.merge(rg, on=on, how=how)
 
     return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
@@ -107,8 +110,8 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
     r = _with_bucket_and_tag(right, key, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][left_cols]
-        rg = g[g["__side"] == 1][[key, right_ts, *right_cols]]
+        lg = g[g["__side"] == 0].reindex(columns=left_cols)
+        rg = g[g["__side"] == 1].reindex(columns=[key, right_ts, *right_cols])
         if lg.empty:
             return lg
         lg = lg.sort_values([ts, key], kind="mergesort")
@@ -117,6 +120,12 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
                 lg[c] = pd.NA
             return lg
         rg = rg.sort_values([right_ts, key], kind="mergesort")
+        # blocks from the two union branches can deserialize with
+        # different datetime units (us vs ns); merge_asof requires equal
+        # key dtypes
+        if pd.api.types.is_datetime64_any_dtype(lg[ts]):
+            lg[ts] = lg[ts].astype("datetime64[us]")
+            rg[right_ts] = rg[right_ts].astype("datetime64[us]")
         return pd.merge_asof(
             lg, rg[[key, right_ts, *right_cols]],
             left_on=ts, right_on=right_ts, by=key, direction="backward",

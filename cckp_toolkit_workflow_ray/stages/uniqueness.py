@@ -1,32 +1,35 @@
-"""URL-uniqueness check — the engine's all-to-all shuffle stage.
+"""URL-uniqueness check — the engine's all-to-all exchange stage.
 
 The reference's join keys ``(repo_url, repo_name)`` act as record identity
 (``/root/reference/main.nf:101-102``); duplicate sample-sheet rows would
 silently run twice.  At web scale, uniqueness(url) is a first-class check
-and the one operation that genuinely requires moving every key between
-nodes.
+and the one operation that genuinely requires comparing every key.
 
-Scale design (SURVEY.md §2.7), measured on a 10M-row input:
+Scale design (SURVEY.md §2.7), measured on 10-20M-row inputs:
 
 * **Prune at the read** — this stage consumes only ``(url, lang)``; when
   given parquet paths it issues its own pruned ``read_parquet`` so the
-  wide ``html`` column never enters the shuffle.
+  wide ``html`` column never enters the exchange.
 * **Hash keys, not strings; ints-only exchange** — urls are hashed to a
-  128-bit composite ``(h1, h2)`` (two independent 64-bit streams) and the
-  global sort moves ONLY the three int64 columns ``(h1, h2, n)`` — no
-  strings cross the exchange.  Collision probability at 10^12 keys is
-  ~3e-15; a second pruned scan recovers the representative url/lang for
-  the (rare) duplicated keys via a broadcast key set, combined per batch
-  so at most |dup_keys| rows per batch reach the driver.
-* **Combiner before shuffle** — per-batch ``np.unique`` collapses each
+  128-bit composite ``(h1, h2)`` (two independently-keyed SipHash
+  streams) and grouped BY THE PAIR everywhere, so collision probability
+  at 10^12 keys is ~3e-15; only the three int64 columns ``(h1, h2, n)``
+  cross the exchange.  A second pruned scan recovers the representative
+  url/lang for the (rare) duplicated keys via a broadcast key set,
+  combined per batch so at most |dup_keys| rows per batch reach the
+  driver.
+* **Combiner before shuffle** — per-batch pair-grouping collapses each
   url to at most one partial per batch, so a hot key (a url duplicated
   millions of times) contributes one row per batch instead of millions of
-  rows to the exchange.  This bounds the largest reducer group by the
-  number of batches — the same guarantee explicit key-salting gives,
-  without a second shuffle phase.
-* **Sorted-candidate extraction** (stages.groupagg) — after the sort,
-  duplicate keys are found vectorized; the final exact collapse runs in
-  pandas on the driver over the (small) candidate set.
+  rows to the exchange — the same guarantee explicit key-salting gives.
+* **Two strategies** for the global count:
+  - ``"sort"`` (default): global sort of the int partials +
+    sorted-candidate extraction (stages.groupagg).  Pure dataset ops —
+    safe under Ray task retries, the right default for long 100TB scans.
+  - ``"index"``: stream partials into range-sharded counter actors (no
+    sort barrier; slightly faster).  CAVEAT: a map task retried after
+    some of its ``add`` calls were applied would double-count — use only
+    where task retries are disabled or failures restart the stage.
 """
 
 from __future__ import annotations
@@ -52,8 +55,19 @@ def _valid_url_mask(urls) -> np.ndarray:
     ).to_numpy(zero_copy_only=False)
 
 
+def _pair_group(h1: np.ndarray, h2: np.ndarray):
+    """Group rows by the (h1, h2) pair: returns (starts, order) such that
+    sorted pairs are h1[order][starts...] with np.add.reduceat-able runs."""
+    order = np.lexsort((h2, h1))
+    s1, s2 = h1[order], h2[order]
+    new = np.ones(order.size, dtype=bool)
+    new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    return np.flatnonzero(new), order
+
+
 def _hash_counts(batch: pa.Table) -> pa.Table:
-    """Combiner: per-batch (h1, h2, n) — ints only, nothing wide."""
+    """Combiner: per-batch (h1, h2, n) — ints only, grouped by the full
+    128-bit pair (never by h1 alone)."""
     urls = batch.column("url")
     url_np = urls.to_numpy(zero_copy_only=False)[_valid_url_mask(urls)]
     if url_np.size == 0:
@@ -61,15 +75,22 @@ def _hash_counts(batch: pa.Table) -> pa.Table:
                          "h2": pa.array([], type=pa.int64()),
                          "n": pa.array([], type=pa.int64())})
     h1 = hash_strings(url_np, seed=1).astype(np.int64)
-    uniq, first_idx, counts = np.unique(h1, return_index=True, return_counts=True)
-    h2 = hash_strings(url_np[first_idx], seed=2).astype(np.int64)
-    return pa.table({"h1": uniq, "h2": h2, "n": counts.astype(np.int64)})
+    h2 = hash_strings(url_np, seed=2).astype(np.int64)
+    starts, order = _pair_group(h1, h2)
+    ones = np.ones(order.size, dtype=np.int64)
+    return pa.table({
+        "h1": h1[order][starts],
+        "h2": h2[order][starts],
+        "n": np.add.reduceat(ones, starts),
+    })
 
 
-def _make_recover_fn(dup_h1_sorted: np.ndarray):
-    """Second-scan combiner: for rows whose url-hash is in the duplicated
+def _make_recover_fn(dup_h1_sorted: np.ndarray, dup_h2_for_h1: np.ndarray):
+    """Second-scan combiner: for rows whose (h1, h2) is in the duplicated
     key set, emit per-batch (h1, h2, url_min, lang_min) — bounded by
-    |dup_keys| rows per batch regardless of duplicate multiplicity."""
+    |dup_keys| rows per batch regardless of duplicate multiplicity.
+    ``dup_h1_sorted`` / ``dup_h2_for_h1`` are parallel arrays sorted by
+    (h1, h2)."""
 
     def recover(batch: pa.Table) -> pa.Table:
         empty = pa.table({"h1": pa.array([], type=pa.int64()),
@@ -79,33 +100,49 @@ def _make_recover_fn(dup_h1_sorted: np.ndarray):
         urls = batch.column("url")
         valid = _valid_url_mask(urls)
         url_np = urls.to_numpy(zero_copy_only=False)[valid]
-        if url_np.size == 0:
+        if url_np.size == 0 or dup_h1_sorted.size == 0:
             return empty
         lang_np = pc.fill_null(batch.column("lang"), MISSING_LANG).to_numpy(
             zero_copy_only=False
         )[valid]
         h1 = hash_strings(url_np, seed=1).astype(np.int64)
+        h2 = hash_strings(url_np, seed=2).astype(np.int64)
+        # membership against the sorted dup pair set
         pos = np.searchsorted(dup_h1_sorted, h1)
-        pos_c = np.clip(pos, 0, max(0, dup_h1_sorted.size - 1))
-        hit = dup_h1_sorted.size > 0
-        sel = hit & (dup_h1_sorted[pos_c] == h1)
-        if not np.any(sel):
+        sel = np.zeros(h1.size, dtype=bool)
+        inb = pos < dup_h1_sorted.size
+        # walk matching h1 runs to confirm the h2 member (runs are tiny)
+        cand = np.flatnonzero(inb & (dup_h1_sorted[np.clip(pos, 0, dup_h1_sorted.size - 1)] == h1))
+        for i in cand.tolist():
+            p = pos[i]
+            while p < dup_h1_sorted.size and dup_h1_sorted[p] == h1[i]:
+                if dup_h2_for_h1[p] == h2[i]:
+                    sel[i] = True
+                    break
+                p += 1
+        if not sel.any():
             return empty
-        df = pd.DataFrame({"h1": h1[sel], "url": url_np[sel], "lang": lang_np[sel]})
-        g = df.groupby("h1", as_index=False).agg(url=("url", "min"), lang=("lang", "min"))
-        g["h2"] = hash_strings(g["url"].to_numpy(), seed=2).astype(np.int64)
+        df = pd.DataFrame({"h1": h1[sel], "h2": h2[sel],
+                           "url": url_np[sel], "lang": lang_np[sel]})
+        g = df.groupby(["h1", "h2"], as_index=False).agg(
+            url=("url", "min"), lang=("lang", "min")
+        )
         return pa.Table.from_pandas(g[["h1", "h2", "url", "lang"]], preserve_index=False)
 
     return recover
 
 
+# ---------------------------------------------------------------------------
+# strategy "index": sharded counter actors (opt-in; see module docstring)
+# ---------------------------------------------------------------------------
+
+
 class _KeyCounterShard:
     """One shard of the distributed url-hash index — the engine's only
-    'shared mutable state', which is exactly the case SURVEY.md reserves
-    for raw Ray actors: a sharded count index that scan tasks stream
-    partials into, avoiding any sort/shuffle barrier.  Each shard owns a
-    hash range; memory per shard = |urls in range| x 16 bytes, so the
-    shard count P scales the index across a cluster's memory."""
+    'shared mutable state' (the raw-actor escape hatch SURVEY.md reserves
+    for exactly this).  Each shard owns a hash range; memory per shard =
+    |urls in range| x 16 bytes, so the shard count P scales the index
+    across a cluster's memory."""
 
     def __init__(self):
         self.h1_chunks: list = []
@@ -125,20 +162,14 @@ class _KeyCounterShard:
         h1 = np.concatenate(self.h1_chunks)
         h2 = np.concatenate(self.h2_chunks)
         n = np.concatenate(self.n_chunks)
-        order = np.lexsort((h2, h1))
-        h1, h2, n = h1[order], h2[order], n[order]
-        new_group = np.concatenate(
-            [[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
-        )
-        starts = np.flatnonzero(new_group)
-        totals = np.add.reduceat(n, starts)
+        starts, order = _pair_group(h1, h2)
+        totals = np.add.reduceat(n[order], starts)
         sel = totals > 1
-        return h1[starts][sel], h2[starts][sel], totals[sel].astype(np.int64)
+        return (h1[order][starts][sel], h2[order][starts][sel],
+                totals[sel].astype(np.int64))
 
 
 def _make_counting_fn(shards, n_shards: int):
-    """Scan-side: per-batch combine then stream ints to the owning shards.
-    ray.get on the adds applies backpressure per task."""
     import ray
 
     def count_into_shards(batch: pa.Table) -> pa.Table:
@@ -159,13 +190,49 @@ def _make_counting_fn(shards, n_shards: int):
     return count_into_shards
 
 
+def _dup_keys_via_index(pages_scan, cfg: ValidationConfig) -> pd.DataFrame:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_shards = max(2, ncpu // 2)
+    Shard = ray.remote(num_cpus=0)(_KeyCounterShard)
+    shards = [Shard.remote() for _ in range(n_shards)]
+    pages_scan().map_batches(
+        _make_counting_fn(shards, n_shards),
+        batch_format="pyarrow",
+        batch_size=cfg.uniqueness_batch_size,
+    ).count()
+    parts = ray.get([s.finalize_duplicates.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    return pd.DataFrame({
+        "h1": np.concatenate([p[0] for p in parts]),
+        "h2": np.concatenate([p[1] for p in parts]),
+        "n": np.concatenate([p[2] for p in parts]),
+    })
+
+
+def _dup_keys_via_sort(pages_scan, cfg: ValidationConfig) -> pd.DataFrame:
+    from .groupagg import candidate_duplicates
+
+    partials = pages_scan().map_batches(
+        _hash_counts, batch_format="pyarrow", batch_size=cfg.uniqueness_batch_size
+    )
+    cands = candidate_duplicates(partials, ["h1", "h2"], "n").to_pandas()
+    if cands.empty:
+        return pd.DataFrame({"h1": pd.Series([], dtype="int64"),
+                             "h2": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
+    totals = cands.groupby(["h1", "h2"], as_index=False)["n"].sum()
+    return totals[totals["n"] > 1].reset_index(drop=True)
+
+
 def duplicate_urls(source, cfg: ValidationConfig | None = None):
     """Return a small Dataset of ``(url, lang_min, n)`` for urls with n>1.
 
     ``source`` is either a list of parquet paths (preferred: pruned read)
     or an existing ``ray.data.Dataset`` of pages.
     """
-    import ray
     import ray.data as rd
 
     cfg = cfg or ValidationConfig()
@@ -175,38 +242,19 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None):
             return rd.read_parquet(source, columns=["url", "lang"])
         return source.select_columns(["url", "lang"])
 
-    # scan 1: stream per-batch (h1, h2, n) combiners into the sharded
-    # count index — no sort barrier; counting overlaps the scan
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    n_shards = max(2, ncpu // 2)
-    Shard = ray.remote(num_cpus=0)(_KeyCounterShard)
-    shards = [Shard.remote() for _ in range(n_shards)]
-    counting = pages_scan().map_batches(
-        _make_counting_fn(shards, n_shards),
-        batch_format="pyarrow",
-        batch_size=cfg.uniqueness_batch_size,
-    )
-    counting.count()  # drive the scan to completion (all adds applied)
-
-    parts = ray.get([s.finalize_duplicates.remote() for s in shards])
-    for s in shards:
-        ray.kill(s)
-    dup_h1 = np.concatenate([p[0] for p in parts])
-    dup_n = np.concatenate([p[2] for p in parts])
-    dup_keys = pd.DataFrame(
-        {"h1": dup_h1,
-         "h2": np.concatenate([p[1] for p in parts]),
-         "n": dup_n}
-    )
+    if cfg.uniqueness_strategy == "index":
+        dup_keys = _dup_keys_via_index(pages_scan, cfg)
+    else:
+        dup_keys = _dup_keys_via_sort(pages_scan, cfg)
     if dup_keys.empty:
         return rd.from_arrow(_DUPS_SCHEMA.empty_table())
 
-    # scan 2: recover representative url + min lang for duplicated keys
-    dup_h1_sorted = np.sort(dup_keys["h1"].to_numpy())
+    # recovery scan: representative url + min lang per duplicated key
+    dk = dup_keys.sort_values(["h1", "h2"], kind="mergesort")
     reps = (
         pages_scan()
         .map_batches(
-            _make_recover_fn(dup_h1_sorted),
+            _make_recover_fn(dk["h1"].to_numpy(), dk["h2"].to_numpy()),
             batch_format="pyarrow",
             batch_size=cfg.uniqueness_batch_size,
         )

@@ -113,22 +113,31 @@ def run_partitioned_validation(
     """
     import ray.data as rd
 
-    from ..pipelines.validate import ValidationResult, _stream_to_violations
+    from ..pipelines.validate import (
+        ValidationResult,
+        _stream_to_violations,
+        violation_counts,
+    )
     from ..stages.checks import make_check_fn
     from ..stages.profile import merge_profiles, profile_to_table
     from ..stages.uniqueness import duplicate_urls, duplicates_to_violations
     from ..stages.verdicts import assemble_verdicts
 
     cfg = config or ValidationConfig()
+    if reference_profile is not None:
+        from dataclasses import replace as _dc_replace
+
+        cfg = _dc_replace(cfg, valid_langs=tuple(reference_profile.valid_langs))
     cfg_fp = config_fingerprint(cfg)
     parts = partition_inputs(input_path, files_per_partition)
     parts_root = os.path.join(out_dir, "partitions")
     os.makedirs(parts_root, exist_ok=True)
 
-    # fail-fast schema gate on the whole input (main.nf:49-66 analog)
+    # fail-fast schema gate on EVERY input file (main.nf:49-66 analog) —
+    # a cheap metadata read per file, before any compute is spent
     all_files = [f for grp in parts for f in grp]
-    if all_files:
-        check_conformance(pq.read_schema(all_files[0]))
+    for f in all_files:
+        check_conformance(pq.read_schema(f))
 
     computed = skipped = 0
     part_dirs = []
@@ -207,26 +216,7 @@ def run_partitioned_validation(
             VIOLATIONS_SCHEMA.empty_table(), os.path.join(viol_dir, "empty.parquet")
         )
 
-    def _count_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
-            "check": t.column("check").to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["lang", "check"], as_index=False).size()
-        return pa.Table.from_pandas(
-            g.rename(columns={"size": "n_violations"}), preserve_index=False
-        )
-
-    counts_parts = (
-        rd.read_parquet(viol_dir, columns=["lang", "check"])
-        .map_batches(_count_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    counts_df = (
-        pd.DataFrame(columns=["lang", "check", "n_violations"])
-        if counts_parts.empty
-        else counts_parts.groupby(["lang", "check"], as_index=False)["n_violations"].sum()
-    )
+    counts_df = violation_counts(viol_dir)
     profiles = merge_profiles(stream_ds, cfg)
     verdicts = assemble_verdicts(profiles, counts_df, cfg, reference_profile)
     profile_tbl = profile_to_table(profiles)
