@@ -73,6 +73,7 @@ class ValidationConfig:
     uniqueness_strategy: str = "sort"
     hll_p: int = 12                 # 4 KiB partials, ~1.6% distinct error
     tdigest_compression: float = 200.0
+    quantile_sketch: str = "tdigest"  # or "kll" (both mergeable; reported-only)
 
     # violation severity per check (default "error")
     severities: dict = field(default_factory=dict)

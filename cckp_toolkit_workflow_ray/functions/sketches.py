@@ -239,3 +239,116 @@ def psi(expected: FixedHistogram, actual: FixedHistogram, eps: float = 1e-6) -> 
     e = np.clip(expected.counts / expected.total, eps, None)
     a = np.clip(actual.counts / actual.total, eps, None)
     return float(np.sum((a - e) * np.log(a / e)))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin-Lang-Liberty) — public algorithm.
+# Deterministic variant: compaction keeps odd/even positions by an
+# alternating counter instead of a random coin, so merges are reproducible
+# (the classic analysis allows any unbiased selector; alternation keeps the
+# rank error bounded in practice and makes results layout-stable, which is
+# what the engine's determinism policy wants from a *reported* statistic).
+# ---------------------------------------------------------------------------
+
+
+class KLL:
+    __slots__ = ("k", "levels", "_n", "_flip")
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._n = 0
+        self._flip = 0
+
+    def _capacity(self, level: int) -> int:
+        # geometrically decreasing capacities, floor 8
+        c = int(self.k * (2 / 3) ** (len(self.levels) - 1 - level))
+        return max(8, c)
+
+    def add(self, values: np.ndarray) -> "KLL":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return self
+        self._n += int(values.size)
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compress()
+        return self
+
+    def _compress(self):
+        lvl = 0
+        while lvl < len(self.levels):
+            if self.levels[lvl].size > self._capacity(lvl):
+                buf = np.sort(self.levels[lvl], kind="mergesort")
+                keep = buf[self._flip % 2 :: 2]
+                self._flip += 1
+                self.levels[lvl] = np.empty(0, dtype=np.float64)
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[lvl + 1] = np.concatenate([self.levels[lvl + 1], keep])
+            lvl += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, buf in enumerate(other.levels):
+            if buf.size:
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._n += other._n
+        self._compress()
+        return self
+
+    @property
+    def count(self) -> int:
+        return self._n
+
+    def quantile(self, q: float) -> float:
+        items, weights = [], []
+        for lvl, buf in enumerate(self.levels):
+            if buf.size:
+                items.append(buf)
+                weights.append(np.full(buf.size, 2**lvl, dtype=np.float64))
+        if not items:
+            return float("nan")
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w) - w / 2.0
+        return float(np.interp(q * w.sum(), cum, v))
+
+    def cdf(self, x) -> np.ndarray:
+        items, weights = [], []
+        for lvl, buf in enumerate(self.levels):
+            if buf.size:
+                items.append(buf)
+                weights.append(np.full(buf.size, 2**lvl, dtype=np.float64))
+        if not items:
+            return np.full(np.shape(x), np.nan)
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w) - w / 2.0
+        return np.interp(np.asarray(x, dtype=np.float64), v, cum / w.sum())
+
+    def to_bytes(self) -> bytes:
+        parts = [struct.pack("<IqII", self.k, self._n, self._flip, len(self.levels))]
+        for buf in self.levels:
+            parts.append(struct.pack("<I", buf.size))
+            parts.append(buf.tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLL":
+        k, n, flip, n_levels = struct.unpack_from("<IqII", b)
+        off = struct.calcsize("<IqII")
+        obj = cls(k)
+        obj._n, obj._flip = n, flip
+        obj.levels = []
+        for _ in range(n_levels):
+            (sz,) = struct.unpack_from("<I", b, off)
+            off += 4
+            obj.levels.append(np.frombuffer(b, dtype=np.float64, count=sz, offset=off).copy())
+            off += 8 * sz
+        return obj

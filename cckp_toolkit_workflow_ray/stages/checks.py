@@ -36,10 +36,17 @@ import pyarrow.compute as pc
 from ..config import ValidationConfig, TEXT_LEN_HIST_EDGES
 from ..functions.extract import extract_text
 from ..functions.hashing import hash_strings
-from ..functions.sketches import FixedHistogram, HyperLogLog, TDigest
+from ..functions.sketches import KLL, FixedHistogram, HyperLogLog, TDigest
 from ..schema import STREAM_SCHEMA
 
 MISSING_LANG = "__missing__"
+
+
+def _quantile_sketch(cfg: ValidationConfig):
+    """Selectable quantile sketch (north-star: t-digest or KLL)."""
+    if cfg.quantile_sketch == "kll":
+        return KLL(int(cfg.tdigest_compression))
+    return TDigest(cfg.tdigest_compression)
 
 
 def _empty_partial(cfg: ValidationConfig) -> dict:
@@ -49,7 +56,7 @@ def _empty_partial(cfg: ValidationConfig) -> dict:
         "text_len": {"n": 0, "sum": 0, "min": None, "max": None},
         "html_len": {"n": 0, "sum": 0, "min": None, "max": None},
         "warc_ts": {"n": 0, "min": None, "max": None},
-        "tdigest_text": TDigest(cfg.tdigest_compression),
+        "tdigest_text": _quantile_sketch(cfg),
         "hist_text": FixedHistogram(np.asarray(TEXT_LEN_HIST_EDGES)),
         "hll_url": HyperLogLog(cfg.hll_p),
     }
@@ -57,6 +64,7 @@ def _empty_partial(cfg: ValidationConfig) -> dict:
 
 def serialize_partial(p: dict) -> bytes:
     q = dict(p)
+    q["q_kind"] = "kll" if isinstance(p["tdigest_text"], KLL) else "tdigest"
     q["tdigest_text"] = p["tdigest_text"].to_bytes()
     q["hist_text"] = p["hist_text"].to_bytes()
     q["hll_url"] = p["hll_url"].to_bytes()
@@ -65,7 +73,8 @@ def serialize_partial(p: dict) -> bytes:
 
 def deserialize_partial(b: bytes) -> dict:
     q = pickle.loads(b)
-    q["tdigest_text"] = TDigest.from_bytes(q["tdigest_text"])
+    cls = KLL if q.pop("q_kind", "tdigest") == "kll" else TDigest
+    q["tdigest_text"] = cls.from_bytes(q["tdigest_text"])
     q["hist_text"] = FixedHistogram.from_bytes(q["hist_text"])
     q["hll_url"] = HyperLogLog.from_bytes(q["hll_url"])
     return q

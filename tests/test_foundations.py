@@ -176,3 +176,38 @@ def test_distributed_generation_matches_local(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_kll_quantiles_and_merge():
+    from cckp_toolkit_workflow_ray.functions.sketches import KLL
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(500, 80, 60_000)
+    k = KLL()
+    for chunk in np.array_split(vals, 23):
+        k.add(chunk)
+    assert k.count == 60_000
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(vals, q)
+        assert abs(k.quantile(q) - exact) < 12, (q, k.quantile(q), exact)
+    # merge of shard sketches ~ bulk sketch
+    parts = np.array_split(vals, 6)
+    merged = KLL()
+    for p in parts:
+        merged.merge(KLL().add(p))
+    assert merged.count == 60_000
+    assert abs(merged.quantile(0.5) - np.quantile(vals, 0.5)) < 15
+    # serde roundtrip is exact
+    rt = KLL.from_bytes(merged.to_bytes())
+    assert rt.quantile(0.5) == merged.quantile(0.5)
+    assert rt.count == merged.count
+
+
+def test_kll_deterministic():
+    from cckp_toolkit_workflow_ray.functions.sketches import KLL
+
+    vals = np.arange(10_000, dtype=np.float64)
+    a = KLL().add(vals)
+    b = KLL().add(vals)
+    assert a.quantile(0.25) == b.quantile(0.25)
+    assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))

@@ -170,3 +170,47 @@ def test_run_check_standalone(ray_session, tiny_pages_dir, tmp_path_factory, pag
     cfg = ValidationConfig(checks=("url_format",))
     want = oracle_violations(pages_df, cfg)
     assert set(got["url"]) == set(want["url"])
+
+
+def test_uniqueness_extreme_hot_key_skew(ray_session, tmp_path_factory):
+    """Skew exercise (north-rule salted-key mitigation): ONE url occupies
+    half the corpus.  The per-batch combiner must bound the hot key's
+    contribution to one partial row per batch (the salting guarantee), and
+    the dup count must still be exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.config import ValidationConfig
+    from cckp_toolkit_workflow_ray.stages.uniqueness import _hash_counts, duplicate_urls
+
+    n = 20_000
+    hot = "https://hot.example.com/only"
+    urls = np.array([hot if i % 2 == 0 else f"https://site/{i}" for i in range(n)], dtype=object)
+    t = pa.table({"url": pa.array(urls, type=pa.string()),
+                  "lang": pa.array(["en"] * n, type=pa.string())})
+    ds = rd.from_arrow(t)
+
+    # combiner bound: the hot key collapses to ONE row within a batch
+    part = _hash_counts(t.slice(0, 4096))
+    assert part.num_rows == 4096 // 2 + 1  # distinct urls + one hot row
+    assert part.column("n").to_pylist().count(2048) == 1
+
+    cfg = ValidationConfig(uniqueness_batch_size=4096)
+    dups = duplicate_urls(ds, cfg).to_pandas()
+    assert len(dups) == 1
+    assert dups.iloc[0]["url"] == hot and dups.iloc[0]["n"] == n // 2
+
+
+def test_kll_profile_variant(ray_session, tiny_pages_dir, tmp_path_factory):
+    """The profile pass works identically with the KLL quantile sketch."""
+    cfg = ValidationConfig(quantile_sketch="kll")
+    res = validate(tiny_pages_dir, out_dir=str(tmp_path_factory.mktemp("kll_out")), config=cfg)
+    prof = res.profile.to_pandas()
+    p50 = prof[(prof.lang == "en") & (prof["column"] == "text_len") & (prof.metric == "p50")]["value"].iloc[0]
+    assert p50 > 0
+    # verdicts unaffected by the sketch choice (they never depend on it)
+    base = validate(tiny_pages_dir, out_dir=str(tmp_path_factory.mktemp("td_out")))
+    a = res.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    b = base.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
