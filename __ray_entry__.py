@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_full": q.exact_dedup_full,
         "minhash_dedup": q.minhash_dedup,
         "simhash_dedup": q.simhash_dedup,
+        "ngram_jaccard_dedup": q.ngram_jaccard_dedup,
         "knn_embeddings": q.knn_embeddings,
         "embedding_neardup": q.embedding_neardup,
         "bpe_token_count": q.bpe_token_count,

@@ -788,3 +788,13 @@ def drift_check(sf_dir: str) -> pa.Table:
     return d[["lang", "check", "n_rows", "status", "verdict"]].sort_values(
         "lang"
     ).reset_index(drop=True)
+
+
+def ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
+    """Word-trigram Jaccard near-dup pairs over the derived corpus
+    (rows-only; exact Jaccard verification over LSH candidates)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_derived_text_corpus(sf_dir), n=3,
+                                jaccard_threshold=0.5)
+    return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)

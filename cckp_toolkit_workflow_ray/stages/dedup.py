@@ -121,6 +121,18 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct hashed word n-grams of one document (uint64)."""
+    words = (text or "").split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(hash_strings(np.array(grams, dtype=object), seed=13))
+
+
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Distinct hashed character k-shingles of one document (uint64)."""
     b = text.encode("utf-8", "ignore")
@@ -187,7 +199,8 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                       jaccard_threshold: float = 0.6,
-                      batch_size: int = 4096) -> pd.DataFrame:
+                      batch_size: int = 4096,
+                      shingle_fn=None) -> pd.DataFrame:
     """Near-duplicate pairs via shingle→MinHash→band→bucket→verify.
 
     Pipeline: per-batch signatures (vectorized) → (bucket_key, n) int
@@ -205,11 +218,13 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
     import ray.data as rd
 
+    shingles_of = shingle_fn or (lambda txt: char_shingle_hashes(txt, shingle_k))
+
     def sig_buckets(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_numpy(zero_copy_only=False)
         keys = []
         for txt in texts:
-            sh = char_shingle_hashes(txt or "", shingle_k)
+            sh = shingles_of(txt or "")
             sig = minhash_signature(sh, num_perm)
             keys.append(band_hashes(sig, bands).astype(np.int64))
         allk = np.concatenate(keys) if keys else np.empty(0, dtype=np.int64)
@@ -227,7 +242,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         out_k, out_id = [], []
         for txt, did in zip(texts, ids):
-            sh = char_shingle_hashes(txt or "", shingle_k)
+            sh = shingles_of(txt or "")
             sig = minhash_signature(sh, num_perm)
             bh = band_hashes(sig, bands).astype(np.int64)
             pos = np.clip(np.searchsorted(bucket_sorted, bh), 0, bucket_sorted.size - 1)
@@ -262,7 +277,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out_id, out_sh = [], []
         for txt, did in zip(texts[sel], ids[sel]):
             out_id.append(int(did))
-            out_sh.append(char_shingle_hashes(txt or "", shingle_k).tobytes())
+            out_sh.append(shingles_of(txt or "").tobytes())
         return pa.table({"doc": pa.array(out_id, type=pa.int64()),
                          "shingles": pa.array(out_sh, type=pa.binary())})
 
@@ -363,3 +378,20 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if d <= max_hamming:
             rows.append((a, b, d))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, jaccard_threshold: float = 0.5,
+                        num_perm: int = 128, bands: int = 32,
+                        batch_size: int = 4096) -> pd.DataFrame:
+    """Word n-gram Jaccard near-duplicate pairs.
+
+    Same LSH candidate machinery as MinHash (the bands bucket the MinHash
+    of the n-gram sets), but the shingle unit is word n-grams and the
+    verification computes the exact n-gram Jaccard — the classic
+    document-similarity definition at word granularity."""
+    return minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, batch_size=batch_size,
+        shingle_fn=lambda txt: word_ngram_hashes(txt, n),
+    )

@@ -199,3 +199,24 @@ def test_fingerprint_copy_detection():
     assert fingerprint64(a) != fingerprint64(c)
     fa, fc = winnow_fingerprint(a), winnow_fingerprint(c)
     assert np.intersect1d(fa, fc).size == 0
+
+
+def test_ngram_jaccard_pairs(ray_session, doc_corpus):
+    from cckp_toolkit_workflow_ray.stages.dedup import ngram_jaccard_pairs, word_ngram_hashes
+
+    pairs = ngram_jaccard_pairs(_to_ds(doc_corpus), n=3, jaccard_threshold=0.5)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    texts = dict(zip(doc_corpus.doc_id, doc_corpus.text))
+
+    def jac(a, b):
+        sa, sb = word_ngram_hashes(a, 3), word_ngram_hashes(b, 3)
+        inter = np.intersect1d(sa, sb).size
+        return inter / (sa.size + sb.size - inter)
+
+    # every reported pair truly >= threshold (exact verification)
+    for a, b in got:
+        assert jac(texts[a], texts[b]) >= 0.5
+    # exact copies (jaccard 1.0) all found
+    for did in doc_corpus[doc_corpus.doc_id < 10_000_000].doc_id:
+        if did % 7 == 0:
+            assert (did, did + 20_000_000) in got
