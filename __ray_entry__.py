@@ -194,7 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": """
             SELECT event_type,
                    count(*) AS n_events,
-                   CAST(sum(coalesce(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                   CAST(sum(coalesce(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
                                           AS BIGINT), 0)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
@@ -260,7 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
             marked AS (
-                SELECT user_id, us,
+                SELECT user_id, us, event_id,
                        CASE WHEN lag(us) OVER w IS NULL
                                  OR us - lag(us) OVER w > 1800000000
                             THEN 1 ELSE 0 END AS new_session
@@ -268,7 +268,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
                 SELECT user_id, us,
-                       sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                               ROWS UNBOUNDED PRECEDING) AS sid
                 FROM marked
             )

@@ -2,8 +2,9 @@
 
 Headline: the full validation DAG (all checks + profiling + uniqueness
 shuffle + verdicts) over a pages table synthesized deterministically at
-40 pages per `documents` row of $GRAFT_SF_DIR (sf0.1 → 200k pages), plus
-per-query timings of representative driver queries.
+PAGES_PER_DOC (4000) pages per `documents` row of $GRAFT_SF_DIR
+(sf0.1 → 20M pages, ~5.8 GB parquet in /tmp), plus per-query timings of
+representative driver queries.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
@@ -51,8 +52,13 @@ def _pages_dir(n: int) -> str:
     out = f"/tmp/cckp_bench_pages_n{n}_s{SEED}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        import shutil
+
         from cckp_toolkit_workflow_ray.sources.pages import write_pages
 
+        # an interrupted generation leaves partial files; write_parquet
+        # appends, so start from a clean dir before regenerating
+        shutil.rmtree(out, ignore_errors=True)
         write_pages(n, out, seed=SEED)
         open(marker, "w").close()
     return out

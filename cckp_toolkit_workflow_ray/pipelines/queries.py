@@ -20,8 +20,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import PASS_RATE_GOOD, PASS_RATE_OK
-
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -42,6 +40,24 @@ def _sum_by_key(partials, keys: list[str], cols: list[str]):
     )
 
 
+# SQL GROUP BY keeps a NULL group; pandas groupby drops NaN keys and Ray's
+# groupby cannot sort None keys.  The combiners therefore map null keys to
+# a sentinel before grouping and the query surface restores None at the
+# end, so engine output matches the oracles' NULL groups exactly.
+_NULL_KEY = "\x00__null__"
+
+
+def _sentinel_nulls(series: pd.Series) -> pd.Series:
+    return series.where(series.notna(), _NULL_KEY)
+
+
+def _restore_null_keys(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    for k in keys:
+        if df[k].dtype == object:
+            df[k] = df[k].where(df[k] != _NULL_KEY, None)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # validation-family queries over `documents`
 # ---------------------------------------------------------------------------
@@ -58,7 +74,7 @@ def presence_check(sf_dir: str) -> pa.Table:
         src_missing = pc.or_(pc.is_null(t.column("source")),
                              pc.equal(pc.fill_null(t.column("source"), ""), ""))
         df = pd.DataFrame({
-            "lang": lang.to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(lang.to_numpy(zero_copy_only=False))),
             "n_rows": 1,
             "n_text_missing": text_missing.to_numpy(zero_copy_only=False).astype(np.int64),
             "n_source_missing": src_missing.to_numpy(zero_copy_only=False).astype(np.int64),
@@ -71,7 +87,7 @@ def presence_check(sf_dir: str) -> pa.Table:
         ds.map_batches(partial, batch_format="pyarrow"),
         ["lang"], ["n_rows", "n_text_missing", "n_source_missing"],
     )
-    return out.to_pandas()
+    return _restore_null_keys(out.to_pandas(), ["lang"])
 
 
 def format_check(sf_dir: str) -> pa.Table:
@@ -95,14 +111,15 @@ def referential_lang_check(sf_dir: str) -> pa.Table:
         lang = t.column("lang")
         viol = pc.invert(pc.is_in(pc.fill_null(lang, ""), value_set=valid))
         df = pd.DataFrame({
-            "lang": lang.to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(lang.to_numpy(zero_copy_only=False))),
             "n_rows": 1,
             "n_violations": viol.to_numpy(zero_copy_only=False).astype(np.int64),
         })
         return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["lang"], ["n_rows", "n_violations"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_rows", "n_violations"]).to_pandas(), ["lang"])
 
 
 def referential_events_check(sf_dir: str) -> pa.Table:
@@ -148,7 +165,7 @@ def stats_profile(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
         })
         g = df.groupby("lang").agg(
@@ -163,7 +180,7 @@ def stats_profile(sf_dir: str) -> pa.Table:
         Max("max_chars", alias_name="max_chars"),
         Sum("sum_chars", alias_name="sum_chars"),
     )
-    df = agg.to_pandas()
+    df = _restore_null_keys(agg.to_pandas(), ["lang"])
     df["avg_chars"] = df["sum_chars"].astype(np.float64) / df["n_docs"]
     return df
 
@@ -174,16 +191,23 @@ def distinct_sources(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
-    pairs = ds.map_batches(
-        lambda t: t.group_by(["lang", "source"]).aggregate([]),
-        batch_format="pyarrow",
-    )
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+        })
+        df = df[df["source"].notna()]  # count(DISTINCT source) ignores NULLs
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["lang", "source"]), preserve_index=False
+        )
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pyarrow")
     uniq = pairs.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
-    return (
+    return _restore_null_keys(
         uniq.groupby("lang")
         .aggregate(Count(alias_name="n_sources"))
-        .to_pandas()[["lang", "n_sources"]]
-    )
+        .to_pandas()[["lang", "n_sources"]], ["lang"])
 
 
 def uniqueness_nchars(sf_dir: str) -> pa.Table:
@@ -216,7 +240,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "k": t.column("text").to_pandas().str.slice(0, 16),
+            "k": _sentinel_nulls(t.column("text").to_pandas().str.slice(0, 16)),
             "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
         })
         return pa.Table.from_pandas(
@@ -239,7 +263,7 @@ def keyword_check(sf_dir: str) -> pa.Table:
         has_q = pc.match_substring(txt, "query")
         has_j = pc.match_substring(txt, "join")
         df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_docs": 1,
             "n_query": has_q.to_numpy(zero_copy_only=False).astype(np.int64),
             "n_join": has_j.to_numpy(zero_copy_only=False).astype(np.int64),
@@ -247,8 +271,9 @@ def keyword_check(sf_dir: str) -> pa.Table:
         })
         return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["lang"], ["n_docs", "n_query", "n_join", "n_both"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_docs", "n_query", "n_join", "n_both"]).to_pandas(), ["lang"])
 
 
 def topk_longest(sf_dir: str) -> pa.Table:
@@ -288,14 +313,15 @@ def token_count(sf_dir: str) -> pa.Table:
         nonempty = pc.greater(pc.utf8_length(txt), 0)
         toks = pc.add(n_spaces, nonempty.cast(pa.int64()))
         df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_docs": 1,
             "total_tokens": toks.to_numpy(zero_copy_only=False).astype(np.int64),
         })
         return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["lang"], ["n_docs", "total_tokens"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_docs", "total_tokens"]).to_pandas(), ["lang"])
 
 
 def verdict_rollup(sf_dir: str) -> pa.Table:
@@ -305,7 +331,7 @@ def verdict_rollup(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_rows": 1,
             "n_violations": (
                 t.column("n_chars").to_numpy(zero_copy_only=False) < 200
@@ -313,11 +339,14 @@ def verdict_rollup(sf_dir: str) -> pa.Table:
         })
         return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
-    df = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                     ["lang"], ["n_rows", "n_violations"]).to_pandas()
+    df = _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_rows", "n_violations"]).to_pandas(), ["lang"])
     df["pass_rate"] = 1.0 - df["n_violations"].astype(np.float64) / df["n_rows"]
-    df["status"] = np.where(df.pass_rate >= PASS_RATE_GOOD, "good",
-                            np.where(df.pass_rate >= PASS_RATE_OK, "ok", "needs_improvement"))
+    # thresholds pinned to 0.9/0.7 to stay expression-identical to the SQL
+    # oracle (do NOT read them from config; the oracle cannot follow)
+    df["status"] = np.where(df.pass_rate >= 0.9, "good",
+                            np.where(df.pass_rate >= 0.7, "ok", "needs_improvement"))
     df["verdict"] = np.where(df.n_violations == 0, "PASS", "FAIL")
     return df
 
@@ -360,45 +389,41 @@ def windowed_events(sf_dir: str) -> pa.Table:
 def asof_last_order(sf_dir: str) -> pa.Table:
     """As-of lookup (custom operator): for each event, the latest
     o_orderdate of the same customer at or before the event time.
-    Broadcast small side (orders sorted by (custkey, date)) + vectorized
-    searchsorted per batch — no shuffle."""
+    Broadcast small side (orders sorted by date) + vectorized
+    ``pd.merge_asof`` per batch — no shuffle, no key-encoding arithmetic
+    (an earlier custkey*span+date int64 encoding overflowed past sf0.1)."""
     import pyarrow.parquet as pq
     import ray
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
-    ck = orders.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    od = orders.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    base = int(od.min()) if len(od) else 0
-    span = int(od.max()) - base + 1 if len(od) else 1
-    enc = ck * span + (od - base)
-    order_ref = ray.put((np.sort(enc), base, span))
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).to_pandas()
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders = orders.sort_values("o_orderdate", kind="mergesort").rename(
+        columns={"o_custkey": "user_id"}
+    )
+    order_ref = ray.put(orders)
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     class AsOf:
         def __init__(self, ref):
-            self.enc, self.base, self.span = ray.get(ref)
+            self.orders = ray.get(ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-            q = uid * self.span + np.clip(ts - self.base, -1, self.span - 1)
-            pos = np.searchsorted(self.enc, q, side="right") - 1
-            ok = pos >= 0
-            hit = np.where(ok, self.enc[np.clip(pos, 0, None)], 0)
-            same_key = ok & (hit // self.span == uid)
-            date_us = np.where(same_key, hit % self.span + self.base, 0)
-            return pa.table({
-                "event_id": t.column("event_id"),
-                "last_order_date": pa.array(
-                    [int(d) if k else None for d, k in zip(date_us.tolist(), same_key.tolist())],
-                    type=pa.timestamp("us"),
-                ),
-            })
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["ts"] = df["ts"].astype("datetime64[us]")
+            df = df.sort_values("ts", kind="mergesort")
+            out = pd.merge_asof(
+                df, self.orders, left_on="ts", right_on="o_orderdate",
+                by="user_id", direction="backward",
+            )
+            out = out.rename(columns={"o_orderdate": "last_order_date"})
+            return out[["event_id", "last_order_date"]]
 
     return ds.map_batches(
         AsOf, fn_constructor_kwargs={"ref": order_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pandas", concurrency=(1, 4),
     ).to_pandas()
 
 
@@ -525,14 +550,15 @@ def bpe_token_count(sf_dir: str) -> pa.Table:
         texts = t.column("text").to_numpy(zero_copy_only=False)
         toks = np.array([bpe_ish_token_count(x) for x in texts], dtype=np.int64)
         df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_docs": 1,
             "bpe_tokens": toks,
         })
         return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["lang"], ["n_docs", "bpe_tokens"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_docs", "bpe_tokens"]).to_pandas(), ["lang"])
 
 
 def quality_check(sf_dir: str) -> pa.Table:
@@ -554,14 +580,15 @@ def quality_check(sf_dir: str) -> pa.Table:
         alpha_ratio = n_alpha / np.clip(n_chars, 1, None)
         low = (n_words < 5) | (mean_wl > 12.0) | (alpha_ratio < 0.5)
         df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_docs": 1,
             "n_low_quality": low.astype(np.int64),
         })
         return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["lang"], ["n_docs", "n_low_quality"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n_docs", "n_low_quality"]).to_pandas(), ["lang"])
 
 
 def langid_confusion(sf_dir: str) -> pa.Table:
@@ -731,6 +758,7 @@ def asof_bucketed(sf_dir: str) -> pa.Table:
         n_buckets=8,
     ).to_pandas()
     out = out.rename(columns={"o_orderdate": "last_order_date"})
+    out["event_id"] = out["event_id"].astype(np.int64)
     return out[["event_id", "last_order_date"]]
 
 

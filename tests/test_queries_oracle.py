@@ -29,7 +29,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    df = df.sort_values(list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     return df
 
 
@@ -93,3 +93,57 @@ def test_rows_only_queries_run_and_are_deterministic(ray_session, name):
     a = _norm(a)
     b = _norm(b)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def null_sf(ray_session, tmp_path_factory):
+    """A documents table WITH nulls in lang/text/source — exercises the
+    SQL NULL-group semantics the shipped fixtures never hit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("null_sf"))
+    n = 400
+    rng = np.random.default_rng(7)
+    langs = np.array(["en", "de", None, "fr"], dtype=object)[rng.integers(0, 4, n)]
+    texts = np.array([f"word{i} text sample number {i}" for i in range(n)], dtype=object)
+    texts[::50] = None
+    sources = np.array([f"src{i%20}" for i in range(n)], dtype=object)
+    sources[::70] = None
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n)),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+        "source": pa.array(sources, type=pa.string()),
+        "n_chars": pa.array([len(x) if x else 0 for x in texts], type=pa.int64()),
+    })
+    pq.write_table(t, f"{d}/documents.parquet")
+    return d
+
+
+NULL_SENSITIVE = [
+    "presence_check", "referential_lang_check", "stats_profile",
+    "distinct_sources", "exact_dedup", "keyword_check", "token_count",
+    "verdict_rollup", "bpe_token_count", "quality_check",
+]
+
+
+@pytest.mark.parametrize("name", NULL_SENSITIVE)
+def test_null_groups_match_oracle(ray_session, null_sf, name):
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM '{null_sf}/documents.parquet'")
+    got = entrymod.queries()[name](null_sf)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = c.sql(entrymod.oracle_sql()[name]).df()
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    g, w = _norm(got), _norm(want)
+    for col in g.columns:
+        if pd.api.types.is_float_dtype(w[col]):
+            assert np.allclose(g[col].astype(float), w[col].astype(float),
+                               rtol=1e-12, equal_nan=True), f"{name}:{col}"
+        else:
+            gl = g[col].where(g[col].notna(), None).tolist()
+            wl = w[col].where(w[col].notna(), None).tolist()
+            assert gl == wl, f"{name}:{col}"
