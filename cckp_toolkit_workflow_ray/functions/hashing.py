@@ -58,3 +58,17 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     arr = pd.array(values) if not isinstance(values, (pd.Series, np.ndarray)) else values
     key = hashlib.blake2b(str(seed).encode(), digest_size=8).hexdigest()
     return pd.util.hash_array(np.asarray(arr, dtype=object), hash_key=key, categorize=False).astype(np.uint64)
+
+
+def byte_kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Hashes of all k-byte windows of ``data`` (polynomial rolling hash +
+    splitmix finalizer), vectorized via strided windows.  Shared by the
+    char-shingle dedup path and the winnowing fingerprinter."""
+    if len(data) < k:
+        data = data + b"\x00" * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        h = (windows * mult[::-1]).sum(axis=1)
+    return splitmix64(h)

@@ -1,0 +1,26 @@
+"""Shared NULL-group-key handling.
+
+SQL GROUP BY keeps a NULL group; pandas groupby drops NaN keys and Ray's
+groupby cannot sort None keys.  Operators that must match SQL semantics
+map null string keys to a sentinel before grouping and restore None at
+the output surface.  (Null *numeric* keys remain unsupported as group
+keys — they are dropped, documented per operator.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+NULL_KEY = "\x00__null__"
+
+
+def sentinel_nulls(series: pd.Series) -> pd.Series:
+    """Replace nulls with the sentinel (object/string series only)."""
+    return series.where(series.notna(), NULL_KEY)
+
+
+def restore_null_keys(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    for k in keys:
+        if k in df.columns and df[k].dtype == object:
+            df[k] = df[k].where(df[k] != NULL_KEY, None)
+    return df

@@ -160,11 +160,9 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     b = (text or "").encode("utf-8", "ignore")
     if len(b) < k:
         return np.empty(0, dtype=np.uint64)
-    arr = np.frombuffer(b, dtype=np.uint8)
-    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        h = splitmix64((windows * mult[::-1]).sum(axis=1))
+    from .hashing import byte_kgram_hashes
+
+    h = byte_kgram_hashes(b, k)
     if h.size <= window:
         return np.unique(h.min(keepdims=True))
     mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)

@@ -40,22 +40,11 @@ def _sum_by_key(partials, keys: list[str], cols: list[str]):
     )
 
 
-# SQL GROUP BY keeps a NULL group; pandas groupby drops NaN keys and Ray's
-# groupby cannot sort None keys.  The combiners therefore map null keys to
-# a sentinel before grouping and the query surface restores None at the
-# end, so engine output matches the oracles' NULL groups exactly.
-_NULL_KEY = "\x00__null__"
-
-
-def _sentinel_nulls(series: pd.Series) -> pd.Series:
-    return series.where(series.notna(), _NULL_KEY)
-
-
-def _restore_null_keys(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-    for k in keys:
-        if df[k].dtype == object:
-            df[k] = df[k].where(df[k] != _NULL_KEY, None)
-    return df
+# SQL GROUP BY keeps a NULL group; see functions/nulls.py for the shared
+# sentinel machinery the combiners use to match the oracles' NULL groups.
+from ..functions.nulls import NULL_KEY as _NULL_KEY
+from ..functions.nulls import restore_null_keys as _restore_null_keys
+from ..functions.nulls import sentinel_nulls as _sentinel_nulls
 
 
 # ---------------------------------------------------------------------------

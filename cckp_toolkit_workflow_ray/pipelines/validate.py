@@ -235,7 +235,8 @@ def validate(
         "extractor_version": EXTRACTOR_VERSION,
         "config_fingerprint": hashlib.sha256(
             json.dumps(
-                {k: v for k, v in vars(cfg).items() if not isinstance(v, dict)},
+                {k: (sorted(v.items()) if isinstance(v, dict) else v)
+                 for k, v in vars(cfg).items()},
                 sort_keys=True, default=str,
             ).encode()
         ).hexdigest()[:16],

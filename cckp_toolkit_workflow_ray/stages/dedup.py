@@ -32,23 +32,40 @@ from ..functions.hashing import hash_strings, splitmix64
 # ---------------------------------------------------------------------------
 
 
-def find_duplicate_int_keys(ds, partial_fn, batch_size: int = 65536) -> pd.DataFrame:
-    """Run ``partial_fn`` (batch -> pa.Table with int64 'key' + 'n') over
-    ``ds``, then return a DataFrame (key, n) of keys with global n > 1."""
+def find_duplicate_int_keys(ds, partial_fn, batch_size: int = 65536,
+                            key_cols: list[str] | None = None) -> pd.DataFrame:
+    """Run ``partial_fn`` (batch -> pa.Table with int64 key column(s) +
+    'n') over ``ds``, then return a DataFrame of keys with global n > 1.
+
+    64-bit single keys are fine for *candidate generation* (LSH buckets —
+    every emitted pair is exactly verified afterwards); anything that
+    DECIDES on hash equality alone must pass two independent key columns
+    (the 128-bit motif, see exact_dedup_dataset / uniqueness.py).
+    """
     from .groupagg import candidate_duplicates
 
+    key_cols = key_cols or ["key"]
     partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=batch_size)
-    cands = candidate_duplicates(partials, ["key"], "n").to_pandas()
+    cands = candidate_duplicates(partials, key_cols, "n").to_pandas()
     if cands.empty:
-        return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+        return pd.DataFrame({**{k: pd.Series([], dtype="int64") for k in key_cols},
                              "n": pd.Series([], dtype="int64")})
-    totals = cands.groupby("key", as_index=False)["n"].sum()
+    totals = cands.groupby(key_cols, as_index=False)["n"].sum()
     return totals[totals["n"] > 1].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
+
+
+def _pair_keys(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content key as two independently-keyed 64-bit hashes —
+    collision probability ~3e-15 at 10^12 docs, so deciding on key
+    equality never silently merges distinct documents (the same motif as
+    uniqueness.py)."""
+    return (hash_strings(texts, seed=7).astype(np.int64),
+            hash_strings(texts, seed=8).astype(np.int64))
 
 
 def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -58,7 +75,7 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
     Two pruned passes + one filtered full pass; only the (rare) duplicated
     content keys and their winning ids are ever centralized:
 
-    1. find duplicated content-hash keys (rare-duplicate-key groupby);
+    1. find duplicated 128-bit content keys (rare-duplicate-key groupby);
     2. recover ``min(id)`` per duplicated key via a broadcast-filtered
        scan (per-batch combine keeps the transfer ≤ |dup_keys| per batch);
     3. stream the full dataset, keeping rows whose key is not duplicated
@@ -68,52 +85,42 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
 
     def key_partial(t: pa.Table) -> pa.Table:
-        keys = hash_strings(
-            t.column(text_col).to_numpy(zero_copy_only=False), seed=7
-        ).astype(np.int64)
-        uniq, counts = np.unique(keys, return_counts=True)
-        return pa.table({"key": uniq, "n": counts.astype(np.int64)})
+        k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
+        g = pd.DataFrame({"k1": k1, "k2": k2}).groupby(
+            ["k1", "k2"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     pruned = ds.select_columns([text_col]) if hasattr(ds, "select_columns") else ds
-    dup_keys = find_duplicate_int_keys(pruned, key_partial, batch_size)
+    dup_keys = find_duplicate_int_keys(pruned, key_partial, batch_size,
+                                       key_cols=["k1", "k2"])
     if dup_keys.empty:
         return ds
-    dup_sorted = np.sort(dup_keys["key"].to_numpy())
+    dup_pairs = dup_keys[["k1", "k2"]]
 
     def winners_partial(t: pa.Table) -> pa.Table:
-        keys = hash_strings(
-            t.column(text_col).to_numpy(zero_copy_only=False), seed=7
-        ).astype(np.int64)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(dup_sorted, keys), 0, dup_sorted.size - 1)
-        sel = dup_sorted[pos] == keys
-        if not sel.any():
-            return pa.table({"key": pa.array([], type=pa.int64()),
-                             "winner": pa.array([], type=pa.int64())})
-        df = pd.DataFrame({"key": keys[sel], "winner": ids[sel]})
-        g = df.groupby("key", as_index=False)["winner"].min()
+        k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"k1": k1, "k2": k2,
+                           "winner": t.column(id_col).to_numpy(zero_copy_only=False)})
+        m = df.merge(dup_pairs, on=["k1", "k2"])
+        g = m.groupby(["k1", "k2"], as_index=False)["winner"].min()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     wp = ds.select_columns([text_col, id_col]).map_batches(
         winners_partial, batch_format="pyarrow", batch_size=batch_size
     ).to_pandas()
-    winners = wp.groupby("key")["winner"].min()
-    wkeys = winners.index.to_numpy()
-    wids = winners.to_numpy()
-    order = np.argsort(wkeys)
-    wkeys, wids = wkeys[order], wids[order]
+    winners = wp.groupby(["k1", "k2"], as_index=False)["winner"].min()
 
-    def keep(t: pa.Table) -> pa.Table:
-        keys = hash_strings(
-            t.column(text_col).to_numpy(zero_copy_only=False), seed=7
-        ).astype(np.int64)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(wkeys, keys), 0, max(0, wkeys.size - 1))
-        is_dup = (wkeys.size > 0) & (wkeys[pos] == keys)
-        keep_mask = ~is_dup | (ids == wids[pos])
-        return t.filter(pa.array(keep_mask))
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        k1, k2 = _pair_keys(df[text_col].to_numpy())
+        probe = pd.DataFrame({"k1": k1, "k2": k2})
+        m = probe.merge(winners, on=["k1", "k2"], how="left")
+        keep_mask = m["winner"].isna().to_numpy() | (
+            m["winner"].to_numpy() == df[id_col].to_numpy()
+        )
+        return df[keep_mask]
 
-    return ds.map_batches(keep, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(keep, batch_format="pandas", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -135,17 +142,9 @@ def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
 
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Distinct hashed character k-shingles of one document (uint64)."""
-    b = text.encode("utf-8", "ignore")
-    if len(b) < k:
-        b = b + b"\x00" * (k - len(b))
-    arr = np.frombuffer(b, dtype=np.uint8)
-    n = arr.size - k + 1
-    # polynomial rolling hash, fully vectorized via strided windows
-    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
-    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        h = (windows * mult[::-1]).sum(axis=1)
-    return np.unique(splitmix64(h))
+    from ..functions.hashing import byte_kgram_hashes
+
+    return np.unique(byte_kgram_hashes(text.encode("utf-8", "ignore"), k))
 
 
 _MINHASH_P = np.uint64((1 << 61) - 1)

@@ -94,7 +94,16 @@ def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
         # reindex materializes the expected columns as nulls
         lg = g[g["__side"] == 0].reindex(columns=left_cols)
         rg = g[g["__side"] == 1].reindex(columns=right_cols)
-        return lg.merge(rg, on=on, how=how)
+        # SQL equi-join semantics: NULL keys match nothing (pandas would
+        # match NaN to NaN); null-key left rows survive only a left join
+        lg_null = lg[lg[on].isna()]
+        lg = lg[lg[on].notna()]
+        rg = rg[rg[on].notna()]
+        out = lg.merge(rg, on=on, how=how)
+        if how == "left" and len(lg_null):
+            out = pd.concat([out, lg_null.reindex(columns=out.columns)],
+                            ignore_index=True)
+        return out
 
     return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
@@ -106,6 +115,16 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
     large sides: bucket by key hash, sort within the bucket group, and
     ``pd.merge_asof`` per bucket."""
     left_cols = [c for c in left.schema().names]
+    right_schema = right.schema()
+    right_pd_nulls = {}
+    for name, typ in zip(right_schema.names, right_schema.types):
+        if name in right_cols or name == right_ts:
+            if pa.types.is_timestamp(typ):
+                right_pd_nulls[name] = pd.NaT
+            elif pa.types.is_floating(typ) or pa.types.is_integer(typ):
+                right_pd_nulls[name] = np.nan
+            else:
+                right_pd_nulls[name] = None
     l = _with_bucket_and_tag(left, key, n_buckets, 0, batch_size)
     r = _with_bucket_and_tag(right, key, n_buckets, 1, batch_size)
 
@@ -114,11 +133,24 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
         rg = g[g["__side"] == 1].reindex(columns=[key, right_ts, *right_cols])
         if lg.empty:
             return lg
+        # NULL keys match nothing (as-of is left-join-shaped: keep them)
+        lg_null = lg[lg[key].isna()]
+        lg = lg[lg[key].notna()]
+        rg = rg[rg[key].notna()]
         lg = lg.sort_values([ts, key], kind="mergesort")
+
+        def _pad(df):
+            # typed nulls matching merge_asof's output dtypes, so blocks
+            # from empty-right buckets unify with the rest
+            for c in (right_ts, *right_cols):
+                df[c] = right_pd_nulls.get(c)
+            return df
+
         if rg.empty:
-            for c in right_cols:
-                lg[c] = pd.NA
-            return lg
+            out = _pad(lg)
+            if len(lg_null):
+                out = pd.concat([out, _pad(lg_null.copy())], ignore_index=True)
+            return out
         rg = rg.sort_values([right_ts, key], kind="mergesort")
         # blocks from the two union branches can deserialize with
         # different datetime units (us vs ns); merge_asof requires equal
@@ -126,9 +158,12 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
         if pd.api.types.is_datetime64_any_dtype(lg[ts]):
             lg[ts] = lg[ts].astype("datetime64[us]")
             rg[right_ts] = rg[right_ts].astype("datetime64[us]")
-        return pd.merge_asof(
+        out = pd.merge_asof(
             lg, rg[[key, right_ts, *right_cols]],
             left_on=ts, right_on=right_ts, by=key, direction="backward",
         )
+        if len(lg_null):
+            out = pd.concat([out, _pad(lg_null.copy())], ignore_index=True)
+        return out
 
     return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -162,19 +162,44 @@ def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
         bucket_membership, batch_format="pyarrow", batch_size=batch_size
     ).to_pandas()
     pairs = set()
+    dropped = 0
     for _, grp in mem.groupby("bucket"):
         docs = sorted(set(grp["doc"]))
-        if len(docs) < 2 or len(docs) > 1000:  # skip degenerate giant buckets
+        if len(docs) > 1000:  # degenerate giant bucket (near-zero vectors etc.)
+            dropped += 1
+            continue
+        if len(docs) < 2:
             continue
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
                 pairs.add((docs[i], docs[j]))
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"near_dup_cosine_lsh: skipped {dropped} bucket(s) with >1000 "
+            "members — recall may be reduced for those regions"
+        )
     if not pairs:
         return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
 
+    # verification: fetch ONLY the candidate docs' vectors via a filtered
+    # scan (bounded by |candidates|), never the whole embedding table —
+    # this function exists precisely for corpora too big to materialize
     cand = pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
-    vecs = ds.select_columns([id_col, vec_col]).to_pandas()
-    vm = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64) for _, r in vecs.iterrows()}
+    cand_ids = np.array(sorted({d for p in pairs for d in p}), dtype=np.int64)
+
+    def fetch_candidates(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cand_ids, ids), 0, cand_ids.size - 1)
+        sel = cand_ids[pos] == ids
+        return t.filter(pa.array(sel))
+
+    vecs = ds.select_columns([id_col, vec_col]).map_batches(
+        fetch_candidates, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    vm = {int(i): np.asarray(v, dtype=np.float64)
+          for i, v in zip(vecs[id_col], vecs[vec_col])}
     sims = []
     for r in cand.itertuples():
         a, b = vm[r.id_a], vm[r.id_b]

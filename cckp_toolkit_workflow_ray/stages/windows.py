@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.nulls import restore_null_keys, sentinel_nulls
+
 
 def _partial_counts(key_col: str, win_col: str, value_col: str | None):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,8 +46,11 @@ def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        keys = pd.Series(t.column(key_col).to_numpy(zero_copy_only=False))
+        if keys.dtype == object:
+            keys = sentinel_nulls(keys)  # SQL keeps a NULL group
         df = pd.DataFrame({
-            key_col: t.column(key_col).to_numpy(zero_copy_only=False),
+            key_col: keys,
             "window_start_us": (us // size_us) * size_us,
         })
         if value_col is not None:
@@ -56,10 +61,13 @@ def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
     aggs = [Sum("n_events", alias_name="n_events")]
     if value_col is not None:
         aggs.append(Sum("sum_value", alias_name="sum_value"))
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([key_col, "window_start_us"])
         .aggregate(*aggs)
+    )
+    return out.map_batches(
+        lambda df: restore_null_keys(df, [key_col]), batch_format="pandas"
     )
 
 
@@ -73,11 +81,13 @@ def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
 
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        keys = pd.Series(t.column(key_col).to_numpy(zero_copy_only=False))
+        if keys.dtype == object:
+            keys = sentinel_nulls(keys)
         base = (us // hop_us) * hop_us
         starts = base[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_us
         df = pd.DataFrame({
-            key_col: np.repeat(keys, k),
+            key_col: np.repeat(keys.to_numpy(), k),
             "window_start_us": starts.ravel(),
         })
         g = df.groupby([key_col, "window_start_us"], as_index=False).size()
@@ -85,10 +95,13 @@ def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
             g.rename(columns={"size": "n_events"}), preserve_index=False
         )
 
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([key_col, "window_start_us"])
         .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+    return out.map_batches(
+        lambda df: restore_null_keys(df, [key_col]), batch_format="pandas"
     )
 
 
@@ -124,6 +137,16 @@ def session_window(ds, ts_col: str, key_col: str, gap_us: int,
         return out
 
     cols = [key_col, ts_col, *order_cols]
-    return ds.select_columns(cols).groupby(key_col).map_groups(
-        sessionize, batch_format="pandas"
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if df[key_col].dtype == object:
+            df = df.copy()
+            df[key_col] = sentinel_nulls(df[key_col])
+        return df
+
+    out = ds.select_columns(cols).map_batches(pre, batch_format="pandas").groupby(
+        key_col
+    ).map_groups(sessionize, batch_format="pandas")
+    return out.map_batches(
+        lambda df: restore_null_keys(df, [key_col]), batch_format="pandas"
     )

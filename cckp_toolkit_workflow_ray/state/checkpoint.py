@@ -39,15 +39,19 @@ MANIFEST_NAME = "manifest.json"
 
 def config_fingerprint(cfg: ValidationConfig) -> str:
     payload = json.dumps(
-        {k: v for k, v in vars(cfg).items() if not isinstance(v, dict)},
+        {k: (sorted(v.items()) if isinstance(v, dict) else v)
+         for k, v in vars(cfg).items()},
         sort_keys=True, default=str,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def _input_lineage(files: list[str]) -> list[dict]:
+    # (size, mtime) is the invalidation key: an in-place rewrite that
+    # keeps the byte size still bumps mtime, so the partition re-runs
     return [
-        {"path": f, "size": os.path.getsize(f)}
+        {"path": f, "size": os.path.getsize(f),
+         "mtime_ns": os.stat(f).st_mtime_ns}
         for f in sorted(files)
     ]
 
