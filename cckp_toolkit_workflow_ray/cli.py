@@ -30,11 +30,14 @@ def _ensure_ray(num_cpus: int | None):
     if not ray.is_initialized():
         kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
                       logging_level="ERROR")
-        if num_cpus is not None:
-            kwargs["num_cpus"] = num_cpus
         # honor a cluster address from the job environment (ray job
-        # submit); default to a fresh local instance otherwise
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+        # submit); default to a fresh local instance otherwise.  num_cpus
+        # is only legal when STARTING a local instance — passing it while
+        # connecting to an existing cluster raises in ray.init
+        address = os.environ.get("RAY_ADDRESS", "local")
+        if num_cpus is not None and address == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=address, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -56,6 +59,7 @@ def main(argv=None) -> int:
     pc.add_argument("--name", required=True)
     pc.add_argument("--input", required=True)
     pc.add_argument("--out", required=True)
+    pc.add_argument("--reference", help="reference profile JSON")
 
     pp = sub.add_parser("profile", help="build a reference profile from a clean corpus")
     pp.add_argument("--input", required=True)
@@ -90,7 +94,9 @@ def main(argv=None) -> int:
         return 0 if res.overall_verdict() != "FAIL" else 1
 
     if args.cmd == "check":
-        res = run_check(args.name, args.input, out_dir=args.out)
+        ref = ReferenceProfile.load(args.reference) if args.reference else None
+        res = run_check(args.name, args.input, out_dir=args.out,
+                        reference_profile=ref)
         print(json.dumps(res.report, indent=2, sort_keys=True))
         return 0 if res.overall_verdict() != "FAIL" else 1
 

@@ -82,6 +82,19 @@ class ValidationConfig:
         return self.severities.get(check, "error")
 
 
+KNOWN_CHECKS = frozenset(ROW_CHECKS + SHUFFLE_CHECKS + PROFILE_CHECKS)
+
+
+def validate_check_names(checks) -> None:
+    """Fail fast on unknown check names (main.nf:49-59 analog) — a typo'd
+    check would otherwise silently produce PASS verdicts."""
+    unknown = sorted(set(checks) - KNOWN_CHECKS)
+    if unknown:
+        raise ValueError(
+            f"unknown check name(s) {unknown}; known checks: {sorted(KNOWN_CHECKS)}"
+        )
+
+
 def tri_level(pass_rate: float, n_rows: int, cfg: ValidationConfig) -> tuple[str, float]:
     """(status, score) per the reference's threshold scorer
     (analyze_joss.py:302-345): zero evaluated rows -> unknown/0.0."""

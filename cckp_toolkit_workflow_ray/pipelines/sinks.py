@@ -15,14 +15,26 @@ import os
 import pyarrow.fs as pafs
 
 
+_COPY_CHUNK = 8 << 20  # 8 MiB
+
+
 def publish_outputs(out_dir: str, target_uri: str) -> list[str]:
     """Copy a validation run's artifacts to ``target_uri``.
 
-    Returns the list of published paths.  Idempotent: re-publishing
-    overwrites (the reference's ``synapse store`` loop is likewise
-    last-write-wins).
+    Returns the list of published paths.  Idempotent at the RUN level:
+    the target subtree is cleared first, because parquet part files carry
+    per-run UUID names — merely overwriting same-named files would
+    accumulate stale parts from earlier runs.  Relative local targets are
+    resolved to absolute paths (FileSystem.from_uri requires a scheme or
+    an absolute path).
     """
+    if "://" not in target_uri:
+        target_uri = os.path.abspath(target_uri)
     fs, target_root = pafs.FileSystem.from_uri(target_uri)
+    try:
+        fs.delete_dir_contents(target_root, missing_dir_ok=True)
+    except (OSError, NotImplementedError):
+        pass  # fresh target or a store without directory semantics
     local = pafs.LocalFileSystem()
     published = []
     for base, _, files in os.walk(out_dir):
@@ -32,7 +44,11 @@ def publish_outputs(out_dir: str, target_uri: str) -> list[str]:
             dst = f"{target_root}/{rel}"
             fs.create_dir(os.path.dirname(dst), recursive=True)
             with local.open_input_stream(src) as r, fs.open_output_stream(dst) as w:
-                w.write(r.read())
+                while True:
+                    chunk = r.read(_COPY_CHUNK)
+                    if not chunk:
+                        break
+                    w.write(chunk)
             published.append(dst)
     return sorted(published)
 

@@ -40,9 +40,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import ValidationConfig
+from ..config import ValidationConfig, validate_check_names
 from ..functions.extract import EXTRACTOR_VERSION
-from ..schema import STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance
+from ..schema import (STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance,
+                      ensure_parquet_dir)
 from ..stages.checks import CheckSuite, make_check_fn
 from ..stages.profile import (
     ReferenceProfile,
@@ -51,6 +52,7 @@ from ..stages.profile import (
 )
 from ..stages.uniqueness import duplicate_urls, duplicates_to_violations
 from ..stages.verdicts import assemble_verdicts
+from ..state.checkpoint import config_fingerprint as _config_fingerprint
 
 
 def _dataset_schema(ds) -> pa.Schema | None:
@@ -148,11 +150,15 @@ def validate(
     import ray.data as rd
 
     cfg = config or ValidationConfig()
+    validate_check_names(cfg.checks)
     if reference_profile is not None:
         # the reference profile is the authoritative membership set for
         # the referential check (RunAlmanack.nf:77-78 chain analog)
         cfg = _dc_replace(cfg, valid_langs=tuple(reference_profile.valid_langs))
-    paths = source if isinstance(source, (str, list, tuple)) else None
+    paths = None
+    if isinstance(source, (str, list, tuple)):
+        # Ray's read_parquet rejects tuples — normalize to a list
+        paths = list(source) if isinstance(source, (list, tuple)) else source
     ds = rd.read_parquet(paths) if paths is not None else source
 
     # fail-fast physical-schema gate (main.nf:49-66 analog); an empty
@@ -187,6 +193,7 @@ def validate(
     # coalesce the tiny derived stream into a few files so downstream
     # re-reads don't pay per-file task overhead
     stream.repartition(16).write_parquet(stream_dir)
+    ensure_parquet_dir(stream_dir, STREAM_SCHEMA)
     timer.lap("stream pass")
 
     dups = None
@@ -204,17 +211,15 @@ def validate(
     # ---- violations table (incl. uniqueness shuffle results) -------------
     viol_ds = stream_ds.map_batches(_stream_to_violations, batch_format="pyarrow")
     if dups is not None:
-        dup_viols = dups.map_batches(duplicates_to_violations, batch_format="pyarrow")
+        sev = cfg.severity("uniqueness_url")
+        dup_viols = dups.map_batches(
+            lambda t: duplicates_to_violations(t, severity=sev),
+            batch_format="pyarrow",
+        )
         viol_ds = viol_ds.union(dup_viols)
     viol_ds.write_parquet(viol_dir)
+    ensure_parquet_dir(viol_dir, VIOLATIONS_SCHEMA)
     timer.lap("violations write")
-    # an empty result writes no files; keep the contract that the violations
-    # directory is always a readable parquet table with the declared schema
-    os.makedirs(viol_dir, exist_ok=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(viol_dir)):
-        pq.write_table(
-            VIOLATIONS_SCHEMA.empty_table(), os.path.join(viol_dir, "empty.parquet")
-        )
 
     # ---- small derived tables --------------------------------------------
     counts_df = violation_counts(viol_dir)
@@ -233,13 +238,7 @@ def validate(
 
     report = {
         "extractor_version": EXTRACTOR_VERSION,
-        "config_fingerprint": hashlib.sha256(
-            json.dumps(
-                {k: (sorted(v.items()) if isinstance(v, dict) else v)
-                 for k, v in vars(cfg).items()},
-                sort_keys=True, default=str,
-            ).encode()
-        ).hexdigest()[:16],
+        "config_fingerprint": _config_fingerprint(cfg),
         "n_rows": int(sum(p["n_rows"] for p in profiles.values())),
         "n_violations": int(counts_df["n_violations"].sum()) if len(counts_df) else 0,
         "violations_by_check": {
@@ -278,7 +277,9 @@ def build_reference_profile(source, config: ValidationConfig | None = None) -> R
 
     cfg = config or ValidationConfig()
     profile_cfg = ValidationConfig(**{**vars(cfg), "checks": ()})
-    ds = rd.read_parquet(source) if isinstance(source, (str, list, tuple)) else source
+    if isinstance(source, (list, tuple)):
+        source = list(source)
+    ds = rd.read_parquet(source) if isinstance(source, (str, list)) else source
     stream = ds.map_batches(
         make_check_fn(profile_cfg),
         batch_size=cfg.batch_size,

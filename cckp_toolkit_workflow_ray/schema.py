@@ -116,3 +116,16 @@ def check_conformance(observed: pa.Schema, declared: pa.Schema = PAGES_SCHEMA) -
             "input schema does not conform to the declared pages schema: "
             + "; ".join(problems)
         )
+
+
+def ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
+    """Guarantee ``path`` is a readable parquet directory: a 0-row
+    ``write_parquet`` produces no files, so back-fill one empty file with
+    the declared schema (the empty-input contract, FIXTURES.md)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))

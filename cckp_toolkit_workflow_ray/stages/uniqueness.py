@@ -239,7 +239,8 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None):
 
     def pages_scan():
         if isinstance(source, (str, list, tuple)):
-            return rd.read_parquet(source, columns=["url", "lang"])
+            paths = list(source) if isinstance(source, (list, tuple)) else source
+            return rd.read_parquet(paths, columns=["url", "lang"])
         return source.select_columns(["url", "lang"])
 
     if cfg.uniqueness_strategy == "index":
@@ -271,7 +272,7 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None):
     )
 
 
-def duplicates_to_violations(dups: pa.Table) -> pa.Table:
+def duplicates_to_violations(dups: pa.Table, severity: str = "error") -> pa.Table:
     """Long-form violation rows: one per duplicated url (keyed identity)."""
     n = dups.num_rows
     details = [f"url occurs {k} times" for k in dups.column("n").to_pylist()]
@@ -280,7 +281,7 @@ def duplicates_to_violations(dups: pa.Table) -> pa.Table:
             dups.column("url").cast(pa.string()),
             dups.column("lang_min").cast(pa.string()),
             pa.array(["uniqueness_url"] * n, type=pa.string()),
-            pa.array(["error"] * n, type=pa.string()),
+            pa.array([severity] * n, type=pa.string()),
             pa.array(details, type=pa.string()),
         ],
         schema=VIOLATIONS_SCHEMA,

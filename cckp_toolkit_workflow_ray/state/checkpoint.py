@@ -32,7 +32,8 @@ import pyarrow.parquet as pq
 
 from ..config import ValidationConfig
 from ..functions.extract import EXTRACTOR_VERSION
-from ..schema import STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance
+from ..schema import (STREAM_SCHEMA, VIOLATIONS_SCHEMA, check_conformance,
+                      ensure_parquet_dir)
 
 MANIFEST_NAME = "manifest.json"
 
@@ -127,7 +128,10 @@ def run_partitioned_validation(
     from ..stages.uniqueness import duplicate_urls, duplicates_to_violations
     from ..stages.verdicts import assemble_verdicts
 
+    from ..config import validate_check_names
+
     cfg = config or ValidationConfig()
+    validate_check_names(cfg.checks)
     if reference_profile is not None:
         from dataclasses import replace as _dc_replace
 
@@ -162,14 +166,7 @@ def run_partitioned_validation(
             make_check_fn(cfg), batch_size=cfg.batch_size, batch_format="pyarrow"
         )
         stream.repartition(2).write_parquet(os.path.join(tmp_dir, "stream"))
-        os.makedirs(os.path.join(tmp_dir, "stream"), exist_ok=True)
-        if not any(
-            f.endswith(".parquet") for f in os.listdir(os.path.join(tmp_dir, "stream"))
-        ):
-            pq.write_table(
-                STREAM_SCHEMA.empty_table(),
-                os.path.join(tmp_dir, "stream", "empty.parquet"),
-            )
+        ensure_parquet_dir(os.path.join(tmp_dir, "stream"), STREAM_SCHEMA)
         # partition metrics for the manifest (lineage + stats)
         import pyarrow.dataset as pads
 
@@ -210,15 +207,15 @@ def run_partitioned_validation(
     dups = None
     if "uniqueness_url" in cfg.checks:
         dups = duplicate_urls(all_files, cfg).materialize()
+        sev = cfg.severity("uniqueness_url")
         viol_ds = viol_ds.union(
-            dups.map_batches(duplicates_to_violations, batch_format="pyarrow")
+            dups.map_batches(
+                lambda t: duplicates_to_violations(t, severity=sev),
+                batch_format="pyarrow",
+            )
         )
     viol_ds.write_parquet(viol_dir)
-    os.makedirs(viol_dir, exist_ok=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(viol_dir)):
-        pq.write_table(
-            VIOLATIONS_SCHEMA.empty_table(), os.path.join(viol_dir, "empty.parquet")
-        )
+    ensure_parquet_dir(viol_dir, VIOLATIONS_SCHEMA)
 
     counts_df = violation_counts(viol_dir)
     profiles = merge_profiles(stream_ds, cfg)
