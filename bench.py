@@ -49,7 +49,7 @@ BENCH_QUERIES = [
 
 def _pages_dir(n: int) -> str:
     """Generate (once) and cache the bench pages table under /tmp."""
-    out = f"/tmp/cckp_bench_pages_n{n}_s{SEED}"
+    out = f"/tmp/cckp_bench_pages_n{n}_s{SEED}_g2"  # _g2: generator rev (null-url class added)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         import shutil

@@ -24,6 +24,7 @@ class (index rule)              violated check           reference analog
 ``i % 1000 == 5``               presence(lang NULL)      ProcessRepo.nf:49-81
 ``i % 1000 == 6``               presence(warc_ts NULL)   ProcessRepo.nf:49-81
 ``i % 1000 == 13``              referential(lang='xx')   RunAlmanack.nf:77-78
+``i % 1000 == 21``              presence(url NULL)       ProcessRepo.nf:49-72
 ``i % 200 == 9`` (i>0)          uniqueness (url of i-1)  main.nf:101-102
 ``i % 500 == 11``               uniqueness hot-key       (skew exercise)
 ``i % 500 == 17``               extraction mismatch      ProcessRepo.nf:41-44
@@ -135,6 +136,8 @@ def page_batch(
         ts_valid &= m1000 != 6
         ref_bad = m1000 == 13
         langs[ref_bad] = "xx"
+        null_url = m1000 == 21
+        urls[null_url] = None
         dup = (idx % 200 == 9) & (idx > 0)
         if dup.any():
             prev = idx[dup] - 1

@@ -260,7 +260,9 @@ class CheckSuite:
                 try:
                     if extract_text(html_np[i]) != text_np[i]:
                         mismatch[i] = True
-                except (ValueError, UnicodeDecodeError):
+                except Exception:
+                    # never-abort semantics (errorStrategy 'ignore'): ANY
+                    # extractor failure is a violation, not a crash
                     mismatch[i] = True
             emit_violations(mismatch, "extraction", "extract_text(html) != text")
 

@@ -37,8 +37,10 @@ def oracle_violations(df: pd.DataFrame, cfg: ValidationConfig) -> pd.DataFrame:
                             lang_attr[i], f"presence_{c}"))
 
     if "url_format" in cfg.checks:
-        rx = re.compile(cfg.url_regex)
-        bad = ~pres["url"] & ~df["url"].fillna("").map(lambda u: bool(rx.match(u)))
+        # fullmatch of the unanchored pattern == RE2's ^...$ (end of TEXT,
+        # not Python re's before-trailing-newline '$')
+        rx = re.compile(cfg.url_regex.lstrip("^").rstrip("$"))
+        bad = ~pres["url"] & ~df["url"].fillna("").map(lambda u: bool(rx.fullmatch(u)))
         for i in df.index[bad]:
             out.append((df["url"][i], lang_attr[i], "url_format"))
 

@@ -31,7 +31,8 @@ SF = "/root/testdata/sf0.001"
 def _jaccard(a: str, b: str, k: int = 5) -> float:
     sa, sb = char_shingle_hashes(a, k), char_shingle_hashes(b, k)
     inter = np.intersect1d(sa, sb).size
-    return inter / (sa.size + sb.size - inter)
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
 
 
 @pytest.fixture(scope="module")

@@ -124,7 +124,9 @@ def test_generator_schema_and_determinism():
 
 def test_generator_seeded_violations_present():
     t = generate_pages_table(4000).to_pandas()
-    assert (~t["url"].str.startswith("https://", na=False)).sum() == 4  # i%1000==1
+    assert t["url"].isna().sum() == 4                                    # i%1000==21
+    bad_fmt = ~t["url"].str.startswith("https://", na=False) & t["url"].notna()
+    assert bad_fmt.sum() == 4                                            # i%1000==1
     assert t["text"].isna().sum() == 4
     assert (t["text"] == "").sum() == 4
     assert t["html"].isna().sum() == 4

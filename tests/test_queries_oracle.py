@@ -86,7 +86,7 @@ def test_rows_only_queries_run_and_are_deterministic(ray_session, name):
     a = fn(SF_DIR)
     if not isinstance(a, pd.DataFrame):
         a = a.to_pandas()
-    assert len(a) >= 0 and len(a.columns) > 0
+    assert len(a) > 0 and len(a.columns) > 0
     b = fn(SF_DIR)
     if not isinstance(b, pd.DataFrame):
         b = b.to_pandas()
@@ -138,6 +138,7 @@ def test_null_groups_match_oracle(ray_session, null_sf, name):
         got = got.to_pandas()
     want = c.sql(entrymod.oracle_sql()[name]).df()
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    assert sorted(got.columns) == sorted(want.columns), name
     g, w = _norm(got), _norm(want)
     for col in g.columns:
         if pd.api.types.is_float_dtype(w[col]):

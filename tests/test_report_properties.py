@@ -69,7 +69,7 @@ def test_tdigest_quantile_bounds_property(values, nsplit):
         assert arr.min() - 1e-9 <= v <= arr.max() + 1e-9
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500),
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500),
        st.integers(min_value=2, max_value=5))
 @settings(max_examples=50, deadline=None)
 def test_hll_merge_equals_bulk_property(hashes, nsplit):
@@ -96,7 +96,7 @@ def test_histogram_merge_exact_property(values, nsplit):
     assert bulk.total == len(values)
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200))
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200))
 @settings(max_examples=100, deadline=None)
 def test_splitmix_is_injective_on_sample(xs):
     """splitmix64 is a bijection on uint64 — no collisions on distinct

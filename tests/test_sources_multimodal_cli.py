@@ -120,13 +120,15 @@ def test_cli_generate_validate_resume(tmp_path):
     r = _cli("validate", "--input", pages, "--out", out2, "--resume")
     assert r.returncode == 1, r.stderr[-2000:]
     r = _cli("validate", "--input", pages, "--out", out2, "--resume")
+    assert r.returncode == 1, r.stderr[-2000:]
     rep2 = json.loads(r.stdout)
     assert rep2["skipped"] == rep2["total"] and rep2["computed"] == 0
 
 
 def test_cli_profile_and_single_check(tmp_path):
     pages = str(tmp_path / "pages")
-    _cli("generate", "--n", "2000", "--out", pages, "--no-violations")
+    r = _cli("generate", "--n", "2000", "--out", pages, "--no-violations")
+    assert r.returncode == 0, r.stderr[-2000:]
     ref = str(tmp_path / "ref.json")
     r = _cli("profile", "--input", pages, "--out", ref)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -50,6 +50,7 @@ def test_verdicts_match_oracle(result, pages_df):
     got = got[~got.check.isin(["__overall__", "drift_text_len"])]
     merged = want.merge(got, on=["lang", "check"], suffixes=("_o", "_e"))
     assert len(merged) == len(want), "missing (lang, check) verdict rows"
+    assert len(got) == len(want), "spurious extra verdict rows"
     assert (merged.n_rows_o == merged.n_rows_e).all()
     assert (merged.n_violations_o == merged.n_violations_e).all()
     assert (merged.status_o == merged.status_e).all()
@@ -160,6 +161,11 @@ def test_empty_input_all_unknown(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("empty_out"))
     res = validate(ds, out_dir=out)
     assert res.violations().count() == 0
+    # zero rows -> no partitions at all: empty verdict table, n_rows 0,
+    # and the overall rollup defaults to UNKNOWN (never PASS on no data)
+    assert res.report["n_rows"] == 0
+    assert len(res.verdicts) == 0
+    assert res.overall_verdict() == "UNKNOWN"
 
 
 def test_run_check_standalone(ray_session, tiny_pages_dir, tmp_path_factory, pages_df):
@@ -214,3 +220,27 @@ def test_kll_profile_variant(ray_session, tiny_pages_dir, tmp_path_factory):
     a = res.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
     b = base.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_url_format_re2_vs_oracle_trailing_newline(ray_session, tmp_path_factory):
+    """Engine (RE2 '$' = end of text) and oracle (fullmatch) must agree on
+    trailing-newline urls — a classic '$' semantics trap."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.functions.extract import synthesize_html
+
+    urls = ["https://ok.example/x", "https://bad.example/y\n"]
+    t = pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+        "html": pa.array([synthesize_html("a"), synthesize_html("b")], type=pa.binary()),
+        "text": pa.array(["a", "b"]),
+        "lang": pa.array(["en", "en"]),
+    })
+    res = validate(rd.from_arrow(t), out_dir=str(tmp_path_factory.mktemp("re2")))
+    got = res.violations().to_pandas()
+    got_fmt = set(got[got.check == "url_format"]["url"])
+    want = oracle_violations(t.to_pandas(), res.config)
+    want_fmt = set(want[want["check"] == "url_format"]["url"])
+    assert got_fmt == want_fmt == {"https://bad.example/y\n"}
