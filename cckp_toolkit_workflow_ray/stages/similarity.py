@@ -206,3 +206,106 @@ def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
         sims.append(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
     cand["sim"] = sims
     return cand[cand["sim"] >= threshold].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbour — the second scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(ds, n_lists: int = 16, sample_mod: int = 1,
+                        n_iters: int = 8, vec_col: str = "embedding",
+                        id_col: str = "vec_id", seed: int = 31) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means on a key-mod sample.
+
+    Sampling is seed-stable (``id % sample_mod == 0`` — never
+    random_sample, SURVEY.md §2.7); initial centroids are hash-selected
+    sample points; Lloyd iterations are pure numpy on the driver (the
+    sample is small by construction); empty clusters re-seed
+    deterministically from the farthest points.
+    """
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % sample_mod == 0))
+
+    sdf = ds.select_columns([id_col, vec_col]).map_batches(
+        sample, batch_format="pyarrow"
+    ).to_pandas()
+    # block arrival order is nondeterministic — canonicalize by id so
+    # training is reproducible across runs and parallelism levels
+    sdf = sdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    m = _normalize(np.stack(sdf[vec_col].to_numpy()).astype(np.float64))
+    n = m.shape[0]
+    pick = np.argsort(splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed)))[:n_lists]
+    cent = m[pick].copy()
+    for _ in range(n_iters):
+        sims = m @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_lists):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                cent[c] = v / nv if nv else cent[c]
+            else:  # deterministic re-seed: farthest point from its centroid
+                far = np.argmin(sims[np.arange(n), assign])
+                cent[c] = m[far]
+    return cent
+
+
+def ivf_knn(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarray,
+            k: int = 10, n_probe: int = 4, vec_col: str = "embedding",
+            id_col: str = "vec_id", batch_size: int = 4096) -> pd.DataFrame:
+    """IVF-pruned cosine top-k: each query probes its ``n_probe`` nearest
+    lists; every batch assigns its rows to lists vectorized and computes
+    similarities only for (query, row) pairs whose lists collide —
+    cutting the matmul work to ~n_probe/n_lists of brute force.
+
+    Approximate (a true neighbour assigned to an unprobed list is
+    missed); same output schema and deterministic tie-break as
+    :func:`knn_cosine`.
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    ref = ray.put((q, centroids, probes))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm, cent, prb = ray.get(ref)
+        m = _normalize(_to_matrix(t.column(vec_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if m.shape[0] == 0:
+            return empty
+        assign = np.argmax(m @ cent.T, axis=1)          # list per row
+        out_q, out_n, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            sel = np.isin(assign, prb[qi])
+            if not sel.any():
+                continue
+            s = qm[qi] @ m[sel].T
+            sub_ids = ids[sel]
+            kk = min(k, s.size)
+            idx = np.lexsort((sub_ids, -s))[:kk]
+            out_q.extend([qi] * kk)
+            out_n.extend(sub_ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    rows = []
+    for qi, grp in parts.groupby("query_id"):
+        grp = grp.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            rows.append((int(query_ids[qi]), int(r.neighbor_id), rank))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rk"])

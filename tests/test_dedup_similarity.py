@@ -221,3 +221,36 @@ def test_ngram_jaccard_pairs(ray_session, doc_corpus):
     for did in doc_corpus[doc_corpus.doc_id < 10_000_000].doc_id:
         if did % 7 == 0:
             assert (did, did + 20_000_000) in got
+
+
+def test_ivf_knn_high_recall_vs_brute(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.similarity import ivf_knn, train_ivf_centroids
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    m = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    queries = m[:8]
+
+    cent = train_ivf_centroids(ds, n_lists=10, n_iters=6)
+    assert cent.shape == (10, m.shape[1])
+    # deterministic training
+    cent2 = train_ivf_centroids(ds, n_lists=10, n_iters=6)
+    assert np.array_equal(cent, cent2)
+
+    got = ivf_knn(ds, queries, ids[:8], cent, k=10, n_probe=4)
+    brute = knn_cosine(ds, queries, ids[:8], k=10)
+    # probing 4/10 lists must still find most true neighbours (the label
+    # clusters in the fixture align well with the coarse quantizer)
+    overlap = 0
+    for qid in ids[:8]:
+        a = set(got[got.query_id == qid].neighbor_id)
+        b = set(brute[brute.query_id == qid].neighbor_id)
+        overlap += len(a & b) / len(b)
+    assert overlap / 8 >= 0.6
+    # rank 1 is the query itself (it lives in a probed list by construction)
+    for qid in ids[:8]:
+        assert got[(got.query_id == qid) & (got.rk == 1)].neighbor_id.iloc[0] == qid
