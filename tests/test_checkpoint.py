@@ -102,3 +102,39 @@ def test_partitioned_matches_monolithic(ray_session, multi_file_pages, tmp_path_
     pd.testing.assert_frame_equal(
         a.drop(columns=["pass_rate"]), b.drop(columns=["pass_rate"]), check_exact=True
     )
+
+
+def test_errored_partition_leaves_no_manifest_and_reruns(
+    ray_session, multi_file_pages, tmp_path_factory
+):
+    """SURVEY.md §7.3: a partition whose scan ERRORED must not be treated
+    as complete.  The structural guarantee is that the manifest is written
+    only after a successful stream write + atomic rename — so a partition
+    directory holding data but NO manifest (what any mid-compute error,
+    crash, or kill leaves behind, whether published or still .tmp) must be
+    recomputed on resume and the final outputs must match a clean run."""
+    import shutil
+
+    cfg = ValidationConfig()
+    clean, _ = run_partitioned_validation(
+        multi_file_pages, str(tmp_path_factory.mktemp("ckpt_err_clean")), cfg
+    )
+
+    out = str(tmp_path_factory.mktemp("ckpt_err"))
+    res1, s1 = run_partitioned_validation(multi_file_pages, out, cfg)
+    parts_root = os.path.join(out, "partitions")
+    pids = sorted(os.listdir(parts_root))
+    # simulate an errored/killed partition two ways:
+    # (a) published dir whose manifest is gone (e.g. partially cleaned)
+    os.remove(os.path.join(parts_root, pids[0], "manifest.json"))
+    # (b) a half-written .tmp dir from a crash mid-rename
+    shutil.move(os.path.join(parts_root, pids[1]),
+                os.path.join(parts_root, pids[1] + ".tmp"))
+
+    res2, s2 = run_partitioned_validation(multi_file_pages, out, cfg)
+    assert s2["computed"] == 2, "both damaged partitions must recompute"
+    assert s2["skipped"] == s2["total"] - 2
+    pd.testing.assert_frame_equal(
+        res2.verdicts.sort_values(["lang", "check"]).reset_index(drop=True),
+        clean.verdicts.sort_values(["lang", "check"]).reset_index(drop=True),
+    )
