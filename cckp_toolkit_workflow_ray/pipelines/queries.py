@@ -31,6 +31,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """round() with SQL semantics (half away from zero).  ``np.round`` is
+    half-to-even; a value landing exactly on .5 would diverge from the
+    DuckDB oracles' ``round()``."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def _sum_by_key(partials, keys: list[str], cols: list[str]):
     """groupby(keys).sum(cols) over an already-combined partial stream."""
     from ray.data.aggregate import Sum
@@ -127,9 +134,14 @@ def referential_events_check(sf_dir: str) -> pa.Table:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             uid = t.column("user_id").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.valid, uid)
-            pos = np.clip(pos, 0, len(self.valid) - 1)
-            orphan = self.valid[pos] != uid
+            if self.valid.size == 0:
+                # empty dimension: every event is an orphan (indexing an
+                # empty array below would crash — never-abort rule)
+                orphan = np.ones(len(uid), dtype=bool)
+            else:
+                pos = np.searchsorted(self.valid, uid)
+                pos = np.clip(pos, 0, len(self.valid) - 1)
+                orphan = self.valid[pos] != uid
             df = pd.DataFrame({
                 "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
                 "n_events": 1,
@@ -356,7 +368,7 @@ def windowed_events(sf_dir: str) -> pa.Table:
     def partial(t: pa.Table) -> pa.Table:
         us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
         win = (us // _HOUR_US) * _HOUR_US
-        cents = np.round(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = _round_half_away(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
             "window_start_us": win,
@@ -433,7 +445,10 @@ def _derived_text_corpus(sf_dir: str):
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         sel = ids % 10 == 0
         texts = t.column("text").to_numpy(zero_copy_only=False)[sel]
-        new_texts = ["xqzv" + t0[t0.index(" "):] if " " in t0 else "xqzv" for t0 in texts]
+        # coalesce nulls first: documents.text is nullable per schema and
+        # `" " in None` raises TypeError (never-abort rule)
+        new_texts = ["xqzv" + s[s.index(" "):] if " " in (s := t0 or "")
+                     else "xqzv" for t0 in texts]
         return pa.table({
             "doc_id": pa.array(ids[sel] + 10_000_000, type=pa.int64()),
             "text": pa.array(new_texts, type=pa.string()),
@@ -669,7 +684,7 @@ def hash_join_revenue(sf_dir: str) -> pa.Table:
     def prep_li(t: pa.Table) -> pa.Table:
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = np.round(price * (1.0 - disc) * 10_000).astype(np.int64)
+        rev = _round_half_away(price * (1.0 - disc) * 10_000).astype(np.int64)
         return pa.table({
             "orderkey": t.column("l_orderkey"),
             "revenue_e4": pa.array(rev),

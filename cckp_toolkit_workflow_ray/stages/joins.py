@@ -25,6 +25,43 @@ import pyarrow as pa
 from ..functions.hashing import hash_strings
 
 
+def _pd_nullable_dtype(typ: pa.DataType):
+    """Pandas dtype that survives NaN padding without degrading.
+
+    ``union`` blocks keep their own schema, so a ``map_groups`` group
+    assembled from both sides NaN-pads each side's missing columns and
+    silently degrades int64 → float64 (losing ulp precision on large
+    sums).  Casting back to the pandas *nullable* equivalent restores
+    exact integer semantics; Arrow converts Int64+NA back to int64."""
+    if pa.types.is_integer(typ):
+        # nullable pandas ints: Int8/Int16/Int32/Int64/UInt64...
+        return str(typ).capitalize().replace("int", "Int").replace("uInt", "UInt")
+    if pa.types.is_boolean(typ):
+        return "boolean"
+    if pa.types.is_floating(typ):
+        return "float64"
+    if pa.types.is_timestamp(typ):
+        return f"datetime64[{typ.unit}]"
+    return None
+
+
+def _schema_dtype_map(schema: pa.Schema, cols) -> dict:
+    out = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name in cols:
+            dt = _pd_nullable_dtype(typ)
+            if dt is not None:
+                out[name] = dt
+    return out
+
+
+def _cast_side(df: pd.DataFrame, dtype_map: dict) -> pd.DataFrame:
+    for c, dt in dtype_map.items():
+        if c in df.columns and str(df[c].dtype) != dt:
+            df[c] = df[c].astype(dt)
+    return df
+
+
 def _key_hash(values: np.ndarray) -> np.ndarray:
     if np.issubdtype(values.dtype, np.integer):
         from ..functions.hashing import splitmix64
@@ -56,8 +93,13 @@ def semi_join(ds, keys, on: str, anti: bool = False, batch_size: int = 65536):
     def filt(t: pa.Table) -> pa.Table:
         valid = ray.get(ref)
         v = t.column(on).to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(valid, v), 0, max(0, valid.size - 1))
-        hit = (valid.size > 0) & (valid[pos] == v)
+        if valid.size == 0:
+            # empty key set: semi keeps nothing, anti keeps everything
+            # (valid[pos] below would IndexError — & doesn't short-circuit)
+            hit = np.zeros(len(v), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(valid, v), 0, valid.size - 1)
+            hit = valid[pos] == v
         return t.filter(pa.array(~hit if anti else hit))
 
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
@@ -83,17 +125,24 @@ def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
     captured from the schemas up front so padding is dropped exactly).
     Column sets must be disjoint apart from the key.
     """
-    left_cols = [c for c in left.schema().names]
-    right_cols = [c for c in right.schema().names]
+    left_schema, right_schema = left.schema(), right.schema()
+    left_cols = [c for c in left_schema.names]
+    right_cols = [c for c in right_schema.names]
+    left_dtypes = _schema_dtype_map(left_schema, left_cols)
+    right_dtypes = _schema_dtype_map(right_schema, right_cols)
     l = _with_bucket_and_tag(left, on, n_buckets, 0, batch_size)
     r = _with_bucket_and_tag(right, on, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # a bucket whose rows all come from one side lacks the other
         # side's columns entirely (union blocks keep their own schema) —
-        # reindex materializes the expected columns as nulls
-        lg = g[g["__side"] == 0].reindex(columns=left_cols)
-        rg = g[g["__side"] == 1].reindex(columns=right_cols)
+        # reindex materializes the expected columns as nulls.  The group
+        # assembly NaN-pads missing columns (int64 → float64), so cast
+        # each side back to its Arrow-derived (nullable) dtypes.
+        lg = _cast_side(g[g["__side"] == 0].reindex(columns=left_cols),
+                        left_dtypes)
+        rg = _cast_side(g[g["__side"] == 1].reindex(columns=right_cols),
+                        right_dtypes)
         # SQL equi-join semantics: NULL keys match nothing (pandas would
         # match NaN to NaN); null-key left rows survive only a left join
         lg_null = lg[lg[on].isna()]
@@ -114,8 +163,12 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
     """As-of join (latest right row per key with right_ts <= ts) for two
     large sides: bucket by key hash, sort within the bucket group, and
     ``pd.merge_asof`` per bucket."""
-    left_cols = [c for c in left.schema().names]
+    left_schema = left.schema()
+    left_cols = [c for c in left_schema.names]
+    left_dtypes = _schema_dtype_map(left_schema, left_cols)
     right_schema = right.schema()
+    right_dtypes = _schema_dtype_map(
+        right_schema, set([key, right_ts, *right_cols]))
     right_pd_nulls = {}
     for name, typ in zip(right_schema.names, right_schema.types):
         if name in right_cols or name == right_ts:
@@ -129,8 +182,11 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
     r = _with_bucket_and_tag(right, key, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0].reindex(columns=left_cols)
-        rg = g[g["__side"] == 1].reindex(columns=[key, right_ts, *right_cols])
+        lg = _cast_side(g[g["__side"] == 0].reindex(columns=left_cols),
+                        left_dtypes)
+        rg = _cast_side(
+            g[g["__side"] == 1].reindex(columns=[key, right_ts, *right_cols]),
+            right_dtypes)
         if lg.empty:
             return lg
         # NULL keys match nothing (as-of is left-join-shaped: keep them)
@@ -144,7 +200,7 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
             # from empty-right buckets unify with the rest
             for c in (right_ts, *right_cols):
                 df[c] = right_pd_nulls.get(c)
-            return df
+            return _cast_side(df, right_dtypes)
 
         if rg.empty:
             out = _pad(lg)
