@@ -25,23 +25,40 @@ import pyarrow as pa
 from ..functions.hashing import hash_strings
 
 
-def _pd_nullable_dtype(typ: pa.DataType):
+def _pd_nullable_dtype(typ):
     """Pandas dtype that survives NaN padding without degrading.
 
     ``union`` blocks keep their own schema, so a ``map_groups`` group
     assembled from both sides NaN-pads each side's missing columns and
     silently degrades int64 → float64 (losing ulp precision on large
     sums).  Casting back to the pandas *nullable* equivalent restores
-    exact integer semantics; Arrow converts Int64+NA back to int64."""
-    if pa.types.is_integer(typ):
-        # nullable pandas ints: Int8/Int16/Int32/Int64/UInt64...
-        return str(typ).capitalize().replace("int", "Int").replace("uInt", "UInt")
-    if pa.types.is_boolean(typ):
+    exact integer semantics; Arrow converts Int64+NA back to int64.
+
+    ``typ`` may be a pyarrow DataType (Arrow blocks) or a numpy dtype /
+    python type (Ray's PandasBlockSchema for pandas-built datasets)."""
+    if isinstance(typ, pa.DataType):
+        if pa.types.is_integer(typ):
+            # nullable pandas ints: Int8/Int16/Int32/Int64/UInt64...
+            return str(typ).capitalize().replace("int", "Int").replace("uInt", "UInt")
+        if pa.types.is_boolean(typ):
+            return "boolean"
+        if pa.types.is_floating(typ):
+            return "float64"
+        if pa.types.is_timestamp(typ):
+            return f"datetime64[{typ.unit}]"
+        return None
+    try:
+        dt = np.dtype(typ)
+    except TypeError:
+        return None
+    if dt.kind in "iu":
+        return str(dt).capitalize().replace("int", "Int").replace("uInt", "UInt")
+    if dt.kind == "b":
         return "boolean"
-    if pa.types.is_floating(typ):
+    if dt.kind == "f":
         return "float64"
-    if pa.types.is_timestamp(typ):
-        return f"datetime64[{typ.unit}]"
+    if dt.kind == "M":
+        return str(dt)
     return None
 
 
