@@ -65,7 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q.simhash_dedup,
         "ngram_jaccard_dedup": q.ngram_jaccard_dedup,
         "knn_embeddings": q.knn_embeddings,
+        "ivf_knn_embeddings": q.ivf_knn_embeddings,
         "embedding_neardup": q.embedding_neardup,
+        "cosine_threshold_pairs": q.cosine_threshold_pairs,
+        "minhash_verify_jaccard": q.minhash_verify_jaccard,
+        "ngram_verify_jaccard": q.ngram_verify_jaccard,
+        "docs_validate": q.docs_validate,
         "bpe_token_count": q.bpe_token_count,
         "quality_check": q.quality_check,
         "langid_confusion": q.langid_confusion,
@@ -299,5 +304,141 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
+        """,
+        "cosine_threshold_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # exact char-5-shingle Jaccard of the seeded (doc, perturbed-copy)
+        # pairs; shingles are distinct 5-char windows (short strings pad —
+        # the PAD: namespace can never equal a real 5-char window)
+        "minhash_verify_jaccard": """
+            WITH seeded AS (
+                SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                       coalesce(text, '') AS ta,
+                       CASE WHEN contains(coalesce(text, ''), ' ')
+                            THEN 'xqzv' || substr(coalesce(text, ''),
+                                                  strpos(coalesce(text, ''), ' '))
+                            ELSE 'xqzv' END AS tb
+                FROM documents WHERE doc_id % 10 = 0
+            ),
+            ga AS (
+                SELECT DISTINCT id_a, sh FROM (
+                    SELECT id_a, substr(ta, unnest(generate_series(
+                        1, greatest(length(ta) - 4, 0))), 5) AS sh
+                    FROM seeded)
+                UNION
+                SELECT id_a, 'PAD:' || ta FROM seeded WHERE length(ta) < 5
+            ),
+            gb AS (
+                SELECT DISTINCT id_a, sh FROM (
+                    SELECT id_a, substr(tb, unnest(generate_series(
+                        1, greatest(length(tb) - 4, 0))), 5) AS sh
+                    FROM seeded)
+                UNION
+                SELECT id_a, 'PAD:' || tb FROM seeded WHERE length(tb) < 5
+            ),
+            inter AS (
+                SELECT a.id_a, count(*) AS ni
+                FROM ga a JOIN gb b ON a.id_a = b.id_a AND a.sh = b.sh
+                GROUP BY a.id_a
+            ),
+            ca AS (SELECT id_a, count(*) AS na FROM ga GROUP BY id_a),
+            cb AS (SELECT id_a, count(*) AS nb FROM gb GROUP BY id_a)
+            SELECT s.id_a, s.id_b,
+                   CAST(round((1000000.0 * coalesce(i.ni, 0))
+                              / (ca.na + cb.nb - coalesce(i.ni, 0)))
+                        AS BIGINT) AS jaccard_e6
+            FROM seeded s
+            JOIN ca ON ca.id_a = s.id_a
+            JOIN cb ON cb.id_a = s.id_a
+            LEFT JOIN inter i ON i.id_a = s.id_a
+        """,
+        # exact word-3-gram Jaccard on the same seeded pairs (python
+        # str.split() semantics: whitespace runs, strip; <3 words -> the
+        # single gram join(words))
+        "ngram_verify_jaccard": """
+            WITH seeded AS (
+                SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                       coalesce(text, '') AS ta,
+                       CASE WHEN contains(coalesce(text, ''), ' ')
+                            THEN 'xqzv' || substr(coalesce(text, ''),
+                                                  strpos(coalesce(text, ''), ' '))
+                            ELSE 'xqzv' END AS tb
+                FROM seeded_src
+            ),
+            wa AS (SELECT id_a, list_filter(string_split_regex(ta, '\\s+'),
+                                            x -> x <> '') AS ws FROM seeded),
+            wb AS (SELECT id_a, list_filter(string_split_regex(tb, '\\s+'),
+                                            x -> x <> '') AS ws FROM seeded),
+            ga AS (
+                SELECT DISTINCT id_a, g FROM (
+                    SELECT id_a, array_to_string(ws[i:i+2], ' ') AS g FROM (
+                        SELECT id_a, ws, unnest(generate_series(
+                            1, greatest(len(ws) - 2, 0))) AS i
+                        FROM wa WHERE len(ws) >= 3))
+                UNION
+                SELECT id_a, array_to_string(ws, ' ')
+                FROM wa WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            gb AS (
+                SELECT DISTINCT id_a, g FROM (
+                    SELECT id_a, array_to_string(ws[i:i+2], ' ') AS g FROM (
+                        SELECT id_a, ws, unnest(generate_series(
+                            1, greatest(len(ws) - 2, 0))) AS i
+                        FROM wb WHERE len(ws) >= 3))
+                UNION
+                SELECT id_a, array_to_string(ws, ' ')
+                FROM wb WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            inter AS (
+                SELECT a.id_a, count(*) AS ni
+                FROM ga a JOIN gb b ON a.id_a = b.id_a AND a.g = b.g
+                GROUP BY a.id_a
+            ),
+            ca AS (SELECT id_a, count(*) AS na FROM ga GROUP BY id_a),
+            cb AS (SELECT id_a, count(*) AS nb FROM gb GROUP BY id_a)
+            SELECT s.id_a, s.id_b,
+                   CAST(round((1000000.0 * coalesce(i.ni, 0))
+                              / (coalesce(ca.na, 0) + coalesce(cb.nb, 0)
+                                 - coalesce(i.ni, 0)))
+                        AS BIGINT) AS jaccard_e6
+            FROM seeded s
+            LEFT JOIN ca ON ca.id_a = s.id_a
+            LEFT JOIN cb ON cb.id_a = s.id_a
+            LEFT JOIN inter i ON i.id_a = s.id_a
+        """.replace("FROM seeded_src",
+                    "FROM documents WHERE doc_id % 10 = 0"),
+        # the CheckSuite's violation counts over documents mapped into the
+        # pages schema (lang groups use the raw lang value; the engine's
+        # __missing__ attribution only differs when lang is NULL, which the
+        # shared testdata never contains)
+        "docs_validate": """
+            SELECT lang, check_name, n_violations FROM (
+                SELECT lang, 'referential_lang' AS check_name,
+                       count(*) FILTER (WHERE lang IS NOT NULL AND lang <> ''
+                                        AND lang NOT IN ('en','de','fr'))
+                           AS n_violations
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 'text_min_len',
+                       count(*) FILTER (WHERE text IS NOT NULL AND text <> ''
+                                        AND length(text) < 200)
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 'presence_text',
+                       count(*) FILTER (WHERE text IS NULL OR text = '')
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 'presence_lang',
+                       count(*) FILTER (WHERE lang IS NULL OR lang = '')
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 'presence_url',
+                       count(*) FILTER (WHERE source IS NULL OR source = '')
+                FROM documents GROUP BY lang
+            ) WHERE n_violations > 0
         """,
     }

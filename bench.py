@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "session_windows",
     "enrich_events_nation",
     "knn_embeddings",
+    # r2: distributed LSH candidate resolution + oracled CheckSuite run
+    "minhash_dedup",
+    "docs_validate",
 ]
 
 

@@ -35,13 +35,18 @@ ROW_CHECKS = (
     "referential_lang",
 )
 SHUFFLE_CHECKS = ("uniqueness_url",)
-PROFILE_CHECKS = ("drift_text_len",)
+PROFILE_CHECKS = ("drift_text_len", "drift_html_len", "drift_null_rate")
+# opt-in row checks (not in the default suite, so default pipeline output
+# is stable across versions)
+OPTIONAL_ROW_CHECKS = ("text_min_len",)
 
 DEFAULT_VALID_LANGS = ("en", "de", "fr", "es", "zh")
 
 # Fixed histogram edges for text length (chars).  Constant edges make the
 # drift statistics (KS / PSI) bit-deterministic across any block layout.
 TEXT_LEN_HIST_EDGES = tuple(float(x) for x in range(0, 2049, 32))
+# html byte length runs larger than text char length (markup overhead)
+HTML_LEN_HIST_EDGES = tuple(float(x) for x in range(0, 8193, 128))
 
 
 @dataclass
@@ -60,6 +65,9 @@ class ValidationConfig:
     ks_fail: float = 0.15    # ks >= ks_fail          -> FAIL verdict
     psi_ok: float = 0.10
     psi_fail: float = 0.25
+    # null-rate drift: max per-column |rate - reference rate|
+    null_drift_ok: float = 0.02
+    null_drift_fail: float = 0.10
 
     # Ray sizing (reference analog: per-process cpus/containers).
     # check_concurrency None -> autoscale the actor pool to the cluster's
@@ -71,6 +79,7 @@ class ValidationConfig:
     # "index": sharded counter actors (faster, but a retried map task
     # double-counts — see stages/uniqueness.py docstring)
     uniqueness_strategy: str = "sort"
+    min_text_len: int = 200         # threshold for the opt-in text_min_len check
     hll_p: int = 12                 # 4 KiB partials, ~1.6% distinct error
     tdigest_compression: float = 200.0
     quantile_sketch: str = "tdigest"  # or "kll" (both mergeable; reported-only)
@@ -82,7 +91,9 @@ class ValidationConfig:
         return self.severities.get(check, "error")
 
 
-KNOWN_CHECKS = frozenset(ROW_CHECKS + SHUFFLE_CHECKS + PROFILE_CHECKS)
+KNOWN_CHECKS = frozenset(
+    ROW_CHECKS + SHUFFLE_CHECKS + PROFILE_CHECKS + OPTIONAL_ROW_CHECKS
+)
 
 
 def validate_check_names(checks) -> None:

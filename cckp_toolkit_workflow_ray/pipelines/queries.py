@@ -278,17 +278,25 @@ def keyword_check(sf_dir: str) -> pa.Table:
 
 
 def topk_longest(sf_dir: str) -> pa.Table:
-    """Top-5 docs per lang by (n_chars DESC, doc_id ASC) — per-group heap
-    via map_groups (no global sort)."""
+    """Top-5 docs per lang by (n_chars DESC, doc_id ASC) — per-batch
+    top-5 partials (combiner), tiny driver merge, NO shuffle at all.
+
+    VERDICT r1 #4: the previous ``groupby("lang").map_groups`` put ~N/5
+    rows in one group task per lang (low-cardinality key) — OOM at 100×.
+    The merged candidate set here is ≤ n_blocks × n_langs × 5 rows,
+    independent of N."""
     ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
 
-    def top5(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(5)
-        g = g.reset_index(drop=True)
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def top5(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+                  .groupby("lang", dropna=False).head(5))
 
-    return ds.groupby("lang").map_groups(top5, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(top5, batch_format="pandas").to_pandas()
+    out = top5(parts).sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rk"] = out.groupby("lang", dropna=False).cumcount() + 1
+    return out
 
 
 def deterministic_sample(sf_dir: str) -> pa.Table:
@@ -497,19 +505,181 @@ def simhash_dedup(sf_dir: str) -> pa.Table:
     return pairs[["id_a", "id_b", "hamming"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _query_vectors(sf_dir: str, n: int = 10):
+    """The first ``n`` embedding vectors via a pushed-down parquet filter
+    (VERDICT r1 #10: round 1 read the whole table to pick 10 rows)."""
+    import pyarrow.parquet as pq
+
+    qdf = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    ).to_pandas().sort_values("vec_id")
+    return np.stack(qdf["embedding"].to_numpy()).astype(np.float64), \
+        qdf["vec_id"].to_numpy()
+
+
+def _seeded_pair_jaccard(sf_dir: str, shingle_fn) -> pa.Table:
+    """Exact shingle-Jaccard for the FIXED seeded pair set (doc,
+    perturbed-copy) of the derived corpus, computed with the distributed
+    pair-verification machinery (pairs Dataset → payload attach → per-batch
+    verify).  Oracles the LSH families' verification stage: the SQL
+    computes the same Jaccard with substring / word-slice shingles.
+    Returns (id_a, id_b, jaccard_e6) with exact-int Jaccard in 1e-6 units.
+    """
+    import ray
+
+    from ..stages.dedup import attach_pair_payload
+
+    corpus = _derived_text_corpus(sf_dir)
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = d[d % 10 == 0]
+        return pa.table({"id_a": pa.array(d, type=pa.int64()),
+                         "id_b": pa.array(d + 10_000_000, type=pa.int64())})
+
+    pairs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow").materialize()
+    n_pairs = pairs.count()
+
+    def payload(filter_ids):
+        ref = ray.put(np.sort(filter_ids)) if filter_ids is not None else None
+
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_numpy(zero_copy_only=False)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            if ref is not None:
+                cand = ray.get(ref)
+                pos = np.clip(np.searchsorted(cand, ids), 0, cand.size - 1)
+                sel = cand[pos] == ids
+                texts, ids = texts[sel], ids[sel]
+            sh = [shingle_fn(txt or "").tobytes() for txt in texts]
+            return pa.table({"doc": pa.array(ids, type=pa.int64()),
+                             "shingles": pa.array(sh, type=pa.binary())})
+
+        return corpus.map_batches(fn, batch_format="pyarrow")
+
+    withp = attach_pair_payload(pairs, payload, "shingles", n_pairs)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for r in df.itertuples():
+            sa = np.frombuffer(r.shingles_a, dtype=np.uint64)
+            sb = np.frombuffer(r.shingles_b, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb).size
+            union = sa.size + sb.size - inter
+            # (1e6 * inter) / union — same operation order as the SQL
+            # oracle so the single float64 rounding agrees bit-exactly
+            j = (1_000_000.0 * inter) / union if union else 0.0
+            out_a.append(r.id_a)
+            out_b.append(r.id_b)
+            out_j.append(int(_round_half_away(np.float64(j))))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard_e6": pd.Series(out_j, dtype="int64")})
+
+    out = withp.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def minhash_verify_jaccard(sf_dir: str) -> pa.Table:
+    """Char-5-shingle Jaccard on the seeded pair set (SQL-oracled)."""
+    from ..stages.dedup import char_shingle_hashes
+
+    return _seeded_pair_jaccard(sf_dir, lambda t: char_shingle_hashes(t, 5))
+
+
+def ngram_verify_jaccard(sf_dir: str) -> pa.Table:
+    """Word-3-gram Jaccard on the seeded pair set (SQL-oracled)."""
+    from ..stages.dedup import word_ngram_hashes
+
+    return _seeded_pair_jaccard(sf_dir, lambda t: word_ngram_hashes(t, 3))
+
+
+def docs_validate(sf_dir: str) -> pa.Table:
+    """The flagship CheckSuite run over the shared ``documents`` table
+    (mapped into the pages schema), so the validation DAG's violation
+    counts get a DuckDB oracle — VERDICT r1 #3 (``pages_validate`` rides
+    on a synthetic table the oracle can't see; this query runs the same
+    stage over a table it can).  Returns per-(lang, check) violation
+    counts for checks that fired."""
+    from ..config import ValidationConfig
+    from ..stages.checks import make_check_fn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        src = t.column("source")
+        miss = pc.or_(pc.is_null(src), pc.equal(pc.fill_null(src, ""), ""))
+        url = pc.binary_join_element_wise(
+            "https://", pc.fill_null(src, ""), ".example.com/",
+            pc.cast(t.column("doc_id"), pa.string()), "")
+        url = pc.if_else(miss, pa.scalar(None, pa.string()), url)
+        n = t.num_rows
+        return pa.table({
+            "url": url,
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "html": pa.nulls(n, pa.binary()),
+            "text": t.column("text"),
+            "lang": t.column("lang"),
+        })
+
+    cfg = ValidationConfig(
+        checks=("presence_url", "presence_text", "presence_lang",
+                "url_format", "referential_lang", "text_min_len"),
+        valid_langs=("en", "de", "fr"), min_text_len=200,
+    )
+    stream = ds.map_batches(to_pages, batch_format="pyarrow").map_batches(
+        make_check_fn(cfg), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        v = df[df["kind"] == "violation"]
+        g = v.groupby(["lang", "check"], as_index=False).size().rename(
+            columns={"size": "n_violations", "check": "check_name"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _sum_by_key(
+        stream.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "check_name"], ["n_violations"],
+    ).to_pandas()
+    return out.sort_values(["lang", "check_name"]).reset_index(drop=True)
+
+
 def knn_embeddings(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-10 for the first 10 vectors (exact ANN
     baseline: broadcast query matrix, per-batch matmul + partial top-k)."""
-    import pyarrow.parquet as pq
-
     from ..stages.similarity import knn_cosine
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = emb.to_pandas().sort_values("vec_id")
-    qdf = df[df.vec_id < 10]
-    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    queries, qids = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_cosine(ds, queries, qdf["vec_id"].to_numpy(), k=10)
+    return knn_cosine(ds, queries, qids, k=10)
+
+
+def ivf_knn_embeddings(sf_dir: str) -> pa.Table:
+    """IVF-pruned approximate top-10 for the first 10 vectors (rows-only;
+    pytest asserts recall ≥ 0.9 vs the brute-force oracle)."""
+    from ..stages.similarity import ivf_knn, train_ivf_centroids
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # the shared embeddings are near-isotropic (weak cluster structure),
+    # so recall ≥ 0.9 needs a wide probe; clustered real corpora get the
+    # same recall at n_probe ≪ n_lists
+    cent = train_ivf_centroids(ds, n_lists=16, sample_mod=5)
+    return ivf_knn(ds, queries, qids, cent, k=10, n_probe=10)
+
+
+def cosine_threshold_pairs(sf_dir: str) -> pa.Table:
+    """All natural embedding pairs with cosine ≥ 0.45 — exact all-pairs
+    near-dup with a DuckDB ``list_cosine_similarity`` oracle (the seeded
+    variant ``embedding_neardup`` stays rows-only because its noise
+    generator is not SQL-expressible)."""
+    from ..stages.similarity import near_dup_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = near_dup_cosine(ds, threshold=0.45)
+    return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def embedding_neardup(sf_dir: str) -> pa.Table:
@@ -546,13 +716,13 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
 def bpe_token_count(sf_dir: str) -> pa.Table:
     """BPE-ish subword token estimate per lang (regex identical to the
     DuckDB oracle's regexp_extract_all)."""
-    from ..functions.text import bpe_ish_token_count
+    from ..functions.text import bpe_ish_token_counts
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_numpy(zero_copy_only=False)
-        toks = np.array([bpe_ish_token_count(x) for x in texts], dtype=np.int64)
+        toks = bpe_ish_token_counts(
+            pd.Series(t.column("text").to_numpy(zero_copy_only=False)))
         df = pd.DataFrame({
             "lang": _sentinel_nulls(pd.Series(t.column("lang").to_numpy(zero_copy_only=False))),
             "n_docs": 1,
@@ -598,14 +768,19 @@ def quality_check(sf_dir: str) -> pa.Table:
 def langid_confusion(sf_dir: str) -> pa.Table:
     """Language-ID heuristic (char-trigram profiles trained on a per-lang
     sample, broadcast; rows-only): confusion counts (lang, predicted, n)."""
-    import pyarrow.parquet as pq
     import ray
 
     from ..functions.text import LangIdModel
 
-    sample = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
-    ).to_pandas().sort_values("doc_id")
+    # training sample: 40 lowest-doc_id texts per lang via a per-batch
+    # combiner + tiny driver merge (VERDICT r1 #5: round 1 read the whole
+    # table to the driver just to take 40 docs/lang)
+    def sample_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("lang").head(40)
+
+    sample = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        sample_partial, batch_format="pandas").to_pandas()
+    sample = sample.sort_values("doc_id")
     by_lang = {
         lang: grp.head(40)["text"].tolist() for lang, grp in sample.groupby("lang")
     }
@@ -613,21 +788,30 @@ def langid_confusion(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        model = ray.get(model_ref)
-        texts = t.column("text").to_numpy(zero_copy_only=False)
-        pred = [model.predict(x) for x in texts]
-        df = pd.DataFrame({
-            "lang": t.column("lang").to_numpy(zero_copy_only=False),
-            "predicted": pred,
-            "n": 1,
-        })
-        return pa.Table.from_pandas(
-            df.groupby(["lang", "predicted"], as_index=False).sum(), preserve_index=False
-        )
+    class Scorer:
+        """Actor-pool stage: the trained model deserializes ONCE per actor
+        in __init__, not per batch."""
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["lang", "predicted"], ["n"]).to_pandas()
+        def __init__(self, ref):
+            self.model = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_numpy(zero_copy_only=False)
+            pred = [self.model.predict(x) for x in texts]
+            df = pd.DataFrame({
+                "lang": t.column("lang").to_numpy(zero_copy_only=False),
+                "predicted": pred,
+                "n": 1,
+            })
+            return pa.Table.from_pandas(
+                df.groupby(["lang", "predicted"], as_index=False).sum(),
+                preserve_index=False,
+            )
+
+    return _sum_by_key(
+        ds.map_batches(Scorer, fn_constructor_kwargs={"ref": model_ref},
+                       batch_format="pyarrow", concurrency=(1, 8)),
+        ["lang", "predicted"], ["n"]).to_pandas()
 
 
 def fingerprint_docs(sf_dir: str) -> pa.Table:
@@ -800,9 +984,10 @@ def json_props_stats(sf_dir: str) -> pa.Table:
 
 def drift_check(sf_dir: str) -> pa.Table:
     """Distribution-drift verdicts (KS + PSI on deterministic fixed-bin
-    histograms vs a broadcast reference profile, rows-only): the baseline
-    is the clean synthetic corpus; the live run has the zh length
-    distribution shifted, so zh must FAIL while the others PASS."""
+    histograms + per-column null-rate deltas vs a broadcast reference
+    profile, rows-only): the baseline is the clean synthetic corpus; the
+    live run has the zh length distribution shifted, so zh must FAIL the
+    length drifts while null rates stay PASS."""
     import pyarrow.parquet as pq
 
     from ..pipelines.validate import build_reference_profile, validate
@@ -816,9 +1001,9 @@ def drift_check(sf_dir: str) -> pa.Table:
                                drift_lang="zh", drift_factor=0.5),
         reference_profile=ref,
     )
-    d = res.verdicts[res.verdicts.check == "drift_text_len"]
+    d = res.verdicts[res.verdicts.check.str.startswith("drift_")]
     return d[["lang", "check", "n_rows", "status", "verdict"]].sort_values(
-        "lang"
+        ["lang", "check"]
     ).reset_index(drop=True)
 
 

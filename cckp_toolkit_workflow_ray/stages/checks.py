@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import ValidationConfig, TEXT_LEN_HIST_EDGES
+from ..config import HTML_LEN_HIST_EDGES, TEXT_LEN_HIST_EDGES, ValidationConfig
 from ..functions.extract import extract_text
 from ..functions.hashing import hash_strings
 from ..functions.sketches import KLL, FixedHistogram, HyperLogLog, TDigest
@@ -58,6 +58,7 @@ def _empty_partial(cfg: ValidationConfig) -> dict:
         "warc_ts": {"n": 0, "min": None, "max": None},
         "tdigest_text": _quantile_sketch(cfg),
         "hist_text": FixedHistogram(np.asarray(TEXT_LEN_HIST_EDGES)),
+        "hist_html": FixedHistogram(np.asarray(HTML_LEN_HIST_EDGES)),
         "hll_url": HyperLogLog(cfg.hll_p),
     }
 
@@ -67,6 +68,7 @@ def serialize_partial(p: dict) -> bytes:
     q["q_kind"] = "kll" if isinstance(p["tdigest_text"], KLL) else "tdigest"
     q["tdigest_text"] = p["tdigest_text"].to_bytes()
     q["hist_text"] = p["hist_text"].to_bytes()
+    q["hist_html"] = p["hist_html"].to_bytes()
     q["hll_url"] = p["hll_url"].to_bytes()
     return pickle.dumps(q, protocol=4)
 
@@ -76,6 +78,10 @@ def deserialize_partial(b: bytes) -> dict:
     cls = KLL if q.pop("q_kind", "tdigest") == "kll" else TDigest
     q["tdigest_text"] = cls.from_bytes(q["tdigest_text"])
     q["hist_text"] = FixedHistogram.from_bytes(q["hist_text"])
+    if "hist_html" in q:  # absent in pre-r2 checkpointed partials
+        q["hist_html"] = FixedHistogram.from_bytes(q["hist_html"])
+    else:
+        q["hist_html"] = FixedHistogram(np.asarray(HTML_LEN_HIST_EDGES))
     q["hll_url"] = HyperLogLog.from_bytes(q["hll_url"])
     return q
 
@@ -101,6 +107,7 @@ def merge_partials(parts: list[dict], cfg: ValidationConfig) -> dict:
                 a[mk] = b[mk] if a[mk] is None else fn(a[mk], b[mk])
         out["tdigest_text"].merge(p["tdigest_text"])
         out["hist_text"].merge(p["hist_text"])
+        out["hist_html"].merge(p["hist_html"])
         out["hll_url"].merge(p["hll_url"])
     return out
 
@@ -223,6 +230,16 @@ class CheckSuite:
                 lambda i: f"lang '{lang_np[i]}' not in reference profile",
             )
 
+        # ---- minimum text length (opt-in quality gate; a too-short text
+        # is present but unusable for training) ----------------------------
+        if "text_min_len" in self.enabled:
+            tlen = pc.utf8_length(pc.fill_null(texts, "")).to_numpy(
+                zero_copy_only=False)
+            bad = (tlen < cfg.min_text_len) & ~presence_masks["text"]
+            emit_violations(
+                bad, "text_min_len",
+                f"text shorter than {cfg.min_text_len} chars")
+
         # ---- extraction validity (ProcessRepo.nf:41-44 analog; the
         # per-row invariant: extract_text(html) == text byte-identically) --
         if "extraction" in self.enabled:
@@ -291,6 +308,8 @@ class CheckSuite:
             tl = tl[~np.isnan(tl)]
             p["tdigest_text"].add(tl)
             p["hist_text"].add(tl)
+            hl = html_len[sel]
+            p["hist_html"].add(hl[~np.isnan(hl)])
             not_null_url = sel & ~presence_masks["url"]
             p["hll_url"].add_hashes(url_hashes[not_null_url])
 

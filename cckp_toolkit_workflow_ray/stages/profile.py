@@ -123,11 +123,25 @@ def profile_to_table(profiles: dict[str, dict]) -> pa.Table:
 
 class ReferenceProfile:
     def __init__(self, valid_langs: list[str], hists: dict[str, FixedHistogram],
-                 counts: dict[str, int], extractor_version: str = EXTRACTOR_VERSION):
+                 counts: dict[str, int], extractor_version: str = EXTRACTOR_VERSION,
+                 hists_html: dict[str, FixedHistogram] | None = None,
+                 null_rates: dict[str, dict] | None = None):
         self.valid_langs = list(valid_langs)
         self.hists = hists              # lang -> text-length histogram
+        self.hists_html = hists_html or {}   # lang -> html-length histogram
+        self.null_rates = null_rates or {}   # lang -> {column: null rate}
         self.counts = counts            # lang -> n_rows
         self.extractor_version = extractor_version
+
+    @staticmethod
+    def _hists_json(hists):
+        return {lang: {"edges": h.edges.tolist(), "counts": h.counts.tolist()}
+                for lang, h in hists.items()}
+
+    @staticmethod
+    def _hists_from_json(d):
+        return {lang: FixedHistogram(np.asarray(h["edges"]), np.asarray(h["counts"]))
+                for lang, h in d.items()}
 
     def to_json(self) -> str:
         return json.dumps(
@@ -135,22 +149,20 @@ class ReferenceProfile:
                 "valid_langs": self.valid_langs,
                 "extractor_version": self.extractor_version,
                 "counts": self.counts,
-                "hists": {
-                    lang: {"edges": h.edges.tolist(), "counts": h.counts.tolist()}
-                    for lang, h in self.hists.items()
-                },
+                "hists": self._hists_json(self.hists),
+                "hists_html": self._hists_json(self.hists_html),
+                "null_rates": self.null_rates,
             }
         )
 
     @classmethod
     def from_json(cls, s: str) -> "ReferenceProfile":
         d = json.loads(s)
-        hists = {
-            lang: FixedHistogram(np.asarray(h["edges"]), np.asarray(h["counts"]))
-            for lang, h in d["hists"].items()
-        }
-        return cls(d["valid_langs"], hists, {k: int(v) for k, v in d["counts"].items()},
-                   d.get("extractor_version", EXTRACTOR_VERSION))
+        return cls(d["valid_langs"], cls._hists_from_json(d["hists"]),
+                   {k: int(v) for k, v in d["counts"].items()},
+                   d.get("extractor_version", EXTRACTOR_VERSION),
+                   hists_html=cls._hists_from_json(d.get("hists_html", {})),
+                   null_rates=d.get("null_rates", {}))
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -168,4 +180,10 @@ class ReferenceProfile:
             valid_langs=langs,
             hists={l: profiles[l]["hist_text"] for l in langs},
             counts={l: profiles[l]["n_rows"] for l in langs},
+            hists_html={l: profiles[l]["hist_html"] for l in langs},
+            null_rates={
+                l: {c: v / profiles[l]["n_rows"]
+                    for c, v in profiles[l]["nulls"].items()}
+                for l in langs if profiles[l]["n_rows"]
+            },
         )

@@ -63,7 +63,15 @@ def assemble_verdicts(
 
         # ---- drift (deterministic histogram KS/PSI vs reference) ---------
         if "drift_text_len" in cfg.checks:
-            rows.append(_drift_row(lang, profiles[lang], cfg, reference))
+            rows.append(_drift_hist_row(
+                lang, profiles[lang], cfg, reference, "drift_text_len",
+                "hist_text", "hists"))
+        if "drift_html_len" in cfg.checks:
+            rows.append(_drift_hist_row(
+                lang, profiles[lang], cfg, reference, "drift_html_len",
+                "hist_html", "hists_html"))
+        if "drift_null_rate" in cfg.checks:
+            rows.append(_drift_null_row(lang, profiles[lang], cfg, reference))
 
     # violations attributed to langs absent from the profile (defensive —
     # shouldn't happen, but UNKNOWN-never-abort semantics demand a row)
@@ -89,15 +97,19 @@ def assemble_verdicts(
     return pd.concat([df, pd.DataFrame(overall, columns=df.columns)], ignore_index=True)
 
 
-def _drift_row(lang, profile, cfg, reference):
+def _drift_hist_row(lang, profile, cfg, reference, check: str,
+                    profile_key: str, ref_attr: str):
+    """KS/PSI drift verdict for one histogrammed column (text_len,
+    html_len) — VERDICT r1 #7 generalized the single-metric version."""
     n_rows = int(profile["n_rows"])
-    if reference is None or lang not in reference.hists or n_rows == 0:
+    ref_hists = getattr(reference, ref_attr, None) if reference is not None else None
+    if not ref_hists or lang not in ref_hists or n_rows == 0:
         # no baseline -> UNKNOWN, never abort (analyze_joss.py:91-105 analog)
-        return (lang, "drift_text_len", n_rows, 0, float("nan"), "unknown", SCORE_NONE, "UNKNOWN")
-    ks = ks_statistic(reference.hists[lang], profile["hist_text"])
-    p = psi(reference.hists[lang], profile["hist_text"])
+        return (lang, check, n_rows, 0, float("nan"), "unknown", SCORE_NONE, "UNKNOWN")
+    ks = ks_statistic(ref_hists[lang], profile[profile_key])
+    p = psi(ref_hists[lang], profile[profile_key])
     if math.isnan(ks) or math.isnan(p):
-        return (lang, "drift_text_len", n_rows, 0, float("nan"), "unknown", SCORE_NONE, "UNKNOWN")
+        return (lang, check, n_rows, 0, float("nan"), "unknown", SCORE_NONE, "UNKNOWN")
     if ks >= cfg.ks_fail or p >= cfg.psi_fail:
         status, score, verdict = "needs_improvement", SCORE_NEEDS_IMPROVEMENT, "FAIL"
     elif ks >= cfg.ks_ok or p >= cfg.psi_ok:
@@ -105,4 +117,30 @@ def _drift_row(lang, profile, cfg, reference):
     else:
         status, score, verdict = "good", SCORE_GOOD, "PASS"
     # pass_rate column carries 1-KS for drift rows (a bounded similarity)
-    return (lang, "drift_text_len", n_rows, 0, 1.0 - ks, status, score, verdict)
+    return (lang, check, n_rows, 0, 1.0 - ks, status, score, verdict)
+
+
+def _drift_null_row(lang, profile, cfg, reference):
+    """Per-column null-rate drift: max |rate - reference rate| across the
+    profiled columns, thresholded like the histogram drifts."""
+    n_rows = int(profile["n_rows"])
+    ref_rates = getattr(reference, "null_rates", None) if reference is not None else None
+    if not ref_rates or lang not in ref_rates or n_rows == 0:
+        return (lang, "drift_null_rate", n_rows, 0, float("nan"), "unknown",
+                SCORE_NONE, "UNKNOWN")
+    ref = ref_rates[lang]
+    deltas = [
+        abs(profile["nulls"][c] / n_rows - float(ref[c]))
+        for c in profile["nulls"] if c in ref
+    ]
+    if not deltas:
+        return (lang, "drift_null_rate", n_rows, 0, float("nan"), "unknown",
+                SCORE_NONE, "UNKNOWN")
+    d = max(deltas)
+    if d >= cfg.null_drift_fail:
+        status, score, verdict = "needs_improvement", SCORE_NEEDS_IMPROVEMENT, "FAIL"
+    elif d >= cfg.null_drift_ok:
+        status, score, verdict = "ok", SCORE_OK, "PASS"
+    else:
+        status, score, verdict = "good", SCORE_GOOD, "PASS"
+    return (lang, "drift_null_rate", n_rows, 0, 1.0 - d, status, score, verdict)

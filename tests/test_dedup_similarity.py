@@ -254,3 +254,17 @@ def test_ivf_knn_high_recall_vs_brute(ray_session):
     # rank 1 is the query itself (it lives in a probed list by construction)
     for qid in ids[:8]:
         assert got[(got.query_id == qid) & (got.rk == 1)].neighbor_id.iloc[0] == qid
+
+
+def test_ivf_knn_recall_vs_brute_force(ray_session):
+    """Driver query ivf_knn_embeddings must keep recall >= 0.9 against the
+    exact brute-force top-10 (VERDICT r1 #6)."""
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    exact = entrymod.queries()["knn_embeddings"](sf)
+    approx = entrymod.queries()["ivf_knn_embeddings"](sf)
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"

@@ -114,3 +114,55 @@ def test_hash_stream_row_independence(idx, channel):
     single = hash_stream(np.array([idx]), channel)[0]
     batch = hash_stream(np.arange(max(1, idx + 1)), channel)[idx]
     assert single == batch
+
+
+# ---------------------------------------------------------------- A3 client
+def test_external_client_logs_in_once_per_actor(ray_session):
+    """A3 exemplar (VERDICT r1 #8): the client session is created once per
+    actor in __init__ and reused across MANY batches — every response
+    carries the same session id, and the login sequence shows exactly one
+    login for the single-actor pool."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.state.client import enrich_with_client
+
+    n = 2000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array([f"text {i}" for i in range(n)], type=pa.string()),
+    })).repartition(8)
+    out = enrich_with_client(ds, concurrency=1, batch_size=100).to_pandas()
+    assert len(out) == n
+    sessions = out["response"].str.split("/").str[0].unique()
+    # one actor -> exactly one session across all 20 batches
+    assert len(sessions) == 1, sessions
+    # and many request() calls went through that single session
+    reqs = out["response"].str.extract(r"/r(\d+):")[0].astype(int)
+    assert reqs.max() == n
+
+
+def test_client_summarizer_hook_in_report(ray_session, tmp_path):
+    from cckp_toolkit_workflow_ray.pipelines.validate import validate
+    from cckp_toolkit_workflow_ray.pipelines.report import write_html_report
+    from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
+    from cckp_toolkit_workflow_ray.state.client import (
+        FakeExternalClient,
+        make_client_summarizer,
+    )
+
+    res = validate(generate_pages_dataset(500, seed=42), out_dir=str(tmp_path))
+    holder = {}
+
+    def factory():
+        holder["client"] = FakeExternalClient()
+        return holder["client"]
+
+    summarize = make_client_summarizer(factory)
+    p1 = write_html_report(res, path=str(tmp_path / "r1.html"), summarizer=summarize)
+    p2 = write_html_report(res, path=str(tmp_path / "r2.html"), summarizer=summarize)
+    # one login at construction, reused by both report renders
+    assert holder["client"].n_logins == 1
+    assert holder["client"].n_requests == 2
+    assert "session-" in open(p1).read() and "session-" in open(p2).read()

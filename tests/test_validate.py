@@ -47,7 +47,7 @@ def test_verdicts_match_oracle(result, pages_df):
     cfg = result.config
     want = oracle_verdicts(pages_df, oracle_violations(pages_df, cfg), cfg)
     got = result.verdicts
-    got = got[~got.check.isin(["__overall__", "drift_text_len"])]
+    got = got[(got.check != "__overall__") & ~got.check.str.startswith("drift_")]
     merged = want.merge(got, on=["lang", "check"], suffixes=("_o", "_e"))
     assert len(merged) == len(want), "missing (lang, check) verdict rows"
     assert len(got) == len(want), "spurious extra verdict rows"
@@ -110,7 +110,8 @@ def test_clean_input_all_pass(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("clean_out"))
     res = validate(ds, out_dir=out)
     assert res.violations().count() == 0
-    core = res.verdicts[~res.verdicts.check.isin(["__overall__", "drift_text_len"])]
+    core = res.verdicts[(res.verdicts.check != "__overall__")
+                        & ~res.verdicts.check.str.startswith("drift_")]
     assert (core.verdict == "PASS").all()
     # drift has no reference baseline here -> UNKNOWN, which propagates to
     # the rollup (analyze_joss.py:91-105 defaulting semantics)
@@ -134,6 +135,13 @@ def test_drift_detected_against_reference(ray_session, tmp_path_factory):
     assert d.loc["zh", "verdict"] == "FAIL"
     assert d.loc["en", "verdict"] == "PASS"
     assert d.loc["en", "status"] == "good"
+    # r2: the length drift shows up in the html histogram too, while the
+    # null-rate profile is unchanged
+    h = res.verdicts[res.verdicts.check == "drift_html_len"].set_index("lang")
+    assert h.loc["zh", "verdict"] == "FAIL"
+    assert h.loc["en", "verdict"] == "PASS"
+    nr = res.verdicts[res.verdicts.check == "drift_null_rate"]
+    assert (nr.verdict == "PASS").all()
 
 
 def test_reference_profile_roundtrip(ray_session, tmp_path):
@@ -146,6 +154,9 @@ def test_reference_profile_roundtrip(ray_session, tmp_path):
     assert ref2.valid_langs == ref.valid_langs
     assert ref2.counts == ref.counts
     assert all(np.array_equal(ref.hists[l].counts, ref2.hists[l].counts) for l in ref.hists)
+    assert all(np.array_equal(ref.hists_html[l].counts, ref2.hists_html[l].counts)
+               for l in ref.hists_html)
+    assert ref2.null_rates == ref.null_rates
 
 
 def test_schema_gate_rejects_wrong_input(ray_session):
