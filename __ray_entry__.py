@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_revenue": q.hash_join_revenue,
         "enrich_events_nation": q.enrich_events_nation,
         "asof_bucketed": q.asof_bucketed,
+        "interval_event_windows": q.interval_event_windows,
+        "distinct_users_events": q.distinct_users_events,
+        "embedding_norm_stats": q.embedding_norm_stats,
         "top_orders": q.top_orders,
         "json_props_stats": q.json_props_stats,
         "drift_check": q.drift_check,
@@ -304,6 +307,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o
               ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             GROUP BY e.event_id
+        """,
+        "interval_event_windows": """
+            WITH w AS (
+                SELECT o_orderkey AS window_id,
+                       TIMESTAMP '2024-01-01'
+                           + (o_orderkey % 720) * INTERVAL 1 HOUR AS ws
+                FROM orders
+            )
+            SELECT w.window_id, count(*) AS n_events
+            FROM w JOIN events e
+              ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 90 MINUTE
+            GROUP BY w.window_id
+        """,
+        "distinct_users_events": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "embedding_norm_stats": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   count(*) AS n_vecs,
+                   CAST(sum(CAST(round(1000000 * sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))) AS BIGINT)) AS BIGINT)
+                       AS sum_norm_e6
+            FROM embeddings GROUP BY label
         """,
         "cosine_threshold_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

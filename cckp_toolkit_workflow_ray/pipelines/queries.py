@@ -900,6 +900,75 @@ def hash_join_revenue(sf_dir: str) -> pa.Table:
     ).to_pandas()
 
 
+def interval_event_windows(sf_dir: str) -> pa.Table:
+    """Interval (range) join with NO equi key: 90-minute maintenance
+    windows derived deterministically from order keys, matched against the
+    events stream by time-bucket co-partitioning
+    (stages.joins.interval_join_bucketed); returns events-per-window."""
+    from ..stages.joins import interval_join_bucketed
+
+    BASE_US = int(pd.Timestamp("2024-01-01").value // 1000)
+    WIN_US = 90 * 60 * 1_000_000
+
+    events = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        start = (BASE_US + (k % 720) * _HOUR_US).astype("datetime64[us]")
+        return pa.table({
+            "window_id": pa.array(k, type=pa.int64()),
+            "w_start": pa.array(start),
+            "w_end": pa.array(start + np.timedelta64(WIN_US, "us")),
+        })
+
+    windows = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mk_windows, batch_format="pyarrow")
+    joined = interval_join_bucketed(
+        events, windows, "ts", "w_start", "w_end",
+        bucket_us=2 * _HOUR_US, right_cols=["window_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("window_id", as_index=False).size().rename(
+            columns={"size": "n_events"})
+
+    return _sum_by_key(joined.map_batches(partial, batch_format="pandas"),
+                       ["window_id"], ["n_events"]).to_pandas()
+
+
+def distinct_users_events(sf_dir: str) -> pa.Table:
+    """Exact count(DISTINCT user_id) per event_type via salted distinct
+    (stages.groupagg.salted_distinct_count — the hot-key-safe exact
+    distinct: salting by the counted entity partitions DISTINCT exactly)."""
+    from ..stages.groupagg import salted_distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = salted_distinct_count(ds, "event_type", "user_id", n_salts=32)
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def embedding_norm_stats(sf_dir: str) -> pa.Table:
+    """Per-label L2-norm statistics over the embedding column (exact-int
+    e-6 scaling so the float sum is order-independent)."""
+    from ..stages.similarity import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column("embedding"))
+        norm_e6 = _round_half_away(
+            1_000_000.0 * np.sqrt(np.einsum("ij,ij->i", m, m))).astype(np.int64)
+        df = pd.DataFrame({
+            "label": t.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
+            "n_vecs": 1,
+            "sum_norm_e6": norm_e6,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("label", as_index=False).sum(), preserve_index=False)
+
+    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["label"], ["n_vecs", "sum_norm_e6"]).to_pandas()
+
+
 def enrich_events_nation(sf_dir: str) -> pa.Table:
     """Two-hop broadcast dimension join: events → customer → nation,
     rolled up to (n_name, event_type) counts."""

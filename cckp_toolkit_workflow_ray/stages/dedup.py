@@ -74,8 +74,9 @@ def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None 
 
     Emits all unordered doc pairs per bucket group with ``id_a < id_b``
     (payload columns are carried as ``<col>_a`` / ``<col>_b``), then
-    drops cross-bucket duplicates with a pair-keyed groupby.  Buckets
-    with more than ``max_bucket`` members (degenerate hash regions) are
+    drops cross-bucket duplicates with a range-sort + per-block dedup
+    (rare block-boundary survivors tolerated — see below).  Buckets with
+    more than ``max_bucket`` members (degenerate hash regions) are
     skipped inside the group task.
     """
     cols = list(payload_cols)
@@ -107,8 +108,16 @@ def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None 
     pairs = pairs.map_batches(
         lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # distinct pairs via range-sort + per-block vectorized dedup.  A
+    # pair-keyed groupby().map_groups here pays per-group Python overhead
+    # on |pairs| groups (measured 116 s for 290k pair groups at sf0.1);
+    # after the sort every duplicate is block-contiguous except at block
+    # boundaries, where one residual copy per boundary can survive —
+    # downstream verification is idempotent and callers drop_duplicates
+    # the (small) final output exactly.
+    return pairs.sort(["id_a", "id_b"]).map_batches(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        batch_format="pandas", batch_size=None,
     )
 
 
@@ -417,7 +426,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
     out = withp.map_batches(verify, batch_format="pandas").to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -502,7 +511,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "hamming": d[keep]})
 
     out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -51,3 +51,49 @@ def candidate_duplicates(partials, key_cols: list[str], n_col: str = "n"):
 
     # batch_size=None -> one call per block, so "block edge" is well-defined
     return sorted_ds.map_batches(block_candidates, batch_format="pandas", batch_size=None)
+
+
+def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
+                          batch_size: int = 65536):
+    """Exact ``count(DISTINCT entity)`` per LOW-cardinality key at scale.
+
+    A plain ``groupby(key)`` funnels every (key, entity) pair of a hot key
+    into one group task.  Salting by ``hash(entity) % n_salts`` splits the
+    DISTINCT computation *exactly* — each entity value lands in exactly one
+    salt, so per-(key, salt) distinct counts are disjoint and their sum is
+    the true distinct count.  Stage 1 pre-combines per batch
+    (drop_duplicates), stage 2 groups by the salted key (cardinality
+    |keys| × n_salts — balanced), stage 3 sums the tiny per-salt counts.
+    SQL-NULL semantics: NULL entities are not counted; NULL keys form
+    their own group.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_strings, splitmix64
+
+    def _salt(vals: np.ndarray) -> np.ndarray:
+        if np.issubdtype(vals.dtype, np.integer):
+            h = splitmix64(vals.astype(np.uint64))
+        else:
+            h = hash_strings(vals, seed=17)
+        return (h % np.uint64(n_salts)).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[entity].notna()][[key, entity]].drop_duplicates()
+        df = df.copy()
+        df["__salt"] = _salt(df[entity].to_numpy())
+        return df
+
+    pairs = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "__salt": [g["__salt"].iloc[0]],
+            "n_distinct": [int(g[entity].nunique())],
+        })
+
+    per_salt = pairs.groupby([key, "__salt"]).map_groups(
+        count_group, batch_format="pandas")
+    return per_salt.groupby(key).aggregate(
+        Sum("n_distinct", alias_name="n_distinct"))

@@ -174,6 +174,94 @@ def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
     return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def interval_join_bucketed(left, right, left_ts: str, right_start: str,
+                           right_end: str, bucket_us: int,
+                           right_cols: list[str] | None = None,
+                           batch_size: int = 65536):
+    """Interval (range) join with NO equi key: match every left row whose
+    timestamp falls in ``[right_start, right_end)``.
+
+    Scale motif — time-bucket co-partitioning: each right interval
+    replicates to every bucket it covers (bounded by interval_len /
+    bucket_us + 1 copies), each left row goes to its single bucket, and a
+    ``groupby(bucket)`` group task emits matches via two vectorized
+    ``searchsorted`` calls over the bucket's sorted left timestamps.  A
+    matched pair materializes in exactly one bucket (the left row's), so
+    no cross-bucket dedup is needed.  Choose ``bucket_us`` ≳ the typical
+    interval length so the replication factor stays ~2.
+    Column sets must be disjoint.  Timestamps compare in int64 µs.
+    """
+    right_cols = right_cols if right_cols is not None else [
+        c for c in right.schema().names if c not in (right_start, right_end)]
+    left_schema = left.schema()
+    left_names = [c for c in left_schema.names]
+    left_dtypes = _schema_dtype_map(left_schema, left_names)
+    right_schema = right.schema()
+    right_names = [right_start, right_end, *right_cols]
+    right_dtypes = _schema_dtype_map(right_schema, right_names)
+
+    def _to_us(col: pd.Series) -> np.ndarray:
+        if pd.api.types.is_datetime64_any_dtype(col):
+            return col.astype("datetime64[us]").astype("int64").to_numpy()
+        return col.to_numpy().astype(np.int64)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _to_us(df[left_ts]) // bucket_us
+        df["__side"] = np.int8(0)
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        s = _to_us(df[right_start])
+        e = _to_us(df[right_end])
+        b0 = s // bucket_us
+        b1 = np.maximum(e - 1, s) // bucket_us      # inclusive end bucket
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].copy()
+        offsets = np.concatenate([[0], np.cumsum(reps[:-1])])
+        out["__bucket"] = (np.arange(reps.sum()) - np.repeat(offsets, reps)
+                           + np.repeat(b0, reps))
+        out["__side"] = np.int8(1)
+        return out
+
+    l = left.map_batches(tag_left, batch_format="pandas", batch_size=batch_size)
+    r = right.map_batches(tag_right, batch_format="pandas", batch_size=batch_size)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = _cast_side(g[g["__side"] == 0].reindex(columns=left_names),
+                        left_dtypes)
+        rg = _cast_side(g[g["__side"] == 1].reindex(columns=right_names),
+                        right_dtypes)
+        empty = pd.concat(
+            [lg.iloc[:0], rg.iloc[:0][right_cols]], axis=1)
+        if lg.empty or rg.empty:
+            return empty
+        lg = lg[lg[left_ts].notna()]
+        rg = rg[rg[right_start].notna() & rg[right_end].notna()]
+        if lg.empty or rg.empty:
+            return empty
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        ts = _to_us(lg[left_ts])
+        lo = np.searchsorted(ts, _to_us(rg[right_start]), side="left")
+        hi = np.searchsorted(ts, _to_us(rg[right_end]), side="left")
+        counts = (hi - lo).clip(min=0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        offsets = np.concatenate([[0], np.cumsum(counts[:-1])])
+        left_idx = (np.arange(total) - np.repeat(offsets, counts)
+                    + np.repeat(lo, counts))
+        right_idx = np.repeat(np.arange(len(rg)), counts)
+        out = lg.iloc[left_idx].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = rg[c].to_numpy()[right_idx]
+        return out
+
+    return l.union(r).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas")
+
+
 def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
                        right_cols: list[str], n_buckets: int = 32,
                        batch_size: int = 65536):

@@ -247,7 +247,7 @@ def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
                              "sim": sim[keep]})
 
     out = withv.map_batches(verify, batch_format="pandas").to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

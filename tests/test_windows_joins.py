@@ -10,6 +10,7 @@ from cckp_toolkit_workflow_ray.stages.joins import (
     asof_join_bucketed,
     broadcast_join,
     hash_join,
+    interval_join_bucketed,
     semi_join,
 )
 from cckp_toolkit_workflow_ray.stages.windows import (
@@ -155,3 +156,60 @@ def test_semi_join_empty_keyset(ray_session):
     assert len(s) == 0
     a = semi_join(_ds(left), [], on="k", anti=True).to_pandas()
     assert sorted(a.k) == [1, 2, 3]
+
+
+def test_interval_join_bucketed_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[us]")
+    left = pd.DataFrame({
+        "event_id": np.arange(500, dtype=np.int64),
+        "ts": base + rng.integers(0, 10**10, 500).astype("timedelta64[us]"),
+    })
+    starts = base + rng.integers(0, 10**10, 60).astype("timedelta64[us]")
+    # intervals of varying length, some spanning many buckets
+    right = pd.DataFrame({
+        "window_id": np.arange(60, dtype=np.int64),
+        "w_start": starts,
+        "w_end": starts + rng.integers(1, 4 * 10**9, 60).astype("timedelta64[us]"),
+    })
+    got = interval_join_bucketed(
+        _ds(left), _ds(right), "ts", "w_start", "w_end",
+        bucket_us=10**9, right_cols=["window_id"]).to_pandas()
+    want = left.merge(right, how="cross")
+    want = want[(want.ts >= want.w_start) & (want.ts < want.w_end)]
+    key = ["event_id", "window_id"]
+    assert sorted(map(tuple, got[key].to_numpy())) == \
+        sorted(map(tuple, want[key].to_numpy()))
+
+
+def test_interval_join_empty_right(ray_session):
+    base = pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[us]")
+    left = pd.DataFrame({"event_id": np.arange(5, dtype=np.int64),
+                         "ts": base + np.arange(5).astype("timedelta64[us]")})
+    right = pd.DataFrame({
+        "window_id": pd.Series([], dtype="int64"),
+        "w_start": pd.Series([], dtype="datetime64[us]"),
+        "w_end": pd.Series([], dtype="datetime64[us]"),
+    })
+    got = interval_join_bucketed(_ds(left), _ds(right), "ts", "w_start",
+                                 "w_end", bucket_us=10**9,
+                                 right_cols=["window_id"]).to_pandas()
+    assert len(got) == 0
+
+
+def test_salted_distinct_count_exact(ray_session):
+    from cckp_toolkit_workflow_ray.stages.groupagg import salted_distinct_count
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    df = pd.DataFrame({
+        "k": np.array(["hot"] * (n - 100) + ["cold"] * 100),  # skewed key
+        "u": np.concatenate([rng.integers(0, 700, n - 100),
+                             rng.integers(0, 50, 100)]).astype(np.int64),
+    })
+    # some NULL entities must not count (SQL semantics)
+    df.loc[df.index[:10], "u"] = pd.NA
+    df["u"] = df["u"].astype("Int64")
+    got = salted_distinct_count(_ds(df), "k", "u", n_salts=16).to_pandas()
+    want = df.dropna(subset=["u"]).groupby("k")["u"].nunique()
+    assert dict(zip(got["k"], got["n_distinct"])) == want.to_dict()
