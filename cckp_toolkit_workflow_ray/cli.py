@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     pv.add_argument("--reference", help="reference profile JSON (drift baseline)")
     pv.add_argument("--resume", action="store_true",
                     help="partitioned, checkpointed run (skips completed partitions)")
+    pv.add_argument("--checks", default=None,
+                    help="comma-separated check names (default: full suite; "
+                         "opt-in checks like text_min_len must be listed here)")
+    pv.add_argument("--min-text-len", type=int, default=None,
+                    help="threshold for the text_min_len check")
 
     pc = sub.add_parser("check", help="run one check standalone")
     pc.add_argument("--name", required=True)
@@ -80,16 +85,29 @@ def main(argv=None) -> int:
     from .stages.profile import ReferenceProfile
 
     if args.cmd == "validate":
+        from .config import ValidationConfig, validate_check_names
+
+        cfg = None
+        if args.checks or args.min_text_len is not None:
+            kwargs = {}
+            if args.checks:
+                names = tuple(c.strip() for c in args.checks.split(",") if c.strip())
+                validate_check_names(names)   # fail fast (main.nf:49-59 analog)
+                kwargs["checks"] = names
+            if args.min_text_len is not None:
+                kwargs["min_text_len"] = args.min_text_len
+            cfg = ValidationConfig(**kwargs)
         ref = ReferenceProfile.load(args.reference) if args.reference else None
         if args.resume:
             from .state.checkpoint import run_partitioned_validation
 
             res, stats = run_partitioned_validation(
-                args.input, args.out, reference_profile=ref
+                args.input, args.out, reference_profile=ref, config=cfg
             )
             print(json.dumps({**res.report, **stats}, indent=2, sort_keys=True))
         else:
-            res = validate(args.input, out_dir=args.out, reference_profile=ref)
+            res = validate(args.input, out_dir=args.out, reference_profile=ref,
+                           config=cfg)
             print(json.dumps(res.report, indent=2, sort_keys=True))
         return 0 if res.overall_verdict() != "FAIL" else 1
 

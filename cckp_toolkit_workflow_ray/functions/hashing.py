@@ -72,3 +72,16 @@ def byte_kgram_hashes(data: bytes, k: int) -> np.ndarray:
         mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
         h = (windows * mult[::-1]).sum(axis=1)
     return splitmix64(h)
+
+
+def isin_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in a SORTED array, empty-safe.
+
+    The naive ``sorted_arr[clip(searchsorted(...))] == values`` crashes
+    with IndexError on an empty array (``&`` does not short-circuit) —
+    a bug class found twice in review; every broadcast-membership filter
+    must go through this helper."""
+    if sorted_arr.size == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_arr, values), 0, sorted_arr.size - 1)
+    return sorted_arr[pos] == values

@@ -134,14 +134,9 @@ def referential_events_check(sf_dir: str) -> pa.Table:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             uid = t.column("user_id").to_numpy(zero_copy_only=False)
-            if self.valid.size == 0:
-                # empty dimension: every event is an orphan (indexing an
-                # empty array below would crash — never-abort rule)
-                orphan = np.ones(len(uid), dtype=bool)
-            else:
-                pos = np.searchsorted(self.valid, uid)
-                pos = np.clip(pos, 0, len(self.valid) - 1)
-                orphan = self.valid[pos] != uid
+            from ..functions.hashing import isin_sorted
+
+            orphan = ~isin_sorted(self.valid, uid)
             df = pd.DataFrame({
                 "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
                 "n_events": 1,
@@ -541,6 +536,10 @@ def _seeded_pair_jaccard(sf_dir: str, shingle_fn) -> pa.Table:
     pairs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         mk_pairs, batch_format="pyarrow").materialize()
     n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard_e6": pd.Series([], dtype="int64")})
 
     def payload(filter_ids):
         ref = ray.put(np.sort(filter_ids)) if filter_ids is not None else None
@@ -549,9 +548,9 @@ def _seeded_pair_jaccard(sf_dir: str, shingle_fn) -> pa.Table:
             texts = t.column("text").to_numpy(zero_copy_only=False)
             ids = t.column("doc_id").to_numpy(zero_copy_only=False)
             if ref is not None:
-                cand = ray.get(ref)
-                pos = np.clip(np.searchsorted(cand, ids), 0, cand.size - 1)
-                sel = cand[pos] == ids
+                from ..functions.hashing import isin_sorted
+
+                sel = isin_sorted(ray.get(ref), ids)
                 texts, ids = texts[sel], ids[sel]
             sh = [shingle_fn(txt or "").tobytes() for txt in texts]
             return pa.table({"doc": pa.array(ids, type=pa.int64()),
@@ -582,18 +581,47 @@ def _seeded_pair_jaccard(sf_dir: str, shingle_fn) -> pa.Table:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _char5_grams_sql(t: str) -> np.ndarray:
+    """Distinct hashed CHARACTER 5-windows with the exact semantics of the
+    SQL oracle (substr windows over unicode chars; strings shorter than 5
+    become one 'PAD:'-namespaced gram).  The production dedup path uses
+    byte shingles (`char_shingle_hashes`) — equivalent on ASCII but not on
+    multibyte text, so the oracle-checked query mirrors the SQL exactly."""
+    from ..functions.hashing import hash_strings
+
+    if len(t) < 5:
+        grams = ["PAD:" + t]
+    else:
+        grams = list({t[i:i + 5] for i in range(len(t) - 4)})
+    return np.unique(hash_strings(np.array(grams, dtype=object), seed=13))
+
+
+def _word3_grams_sql(t: str) -> np.ndarray:
+    """Distinct hashed word 3-grams with the SQL oracle's semantics: split
+    on ASCII whitespace runs (RE2 '\\s+' — python str.split() would also
+    split unicode whitespace), <3 words → the single joined gram."""
+    import re
+
+    from ..functions.hashing import hash_strings
+
+    words = [w for w in re.split(r"\s+", t, flags=re.ASCII) if w]
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < 3:
+        grams = [" ".join(words)]
+    else:
+        grams = list({" ".join(words[i:i + 3]) for i in range(len(words) - 2)})
+    return np.unique(hash_strings(np.array(grams, dtype=object), seed=13))
+
+
 def minhash_verify_jaccard(sf_dir: str) -> pa.Table:
     """Char-5-shingle Jaccard on the seeded pair set (SQL-oracled)."""
-    from ..stages.dedup import char_shingle_hashes
-
-    return _seeded_pair_jaccard(sf_dir, lambda t: char_shingle_hashes(t, 5))
+    return _seeded_pair_jaccard(sf_dir, _char5_grams_sql)
 
 
 def ngram_verify_jaccard(sf_dir: str) -> pa.Table:
     """Word-3-gram Jaccard on the seeded pair set (SQL-oracled)."""
-    from ..stages.dedup import word_ngram_hashes
-
-    return _seeded_pair_jaccard(sf_dir, lambda t: word_ngram_hashes(t, 3))
+    return _seeded_pair_jaccard(sf_dir, _word3_grams_sql)
 
 
 def docs_validate(sf_dir: str) -> pa.Table:
@@ -637,7 +665,13 @@ def docs_validate(sf_dir: str) -> pa.Table:
         v = df[df["kind"] == "violation"]
         g = v.groupby(["lang", "check"], as_index=False).size().rename(
             columns={"size": "n_violations", "check": "check_name"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: an empty partial would otherwise infer
+        # null-typed string columns, breaking downstream block unification
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "check_name": pa.array(g["check_name"], type=pa.string()),
+            "n_violations": pa.array(g["n_violations"], type=pa.int64()),
+        })
 
     out = _sum_by_key(
         stream.map_batches(partial, batch_format="pyarrow"),

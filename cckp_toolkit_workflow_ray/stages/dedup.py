@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import hash_strings, isin_sorted, splitmix64
 
 # ---------------------------------------------------------------------------
 # shared: rare-duplicate int-key detection over a (key -> partial count) fn
@@ -365,8 +365,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             sh = shingles_of(txt or "")
             sig = minhash_signature(sh, num_perm)
             bh = band_hashes(sig, bands).astype(np.int64)
-            pos = np.clip(np.searchsorted(bucket_sorted, bh), 0, bucket_sorted.size - 1)
-            hit = bucket_sorted[pos] == bh
+            hit = isin_sorted(bucket_sorted, bh)
             for kk in bh[hit]:
                 out_k.append(int(kk))
                 out_id.append(int(did))
@@ -396,9 +395,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             texts = t.column(text_col).to_numpy(zero_copy_only=False)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             if ref is not None:
-                cand = ray.get(ref)
-                pos = np.clip(np.searchsorted(cand, ids), 0, cand.size - 1)
-                sel = cand[pos] == ids
+                sel = isin_sorted(ray.get(ref), ids)
                 texts, ids = texts[sel], ids[sel]
             out_sh = [shingles_of(txt or "").tobytes() for txt in texts]
             return pa.table({"doc": pa.array(ids, type=pa.int64()),
@@ -480,8 +477,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         keys = band_keys(sh)
         out_k, out_id, out_sh = [], [], []
         for i in range(keys.shape[0]):
-            pos = np.clip(np.searchsorted(bucket_sorted, keys[i]), 0, bucket_sorted.size - 1)
-            hit = bucket_sorted[pos] == keys[i]
+            hit = isin_sorted(bucket_sorted, keys[i])
             for kk in keys[i][hit]:
                 out_k.append(int(kk))
                 out_id.append(int(ids[i]))

@@ -71,9 +71,20 @@ def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
 
     from ..functions.hashing import hash_strings, splitmix64
 
+    # Decide the salt hash ONCE from the Arrow schema, not per batch: a
+    # pandas batch containing nulls converts int64 → float64, and a
+    # dtype-dependent branch would salt the same entity differently in
+    # different batches, double-counting it (review finding r2).
+    schema = ds.schema()
+    ent_type = dict(zip(schema.names, schema.types)).get(entity)
+    ent_is_int = (pa.types.is_integer(ent_type)
+                  if isinstance(ent_type, pa.DataType)
+                  else np.dtype(ent_type).kind in "iu")
+
     def _salt(vals: np.ndarray) -> np.ndarray:
-        if np.issubdtype(vals.dtype, np.integer):
-            h = splitmix64(vals.astype(np.uint64))
+        if ent_is_int:
+            # nulls were dropped; a float-degraded batch casts back exactly
+            h = splitmix64(vals.astype(np.int64).astype(np.uint64))
         else:
             h = hash_strings(vals, seed=17)
         return (h % np.uint64(n_salts)).astype(np.int64)

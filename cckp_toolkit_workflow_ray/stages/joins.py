@@ -30,9 +30,13 @@ def _pd_nullable_dtype(typ):
 
     ``union`` blocks keep their own schema, so a ``map_groups`` group
     assembled from both sides NaN-pads each side's missing columns and
-    silently degrades int64 → float64 (losing ulp precision on large
-    sums).  Casting back to the pandas *nullable* equivalent restores
-    exact integer semantics; Arrow converts Int64+NA back to int64.
+    would silently degrade int64 → float64 (corrupting magnitudes ≥
+    2^53).  The tag stages therefore convert ints to pandas NULLABLE
+    extension dtypes before the union (``_nullable_int_pandas`` — Ray
+    preserves extension dtypes through the shuffle, keeping the full
+    int64 range exact); this map is the belt-and-braces restore applied
+    after group assembly, and Arrow converts Int64+NA back to int64 on
+    output.
 
     ``typ`` may be a pyarrow DataType (Arrow blocks) or a numpy dtype /
     python type (Ray's PandasBlockSchema for pandas-built datasets)."""
@@ -45,7 +49,10 @@ def _pd_nullable_dtype(typ):
         if pa.types.is_floating(typ):
             return "float64"
         if pa.types.is_timestamp(typ):
-            return f"datetime64[{typ.unit}]"
+            # keep the timezone — astype('datetime64[us]') on a tz-aware
+            # column raises in pandas 2.x
+            return (f"datetime64[{typ.unit}, {typ.tz}]" if typ.tz
+                    else f"datetime64[{typ.unit}]")
         return None
     try:
         dt = np.dtype(typ)
@@ -75,7 +82,14 @@ def _schema_dtype_map(schema: pa.Schema, cols) -> dict:
 def _cast_side(df: pd.DataFrame, dtype_map: dict) -> pd.DataFrame:
     for c, dt in dtype_map.items():
         if c in df.columns and str(df[c].dtype) != dt:
-            df[c] = df[c].astype(dt)
+            try:
+                df[c] = df[c].astype(dt)
+            except (TypeError, ValueError):
+                # e.g. an all-NaN float pad that can't cast to a tz-aware
+                # dtype directly — a wrong dtype must not crash the join
+                # (never-abort); to_datetime handles the tz path
+                if dt.startswith("datetime64"):
+                    df[c] = pd.to_datetime(df[c], errors="coerce", utc="," in dt)
     return df
 
 
@@ -108,28 +122,55 @@ def semi_join(ds, keys, on: str, anti: bool = False, batch_size: int = 65536):
     ref = ray.put(np.sort(np.asarray(list(keys))))
 
     def filt(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import isin_sorted
+
         valid = ray.get(ref)
         v = t.column(on).to_numpy(zero_copy_only=False)
-        if valid.size == 0:
-            # empty key set: semi keeps nothing, anti keeps everything
-            # (valid[pos] below would IndexError — & doesn't short-circuit)
-            hit = np.zeros(len(v), dtype=bool)
-        else:
-            pos = np.clip(np.searchsorted(valid, v), 0, valid.size - 1)
-            hit = valid[pos] == v
+        hit = isin_sorted(valid, v)
         return t.filter(pa.array(~hit if anti else hit))
 
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
 
 
+_PD_INT_MAP = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
+
+
+def _nullable_int_pandas(t: pa.Table) -> pd.DataFrame:
+    """Arrow → pandas keeping ints as NULLABLE extension dtypes.
+
+    The default conversion turns int64-with-nulls into float64, silently
+    corrupting magnitudes ≥ 2^53 AND making per-batch dtypes depend on
+    which batch happens to contain a null.  Ray preserves extension
+    dtypes through union/shuffle/group assembly (verified: 2^62 values
+    stay exact in mixed groups), so converting here keeps the whole join
+    path exact for the full int64 range."""
+    return t.to_pandas(types_mapper=_PD_INT_MAP.get)
+
+
 def _with_bucket_and_tag(ds, on: str, n_buckets: int, tag: int, batch_size: int):
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = _key_hash(df[on].to_numpy()) % n_buckets
+    def add(t: pa.Table) -> pd.DataFrame:
+        df = _nullable_int_pandas(t)
+        keys = df[on]
+        if pd.api.types.is_integer_dtype(keys.dtype):
+            # bucket from exact int values, independent of per-batch null
+            # presence (null keys get an arbitrary bucket; they are
+            # dropped by the merge's NULL-key semantics anyway)
+            from ..functions.hashing import splitmix64
+
+            kv = keys.fillna(0).astype("int64").to_numpy()
+            kh = splitmix64(kv.astype(np.uint64)).astype(np.int64)
+        else:
+            kh = _key_hash(keys.to_numpy())
+        df["__bucket"] = kh % n_buckets
         df["__side"] = np.int8(tag)
         return df
 
-    return ds.map_batches(add, batch_format="pandas", batch_size=batch_size)
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=batch_size)
 
 
 def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
@@ -205,13 +246,19 @@ def interval_join_bucketed(left, right, left_ts: str, right_start: str,
             return col.astype("datetime64[us]").astype("int64").to_numpy()
         return col.to_numpy().astype(np.int64)
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+    def tag_left(t: pa.Table) -> pd.DataFrame:
+        df = _nullable_int_pandas(t)
         df["__bucket"] = _to_us(df[left_ts]) // bucket_us
         df["__side"] = np.int8(0)
         return df
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_right(t: pa.Table) -> pd.DataFrame:
+        df = _nullable_int_pandas(t)
+        # a null bound means the row can never match (never-abort rule);
+        # it must be dropped HERE — NaT round-trips through int64 as
+        # -2^63, and `e - 1` would wrap to +2^63-1, making the bucket
+        # replication count for that row ~10^9
+        df = df[df[right_start].notna() & df[right_end].notna()]
         s = _to_us(df[right_start])
         e = _to_us(df[right_end])
         b0 = s // bucket_us
@@ -225,8 +272,8 @@ def interval_join_bucketed(left, right, left_ts: str, right_start: str,
         out["__side"] = np.int8(1)
         return out
 
-    l = left.map_batches(tag_left, batch_format="pandas", batch_size=batch_size)
-    r = right.map_batches(tag_right, batch_format="pandas", batch_size=batch_size)
+    l = left.map_batches(tag_left, batch_format="pyarrow", batch_size=batch_size)
+    r = right.map_batches(tag_right, batch_format="pyarrow", batch_size=batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = _cast_side(g[g["__side"] == 0].reindex(columns=left_names),

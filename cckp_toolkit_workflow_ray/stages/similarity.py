@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import splitmix64
+from ..functions.hashing import isin_sorted, splitmix64
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -194,9 +194,7 @@ def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
         flat = keys.ravel()
         rep_ids = np.repeat(ids, keys.shape[1]) if keys.size else \
             np.empty(0, dtype=np.int64)
-        pos = np.clip(np.searchsorted(bucket_sorted, flat), 0,
-                      bucket_sorted.size - 1)
-        hit = bucket_sorted[pos] == flat
+        hit = isin_sorted(bucket_sorted, flat)
         return pa.table({"bucket": pa.array(flat[hit]),
                          "doc": pa.array(rep_ids[hit], type=pa.int64())})
 
@@ -218,9 +216,7 @@ def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             m = _to_matrix(t.column(vec_col))
             if ref is not None:
-                cand = ray.get(ref)
-                pos = np.clip(np.searchsorted(cand, ids), 0, cand.size - 1)
-                sel = cand[pos] == ids
+                sel = isin_sorted(ray.get(ref), ids)
                 ids, m = ids[sel], m[sel]
             return pa.table({
                 "doc": pa.array(ids, type=pa.int64()),

@@ -268,3 +268,24 @@ def test_ivf_knn_recall_vs_brute_force(ray_session):
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9"
+
+
+def test_seeded_pair_jaccard_empty_pair_set(ray_session, tmp_path):
+    """review r2: an input with no doc_id%10==0 rows must yield an empty
+    frame, not an IndexError from an empty broadcast id set."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    d = str(tmp_path)
+    t = pa.table({
+        "doc_id": pa.array([1, 3, 7, 11], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma"] * 4, type=pa.string()),
+        "lang": pa.array(["en"] * 4, type=pa.string()),
+        "source": pa.array(["src10"] * 4, type=pa.string()),
+        "n_chars": pa.array([16] * 4, type=pa.int64()),
+    })
+    pq.write_table(t, f"{d}/documents.parquet")
+    out = entrymod.queries()["minhash_verify_jaccard"](d)
+    assert len(out) == 0
+    assert list(out.columns) == ["id_a", "id_b", "jaccard_e6"]

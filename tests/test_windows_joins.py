@@ -213,3 +213,57 @@ def test_salted_distinct_count_exact(ray_session):
     got = salted_distinct_count(_ds(df), "k", "u", n_salts=16).to_pandas()
     want = df.dropna(subset=["u"]).groupby("k")["u"].nunique()
     assert dict(zip(got["k"], got["n_distinct"])) == want.to_dict()
+
+
+def test_interval_join_null_bounds_never_explode(ray_session):
+    # review r2: NaT -> iNaT wraps via `e - 1` to +2^63-1 and the
+    # replication count for one row became ~10^9; null bounds must simply
+    # never match
+    base = pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[us]")
+    left = pd.DataFrame({"event_id": np.arange(10, dtype=np.int64),
+                         "ts": base + np.arange(10).astype("timedelta64[us]")})
+    right = pd.DataFrame({
+        "window_id": np.array([1, 2, 3], dtype=np.int64),
+        "w_start": [base, pd.NaT, base],
+        "w_end": [base + np.timedelta64(100, "us"), base, pd.NaT],
+    })
+    got = interval_join_bucketed(_ds(left), _ds(right), "ts", "w_start",
+                                 "w_end", bucket_us=10**9,
+                                 right_cols=["window_id"]).to_pandas()
+    # only window 1 (valid bounds) matches; 2 and 3 are dropped
+    assert set(got["window_id"]) == {1}
+    assert len(got) == 10
+
+
+def test_salted_distinct_count_multiblock_nullable_ints(ray_session):
+    # review r2: the salt hash must not depend on whether a given BATCH
+    # contains nulls (int64 vs float64 pandas dtype) — the same entity
+    # must land in the same salt in every block
+    from cckp_toolkit_workflow_ray.stages.groupagg import salted_distinct_count
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.9, "hot", "cold"),
+        "u": pd.array(rng.integers(0, 300, n), dtype="Int64"),
+    })
+    # nulls only in SOME regions -> after repartition some blocks are
+    # null-free (int64) and some have nulls (float64/object)
+    df.loc[df.index[:40], "u"] = pd.NA
+    ds = _ds(df).repartition(8)
+    got = salted_distinct_count(ds, "k", "u", n_salts=16).to_pandas()
+    want = df.dropna(subset=["u"]).groupby("k")["u"].nunique()
+    assert dict(zip(got["k"], got["n_distinct"])) == want.to_dict()
+
+
+def test_hash_join_exact_beyond_2_53(ray_session):
+    # review r2: plain-int NaN padding round-trips through float64 and
+    # corrupts magnitudes >= 2^53; the nullable-extension upcast before
+    # the union must keep the full int64 range exact
+    big = np.int64(2**62) + np.arange(40, dtype=np.int64) * 7
+    left = pd.DataFrame({"k": np.arange(40, dtype=np.int64), "big": big})
+    right = pd.DataFrame({"k": np.arange(0, 40, 2, dtype=np.int64),
+                          "w": np.arange(20, dtype=np.int64)})
+    got = hash_join(_ds(left), _ds(right), on="k", n_buckets=5).to_pandas()
+    want = left.merge(right, on="k")
+    assert sorted(got["big"].astype("int64")) == sorted(want["big"])
