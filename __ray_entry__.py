@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.exact_dedup,
         "keyword_check": q.keyword_check,
         "topk_longest": q.topk_longest,
+        "nchars_quantiles": q.nchars_quantiles,
+        "stratified_sample": q.stratified_sample,
         "deterministic_sample": q.deterministic_sample,
         "token_count": q.token_count,
         "verdict_rollup": q.verdict_rollup,
@@ -156,6 +158,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "deterministic_sample": """
             SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
+        """,
+        "nchars_quantiles": """
+            SELECT lang,
+                   CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+                   CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
+                   CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS q90
+            FROM documents GROUP BY lang
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, rk FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 4
         """,
         "token_count": """
             SELECT lang,

@@ -294,6 +294,35 @@ def topk_longest(sf_dir: str) -> pa.Table:
     return out
 
 
+def nchars_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-lang quantiles of n_chars (quantile_disc semantics) via
+    the distributed value-counts distribution — the exact-quantile
+    complement of the t-digest/KLL sketch path, scale-free whenever the
+    value domain is bounded (stages.groupagg.exact_grouped_quantiles)."""
+    from ..stages.groupagg import exact_grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = exact_grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
+    for c in ("q25", "q50", "q90"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sample: the 4 lowest-doc_id docs per lang
+    (per-batch head combiner + tiny merge — same no-shuffle motif as
+    topk_longest)."""
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"])
+
+    def head4(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("lang", dropna=False).head(4)
+
+    parts = ds.map_batches(head4, batch_format="pandas").to_pandas()
+    out = head4(parts).sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    out["rk"] = (out.groupby("lang", dropna=False).cumcount() + 1).astype("int64")
+    return out
+
+
 def deterministic_sample(sf_dir: str) -> pa.Table:
     """Seed-stable sampling (SURVEY.md §2.7): key-mod filter, never
     random_sample."""

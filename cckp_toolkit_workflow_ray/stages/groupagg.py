@@ -108,3 +108,45 @@ def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
         count_group, batch_format="pandas")
     return per_salt.groupby(key).aggregate(
         Sum("n_distinct", alias_name="n_distinct"))
+
+
+def grouped_value_counts(ds, key: str, val: str, batch_size: int = 131072):
+    """Exact (key, val) -> n distribution for a LOW-cardinality key over a
+    bounded-domain value column (lengths, scores, small ints): per-batch
+    ``groupby.size`` combiner, then one tiny keyed sum.  The exchange is
+    bounded by |keys| × |distinct vals| per batch — independent of row
+    count — which makes EXACT grouped quantiles/modes scale-free when the
+    value domain is bounded (the complement of the t-digest/KLL sketch
+    path, which covers unbounded domains approximately)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, val], dropna=False, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return parts.groupby([key, val]).aggregate(Sum("n", alias_name="n"))
+
+
+def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
+                            batch_size: int = 131072) -> pd.DataFrame:
+    """Exact per-key quantiles with SQL ``quantile_disc`` semantics (the
+    value at 1-based rank ``max(1, ceil(q*n))`` of the sorted values),
+    computed from the distributed value-counts distribution — no per-key
+    value materialization anywhere."""
+    import math
+
+    counts = grouped_value_counts(ds, key, val, batch_size).to_pandas()
+    counts = counts[counts[val].notna()]
+    rows = []
+    for k, g in counts.groupby(key, dropna=False):
+        g = g.sort_values(val)
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g[val].to_numpy()
+        row = {key: k}
+        for q in qs:
+            rank = max(1, math.ceil(q * total))
+            row[f"q{int(q * 100)}"] = vals[np.searchsorted(cum, rank)]
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values(key).reset_index(drop=True)

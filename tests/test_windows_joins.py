@@ -267,3 +267,19 @@ def test_hash_join_exact_beyond_2_53(ray_session):
     got = hash_join(_ds(left), _ds(right), on="k", n_buckets=5).to_pandas()
     want = left.merge(right, on="k")
     assert sorted(got["big"].astype("int64")) == sorted(want["big"])
+
+
+def test_exact_grouped_quantiles_matches_numpy(ray_session):
+    from cckp_toolkit_workflow_ray.stages.groupagg import exact_grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 3000),
+                       "v": rng.integers(0, 50, 3000).astype(np.int64)})
+    got = exact_grouped_quantiles(_ds(df).repartition(6), "k", "v",
+                                  [0.25, 0.5, 0.9])
+    import math
+    for _, r in got.iterrows():
+        vals = np.sort(df[df.k == r["k"]]["v"].to_numpy())
+        for q, col in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+            want = vals[max(1, math.ceil(q * vals.size)) - 1]
+            assert r[col] == want, (r["k"], q, r[col], want)
