@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (dedup / similarity / text analysis)
         "exact_dedup_full": q.exact_dedup_full,
         "minhash_dedup": q.minhash_dedup,
+        "minhash_dedup_filtered": q.minhash_dedup_filtered,
         "simhash_dedup": q.simhash_dedup,
         "ngram_jaccard_dedup": q.ngram_jaccard_dedup,
         "knn_embeddings": q.knn_embeddings,

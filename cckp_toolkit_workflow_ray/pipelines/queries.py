@@ -521,6 +521,18 @@ def minhash_dedup(sf_dir: str) -> pa.Table:
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def minhash_dedup_filtered(sf_dir: str) -> pa.Table:
+    """END-TO-END near-dup removal: derived corpus → MinHash-LSH pairs →
+    union-find clusters → stream filter keeping the min-id representative
+    per cluster (rows-only; the LSH candidate set is approximate)."""
+    from ..stages.dedup import drop_near_dups, minhash_lsh_pairs
+
+    corpus = _derived_text_corpus(sf_dir)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
+    kept = drop_near_dups(corpus.select_columns(["doc_id"]), pairs)
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def simhash_dedup(sf_dir: str) -> pa.Table:
     """SimHash banding near-dup pairs over the derived corpus (rows-only)."""
     from ..stages.dedup import simhash_pairs

@@ -525,3 +525,53 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         jaccard_threshold=jaccard_threshold, batch_size=batch_size,
         shingle_fn=lambda txt: word_ngram_hashes(txt, n),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup finishing: verified pairs -> clusters -> filtered dataset
+# ---------------------------------------------------------------------------
+
+
+def cluster_near_dups(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over verified near-dup pairs (union-find with
+    path compression) → (doc_id, cluster_rep) with rep = min id of the
+    component.  The pair list is the (already candidate-bounded) output
+    of the LSH family; components are computed where the pairs live."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"].astype("int64"), pairs["id_b"].astype("int64")):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min id so the representative is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((d, find(d)) for d in parent.keys() | set(
+        pairs["id_a"].astype("int64")) | set(pairs["id_b"].astype("int64")))
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_rep"])
+
+
+def drop_near_dups(ds, pairs: pd.DataFrame, id_col: str = "doc_id"):
+    """Stream-filter a dataset to one representative (min id) per near-dup
+    cluster: non-representative members are dropped via a broadcast id
+    set (bounded by the number of clustered docs, not the corpus)."""
+    import ray
+
+    from ..functions.hashing import isin_sorted
+
+    clusters = cluster_near_dups(pairs)
+    losers = clusters[clusters["doc_id"] != clusters["cluster_rep"]]["doc_id"]
+    ref = ray.put(np.sort(losers.to_numpy().astype(np.int64)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~isin_sorted(ray.get(ref), ids)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -149,3 +149,81 @@ def decode_features(ds, fake: bool = True, batch_size: int = 256, concurrency=(1
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# video → sampled frames (row-expanding binary transform)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"VID1"
+
+FRAMES_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.int64()),
+        ("frame_index", pa.int32()),
+        ("payload", pa.binary()),      # an IMG1 image payload per frame
+    ]
+)
+
+
+def synthesize_video(video_id: int, n_frames: int, width: int, height: int,
+                     channels: int = 3) -> bytes:
+    """Deterministic fake video payload: ``VID1 + n:u16 + w:u16 + h:u16 +
+    c:u8 + n×(w*h*c) frame bytes``."""
+    per = width * height * channels
+    pix = ((np.arange(n_frames * per, dtype=np.uint64)
+            * np.uint64(video_id * 2 + 1)) % 249).astype(np.uint8)
+    return (VIDEO_MAGIC + struct.pack("<HHHB", n_frames, width, height, channels)
+            + pix.tobytes())
+
+
+class SampleFrames:
+    """Actor-pool stage: decode a video binary column and emit every
+    ``stride``-th frame as its own row (an IMG1 payload) — the
+    row-EXPANDING media transform (video → frames) that feeds the image
+    stages downstream.  Real deployments replace the parser with
+    ffmpeg/pyav built once in ``__init__``; row expansion means output
+    batches are bigger than input batches, so keep ``batch_size`` small.
+    """
+
+    def __init__(self, stride: int = 2, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "real video codecs are unavailable in this environment; "
+                "construct with fake=True for the deterministic test parser"
+            )
+        self.stride = max(1, stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_vid, out_idx, out_pay = [], [], []
+        ids = batch.column("video_id").to_numpy(zero_copy_only=False)
+        for vid, payload in zip(
+                ids, batch.column("payload").to_numpy(zero_copy_only=False)):
+            if payload is None or len(payload) < 11 or payload[:4] != VIDEO_MAGIC:
+                continue                       # never-abort: bad media skipped
+            n, w, h, c = struct.unpack_from("<HHHB", payload, 4)
+            per = w * h * c
+            frames = np.frombuffer(payload, dtype=np.uint8, offset=11)
+            if frames.size != n * per:
+                continue
+            for i in range(0, n, self.stride):
+                out_vid.append(int(vid))
+                out_idx.append(i)
+                out_pay.append(MAGIC + struct.pack("<HHB", w, h, c)
+                               + frames[i * per:(i + 1) * per].tobytes())
+        return pa.Table.from_arrays(
+            [pa.array(out_vid, type=pa.int64()),
+             pa.array(out_idx, type=pa.int32()),
+             pa.array(out_pay, type=pa.binary())],
+            schema=FRAMES_SCHEMA,
+        )
+
+
+def sample_frames(ds, stride: int = 2, fake: bool = True,
+                  batch_size: int = 64, concurrency=(1, 4)):
+    """videos dataset -> sampled-frames dataset via the SampleFrames pool."""
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"stride": stride, "fake": fake},
+        batch_size=batch_size, batch_format="pyarrow", concurrency=concurrency,
+    )

@@ -289,3 +289,32 @@ def test_seeded_pair_jaccard_empty_pair_set(ray_session, tmp_path):
     out = entrymod.queries()["minhash_verify_jaccard"](d)
     assert len(out) == 0
     assert list(out.columns) == ["id_a", "id_b", "jaccard_e6"]
+
+
+def test_cluster_and_drop_near_dups(ray_session):
+    """pairs -> union-find clusters -> stream filter keeps min-id reps."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import (
+        cluster_near_dups,
+        drop_near_dups,
+    )
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 7, 10], "id_b": [2, 3, 8, 11]})
+    cl = cluster_near_dups(pairs)
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+    assert dict(zip(cl.doc_id, cl.cluster_rep)) == want
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 13)), type=pa.int64())}))
+    kept = sorted(drop_near_dups(ds, pairs).to_pandas()["doc_id"])
+    # 2,3 (cluster of 1), 8 (of 7), 11 (of 10) dropped
+    assert kept == [1, 4, 5, 6, 7, 9, 10, 12]
+
+
+def test_cluster_near_dups_transitive_chain(ray_session):
+    from cckp_toolkit_workflow_ray.stages.dedup import cluster_near_dups
+
+    # chain 5-4, 4-3, 3-2, 2-1 must collapse to rep 1 (path compression)
+    pairs = pd.DataFrame({"id_a": [4, 3, 2, 1], "id_b": [5, 4, 3, 2]})
+    cl = cluster_near_dups(pairs)
+    assert set(cl.cluster_rep) == {1}

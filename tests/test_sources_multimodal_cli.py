@@ -7,6 +7,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from cckp_toolkit_workflow_ray.sources.readers import (
@@ -188,3 +189,45 @@ def test_write_partitioned_by_key(ray_session, tmp_path):
     assert any(p.startswith("lang=") for p in parts)
     en = rd.read_parquet(os.path.join(out, "lang=en")).count()
     assert 0 < en < 2000
+
+
+def test_sample_frames_roundtrip(ray_session):
+    """Video → frames expansion: sampled frames decode back to the exact
+    pixel slices of the synthesized video; bad payloads are skipped."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.multimodal import (
+        DecodeImage,
+        SampleFrames,
+        sample_frames,
+        synthesize_video,
+    )
+
+    vids = pa.table({
+        "video_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array(
+            [synthesize_video(1, 10, 4, 3), synthesize_video(2, 5, 2, 2),
+             b"JUNK"], type=pa.binary()),
+    })
+    out = sample_frames(rd.from_arrow(vids), stride=2, fake=True).to_pandas()
+    # video 1: frames 0,2,4,6,8; video 2: frames 0,2,4; junk skipped
+    assert sorted(out[out.video_id == 1]["frame_index"]) == [0, 2, 4, 6, 8]
+    assert sorted(out[out.video_id == 2]["frame_index"]) == [0, 2, 4]
+    assert 3 not in set(out["video_id"])
+    # each emitted frame is a valid IMG1 payload with the right pixels
+    dec = DecodeImage(fake=True)
+    raw = synthesize_video(1, 10, 4, 3)
+    import numpy as np
+    frames = np.frombuffer(raw, dtype=np.uint8, offset=11)
+    for _, r in out[out.video_id == 1].iterrows():
+        w, h, c, pix = dec._decode(r["payload"])
+        assert (w, h, c) == (4, 3, 3)
+        i = r["frame_index"]
+        assert bytes(pix) == bytes(frames[i * 36:(i + 1) * 36])
+
+
+def test_sample_frames_requires_fake_flag(ray_session):
+    from cckp_toolkit_workflow_ray.stages.multimodal import SampleFrames
+
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)
