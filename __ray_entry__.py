@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_check": q.keyword_check,
         "topk_longest": q.topk_longest,
         "nchars_quantiles": q.nchars_quantiles,
+        "nchars_mode": q.nchars_mode,
+        "normalized_prefixes": q.normalized_prefixes,
         "stratified_sample": q.stratified_sample,
         "deterministic_sample": q.deterministic_sample,
         "token_count": q.token_count,
@@ -165,6 +167,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
                    CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
                    CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS q90
+            FROM documents GROUP BY lang
+        """,
+        "nchars_mode": """
+            SELECT lang, CAST(n_chars AS BIGINT) AS mode_nchars,
+                   n AS mode_count
+            FROM (
+                SELECT lang, n_chars, count(*) AS n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY count(*) DESC, n_chars ASC)
+                           AS rk
+                FROM documents GROUP BY lang, n_chars
+            ) WHERE rk = 1
+        """,
+        "normalized_prefixes": """
+            SELECT lang,
+                   CAST(count(DISTINCT substr(lower(trim(
+                       regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')
+                   )), 1, 8)) AS BIGINT) AS n_prefixes
             FROM documents GROUP BY lang
         """,
         "stratified_sample": """

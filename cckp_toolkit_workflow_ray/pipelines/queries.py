@@ -308,6 +308,42 @@ def nchars_quantiles(sf_dir: str) -> pa.Table:
     return out
 
 
+def nchars_mode(sf_dir: str) -> pa.Table:
+    """Deterministic per-lang mode of n_chars (max count, min value
+    tie-break) from the distributed value-counts distribution."""
+    from ..stages.groupagg import grouped_value_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    counts = grouped_value_counts(ds, "lang", "n_chars").to_pandas()
+    counts = counts.sort_values(["lang", "n", "n_chars"],
+                                ascending=[True, False, True])
+    out = counts.groupby("lang", dropna=False).head(1).rename(
+        columns={"n_chars": "mode_nchars", "n": "mode_count"})
+    out["mode_nchars"] = out["mode_nchars"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def normalized_prefixes(sf_dir: str) -> pa.Table:
+    """Text-normalization pipeline (lowercase, whitespace-run collapse,
+    trim) + exact distinct count of 8-char normalized prefixes per lang —
+    per-batch drop_duplicates combiner, tiny exact distinct at the end."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)   # match the RE2 '\\s+' oracle
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pref = (df["text"].fillna("").str.replace(ws, " ", regex=True)
+                .str.strip().str.lower().str[:8])
+        return pd.DataFrame({"lang": df["lang"], "prefix": pref}).drop_duplicates()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.drop_duplicates().groupby("lang", dropna=False, as_index=False)
+           .size().rename(columns={"size": "n_prefixes"}))
+    out["n_prefixes"] = out["n_prefixes"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def stratified_sample(sf_dir: str) -> pa.Table:
     """Deterministic stratified sample: the 4 lowest-doc_id docs per lang
     (per-batch head combiner + tiny merge — same no-shuffle motif as
