@@ -304,7 +304,8 @@ def nchars_quantiles(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     out = exact_grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
     for c in ("q25", "q50", "q90"):
-        out[c] = out[c].astype("int64")
+        # nullable when an all-NULL group produced NULL quantiles
+        out[c] = out[c].astype("int64" if out[c].notna().all() else "Int64")
     return out
 
 
@@ -315,11 +316,15 @@ def nchars_mode(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     counts = grouped_value_counts(ds, "lang", "n_chars").to_pandas()
+    # NULLS LAST in the value tie-break, matching the oracle's ORDER BY
+    # (a NULL-modal group must yield mode_nchars = NULL, not crash)
     counts = counts.sort_values(["lang", "n", "n_chars"],
-                                ascending=[True, False, True])
+                                ascending=[True, False, True],
+                                na_position="last")
     out = counts.groupby("lang", dropna=False).head(1).rename(
         columns={"n_chars": "mode_nchars", "n": "mode_count"})
-    out["mode_nchars"] = out["mode_nchars"].astype("int64")
+    out["mode_nchars"] = out["mode_nchars"].astype(
+        "int64" if out["mode_nchars"].notna().all() else "Int64")
     return out.sort_values("lang").reset_index(drop=True)
 
 
@@ -329,12 +334,15 @@ def normalized_prefixes(sf_dir: str) -> pa.Table:
     per-batch drop_duplicates combiner, tiny exact distinct at the end."""
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)   # match the RE2 '\\s+' oracle
+    # RE2's \s is exactly [\t\n\f\r ] — python's \s (even with re.ASCII)
+    # also matches \x0b, so spell the class out; likewise SQL trim()
+    # strips spaces only, so strip(" ") not strip()
+    ws = re.compile(r"[\t\n\f\r ]+")
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         pref = (df["text"].fillna("").str.replace(ws, " ", regex=True)
-                .str.strip().str.lower().str[:8])
+                .str.strip(" ").str.lower().str[:8])
         return pd.DataFrame({"lang": df["lang"], "prefix": pref}).drop_duplicates()
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -563,7 +571,10 @@ def minhash_dedup_filtered(sf_dir: str) -> pa.Table:
     per cluster (rows-only; the LSH candidate set is approximate)."""
     from ..stages.dedup import drop_near_dups, minhash_lsh_pairs
 
-    corpus = _derived_text_corpus(sf_dir)
+    # materialize once: select_columns can't push projection through the
+    # perturb transform, so an unmaterialized corpus would re-run the
+    # whole derivation for each of the LSH passes AND the id enumeration
+    corpus = _derived_text_corpus(sf_dir).materialize()
     pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
     kept = drop_near_dups(corpus.select_columns(["doc_id"]), pairs)
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)

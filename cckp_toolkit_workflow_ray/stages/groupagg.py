@@ -136,8 +136,14 @@ def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
     value materialization anywhere."""
     import math
 
-    counts = grouped_value_counts(ds, key, val, batch_size).to_pandas()
-    counts = counts[counts[val].notna()]
+    # round, not int(): int(0.29 * 100) == 28 would mislabel the column
+    qcols = [f"q{round(q * 100)}" for q in qs]
+    all_counts = grouped_value_counts(ds, key, val, batch_size).to_pandas()
+    if all_counts.empty:
+        return pd.DataFrame({key: pd.Series([], dtype="object"),
+                             **{c: pd.Series([], dtype="float64")
+                                for c in qcols}})
+    counts = all_counts[all_counts[val].notna()]
     rows = []
     for k, g in counts.groupby(key, dropna=False):
         g = g.sort_values(val)
@@ -145,8 +151,18 @@ def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
         total = int(cum[-1])
         vals = g[val].to_numpy()
         row = {key: k}
-        for q in qs:
+        for q, c in zip(qs, qcols):
             rank = max(1, math.ceil(q * total))
-            row[f"q{int(q * 100)}"] = vals[np.searchsorted(cum, rank)]
+            row[c] = vals[np.searchsorted(cum, rank)]
         rows.append(row)
+    # keys whose values are ALL null still get a row (NULL quantiles),
+    # matching SQL quantile_disc over an all-NULL group.  pandas merge
+    # matches NaN keys to NaN, which is exactly what's needed here.
+    missing = all_counts[[key]].drop_duplicates()
+    if rows:
+        done = pd.DataFrame(rows)[[key]].assign(__has=1)
+        m = missing.merge(done, on=key, how="left")
+        missing = missing[m["__has"].isna().to_numpy()]
+    for k in missing[key]:
+        rows.append({key: k, **{c: np.nan for c in qcols}})
     return pd.DataFrame(rows).sort_values(key).reset_index(drop=True)

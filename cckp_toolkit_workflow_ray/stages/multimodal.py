@@ -203,6 +203,11 @@ class SampleFrames:
                 continue                       # never-abort: bad media skipped
             n, w, h, c = struct.unpack_from("<HHHB", payload, 4)
             per = w * h * c
+            # per == 0 would make the size check vacuous and emit n/stride
+            # degenerate zero-dimension rows from an 11-byte payload — a
+            # row-amplification vector (review r2)
+            if per == 0 or n == 0:
+                continue
             frames = np.frombuffer(payload, dtype=np.uint8, offset=11)
             if frames.size != n * per:
                 continue

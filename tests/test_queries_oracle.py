@@ -126,6 +126,8 @@ NULL_SENSITIVE = [
     "presence_check", "referential_lang_check", "stats_profile",
     "distinct_sources", "exact_dedup", "keyword_check", "token_count",
     "verdict_rollup", "bpe_token_count", "quality_check",
+    "nchars_quantiles", "nchars_mode", "normalized_prefixes",
+    "stratified_sample",
 ]
 
 
@@ -148,3 +150,38 @@ def test_null_groups_match_oracle(ray_session, null_sf, name):
             gl = g[col].where(g[col].notna(), None).tolist()
             wl = w[col].where(w[col].notna(), None).tolist()
             assert gl == wl, f"{name}:{col}"
+
+
+def test_mode_and_quantiles_with_null_values(ray_session, tmp_path):
+    """review r2: NULL-modal n_chars must yield mode_nchars=NULL (not
+    crash), and an all-NULL group must keep its (NULL-quantile) row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    t = pa.table({
+        "doc_id": pa.array(list(range(10)), type=pa.int64()),
+        "text": pa.array(["x"] * 10, type=pa.string()),
+        "lang": pa.array(["en"] * 6 + ["de"] * 4, type=pa.string()),
+        "source": pa.array(["src10"] * 10, type=pa.string()),
+        # en: NULL x4 (modal), 7 x2 ; de: all NULL
+        "n_chars": pa.array([None, None, None, None, 7, 7,
+                             None, None, None, None], type=pa.int64()),
+    })
+    pq.write_table(t, f"{d}/documents.parquet")
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+
+    got = entrymod.queries()["nchars_mode"](d)
+    want = c.sql(entrymod.oracle_sql()["nchars_mode"]).df()
+    assert len(got) == len(want) == 2
+    g = got.set_index("lang")
+    assert pd.isna(g.loc["en", "mode_nchars"]) and g.loc["en", "mode_count"] == 4
+    assert pd.isna(g.loc["de", "mode_nchars"])
+
+    gq = entrymod.queries()["nchars_quantiles"](d)
+    wq = c.sql(entrymod.oracle_sql()["nchars_quantiles"]).df()
+    assert len(gq) == len(wq) == 2
+    gqi = gq.set_index("lang")
+    assert pd.isna(gqi.loc["de", "q50"])          # all-NULL group kept
+    assert gqi.loc["en", "q50"] == 7              # NULLs ignored in ranks

@@ -231,3 +231,27 @@ def test_sample_frames_requires_fake_flag(ray_session):
 
     with pytest.raises(NotImplementedError):
         SampleFrames(fake=False)
+
+
+def test_sample_frames_zero_dimension_payload_skipped(ray_session):
+    """review r2: an 11-byte payload claiming 65535 frames of 0x0 pixels
+    must be skipped, not amplified into 32k degenerate rows."""
+    import struct
+
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.multimodal import (
+        VIDEO_MAGIC,
+        sample_frames,
+        synthesize_video,
+    )
+
+    evil = VIDEO_MAGIC + struct.pack("<HHHB", 65535, 0, 0, 0)
+    vids = pa.table({
+        "video_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([evil, synthesize_video(2, 4, 2, 2)],
+                            type=pa.binary()),
+    })
+    out = sample_frames(rd.from_arrow(vids), stride=2, fake=True).to_pandas()
+    assert set(out["video_id"]) == {2}
+    assert len(out) == 2   # frames 0, 2 of video 2
