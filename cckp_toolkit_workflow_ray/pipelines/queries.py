@@ -31,6 +31,15 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _int_or_float64(s: pd.Series) -> pd.Series:
+    """int64 when fully non-null, float64 otherwise — the same dtype a
+    DuckDB BIGINT column lands as in pandas, so engine and oracle frames
+    stay schema- and hash-comparable whether or not NULLs appear.
+    (A pandas nullable Int64 would diverge from the oracle df and break
+    int-cast paths in comparison harnesses.)"""
+    return s.astype("int64" if s.notna().all() else "float64")
+
+
 def _round_half_away(x: np.ndarray) -> np.ndarray:
     """round() with SQL semantics (half away from zero).  ``np.round`` is
     half-to-even; a value landing exactly on .5 would diverge from the
@@ -304,8 +313,9 @@ def nchars_quantiles(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     out = exact_grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
     for c in ("q25", "q50", "q90"):
-        # nullable when an all-NULL group produced NULL quantiles
-        out[c] = out[c].astype("int64" if out[c].notna().all() else "Int64")
+        # float64 (like the oracle df) when an all-NULL group produced
+        # NULL quantiles
+        out[c] = _int_or_float64(out[c])
     return out
 
 
@@ -323,8 +333,7 @@ def nchars_mode(sf_dir: str) -> pa.Table:
                                 na_position="last")
     out = counts.groupby("lang", dropna=False).head(1).rename(
         columns={"n_chars": "mode_nchars", "n": "mode_count"})
-    out["mode_nchars"] = out["mode_nchars"].astype(
-        "int64" if out["mode_nchars"].notna().all() else "Int64")
+    out["mode_nchars"] = _int_or_float64(out["mode_nchars"])
     return out.sort_values("lang").reset_index(drop=True)
 
 

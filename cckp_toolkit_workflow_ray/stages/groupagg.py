@@ -138,6 +138,10 @@ def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
 
     # round, not int(): int(0.29 * 100) == 28 would mislabel the column
     qcols = [f"q{round(q * 100)}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError(
+            f"quantile labels collide ({qcols}); qs must be "
+            "distinguishable at 1% granularity")
     all_counts = grouped_value_counts(ds, key, val, batch_size).to_pandas()
     if all_counts.empty:
         return pd.DataFrame({key: pd.Series([], dtype="object"),
@@ -156,12 +160,14 @@ def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
             row[c] = vals[np.searchsorted(cum, rank)]
         rows.append(row)
     # keys whose values are ALL null still get a row (NULL quantiles),
-    # matching SQL quantile_disc over an all-NULL group.  pandas merge
-    # matches NaN keys to NaN, which is exactly what's needed here.
+    # matching SQL quantile_disc over an all-NULL group.  Membership is
+    # computed between two slices of all_counts (same key dtype — a frame
+    # rebuilt from `rows` could infer float64 for an all-NaN key column
+    # and crash the merge); pandas merge matches NaN keys to NaN.
     missing = all_counts[[key]].drop_duplicates()
-    if rows:
-        done = pd.DataFrame(rows)[[key]].assign(__has=1)
-        m = missing.merge(done, on=key, how="left")
+    has_vals = counts[[key]].drop_duplicates().assign(__has=1)
+    if len(has_vals):
+        m = missing.merge(has_vals, on=key, how="left")
         missing = missing[m["__has"].isna().to_numpy()]
     for k in missing[key]:
         rows.append({key: k, **{c: np.nan for c in qcols}})

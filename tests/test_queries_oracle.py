@@ -116,7 +116,10 @@ def null_sf(ray_session, tmp_path_factory):
         "text": pa.array(texts, type=pa.string()),
         "lang": pa.array(langs, type=pa.string()),
         "source": pa.array(sources, type=pa.string()),
-        "n_chars": pa.array([len(x) if x else 0 for x in texts], type=pa.int64()),
+        # NULL text -> NULL n_chars (review r2: a 0 here meant the
+        # NULL-group harness never exercised NULL values, only NULL keys)
+        "n_chars": pa.array([len(x) if x is not None else None for x in texts],
+                            type=pa.int64()),
     })
     pq.write_table(t, f"{d}/documents.parquet")
     return d
@@ -174,14 +177,41 @@ def test_mode_and_quantiles_with_null_values(ray_session, tmp_path):
 
     got = entrymod.queries()["nchars_mode"](d)
     want = c.sql(entrymod.oracle_sql()["nchars_mode"]).df()
-    assert len(got) == len(want) == 2
+    _compare(got, want, "nchars_mode[null-values]")
     g = got.set_index("lang")
     assert pd.isna(g.loc["en", "mode_nchars"]) and g.loc["en", "mode_count"] == 4
     assert pd.isna(g.loc["de", "mode_nchars"])
 
     gq = entrymod.queries()["nchars_quantiles"](d)
     wq = c.sql(entrymod.oracle_sql()["nchars_quantiles"]).df()
-    assert len(gq) == len(wq) == 2
+    _compare(gq, wq, "nchars_quantiles[null-values]")
     gqi = gq.set_index("lang")
     assert pd.isna(gqi.loc["de", "q50"])          # all-NULL group kept
     assert gqi.loc["en", "q50"] == 7              # NULLs ignored in ranks
+
+
+def test_quantiles_null_key_holds_all_values(ray_session, tmp_path):
+    """review r3: when the only groups with non-null values have NULL
+    keys, the missing-key merge must not crash on mismatched dtypes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "nk")
+    os.makedirs(d)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], type=pa.string()),
+        "lang": pa.array([None, None, "en", "en"], type=pa.string()),
+        "source": pa.array(["src10"] * 4, type=pa.string()),
+        "n_chars": pa.array([3, 5, None, None], type=pa.int64()),
+    })
+    pq.write_table(t, f"{d}/documents.parquet")
+    gq = entrymod.queries()["nchars_quantiles"](d)
+    assert len(gq) == 2
+    en = gq[gq["lang"] == "en"]
+    assert len(en) == 1 and pd.isna(en["q50"].iloc[0])
+    nk = gq[gq["lang"].isna()]
+    # quantile_disc rank for q=0.5 over [3,5] is ceil(0.5*2)=1 -> 3
+    assert len(nk) == 1 and nk["q50"].iloc[0] == 3 and nk["q90"].iloc[0] == 5
