@@ -1086,8 +1086,15 @@ def embedding_norm_stats(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         m = _to_matrix(t.column("embedding"))
-        norm_e6 = _round_half_away(
-            1_000_000.0 * np.sqrt(np.einsum("ij,ij->i", m, m))).astype(np.int64)
+        # accumulate the dot product SEQUENTIALLY over list positions —
+        # the same order DuckDB's list_inner_product uses — so the float64
+        # result is bit-identical to the oracle (np.einsum's pairwise/SIMD
+        # summation can differ by ulps, flipping the rounded e6 int when a
+        # norm lands near a .5e-6 boundary)
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc += m[:, j] * m[:, j]
+        norm_e6 = _round_half_away(1_000_000.0 * np.sqrt(acc)).astype(np.int64)
         df = pd.DataFrame({
             "label": t.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
             "n_vecs": 1,

@@ -59,6 +59,10 @@ def _empty_partial(cfg: ValidationConfig) -> dict:
         "tdigest_text": _quantile_sketch(cfg),
         "hist_text": FixedHistogram(np.asarray(TEXT_LEN_HIST_EDGES)),
         "hist_html": FixedHistogram(np.asarray(HTML_LEN_HIST_EDGES)),
+        # True when any merged partial predates the html histogram (pre-r2
+        # checkpoint): the merged hist_html undercounts, so drift_html_len
+        # must report UNKNOWN instead of a silently wrong verdict
+        "hist_html_missing": False,
         "hll_url": HyperLogLog(cfg.hll_p),
     }
 
@@ -80,8 +84,10 @@ def deserialize_partial(b: bytes) -> dict:
     q["hist_text"] = FixedHistogram.from_bytes(q["hist_text"])
     if "hist_html" in q:  # absent in pre-r2 checkpointed partials
         q["hist_html"] = FixedHistogram.from_bytes(q["hist_html"])
+        q.setdefault("hist_html_missing", False)
     else:
         q["hist_html"] = FixedHistogram(np.asarray(HTML_LEN_HIST_EDGES))
+        q["hist_html_missing"] = True  # tagged: drift_html_len -> UNKNOWN
     q["hll_url"] = HyperLogLog.from_bytes(q["hll_url"])
     return q
 
@@ -108,6 +114,8 @@ def merge_partials(parts: list[dict], cfg: ValidationConfig) -> dict:
         out["tdigest_text"].merge(p["tdigest_text"])
         out["hist_text"].merge(p["hist_text"])
         out["hist_html"].merge(p["hist_html"])
+        out["hist_html_missing"] = (out["hist_html_missing"]
+                                    or bool(p.get("hist_html_missing", False)))
         out["hll_url"].merge(p["hll_url"])
     return out
 

@@ -69,6 +69,24 @@ def find_duplicate_int_keys(ds, partial_fn, batch_size: int = 65536,
 # ---------------------------------------------------------------------------
 
 
+def cap_giant_buckets(dup_buckets: pd.DataFrame, max_bucket: int,
+                      what: str) -> pd.DataFrame:
+    """Drop degenerate LSH buckets (> max_bucket members) from the
+    collided-bucket set BEFORE membership recovery, with a loud warning —
+    one giant bucket (many identical/empty texts sharing a band hash)
+    would otherwise trigger O(n²) pair emission in a single group task.
+    Never a silent cap: the warning names the count and the recall risk."""
+    giant = int((dup_buckets["n"] > max_bucket).sum())
+    if giant:
+        import warnings
+
+        warnings.warn(
+            f"{what}: skipped {giant} LSH bucket(s) with >{max_bucket} "
+            "members — recall may be reduced for those regions")
+        return dup_buckets[dup_buckets["n"] <= max_bucket]
+    return dup_buckets
+
+
 def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None = None):
     """(bucket, doc[, payload…]) Dataset → distinct-pair Dataset.
 
@@ -92,7 +110,15 @@ def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc").sort_values("doc")
         docs = g["doc"].to_numpy()
-        if docs.size < 2 or (max_bucket is not None and docs.size > max_bucket):
+        if max_bucket is not None and docs.size > max_bucket:
+            import warnings
+
+            warnings.warn(
+                f"pairs_from_membership: skipped a bucket with {docs.size} "
+                f"members (> max_bucket={max_bucket}) — recall may be "
+                "reduced for that region")
+            return _empty(g)
+        if docs.size < 2:
             return _empty(g)
         ia, ib = np.triu_indices(docs.size, k=1)
         data = {"id_a": docs[ia].astype(np.int64),
@@ -305,8 +331,15 @@ def simhash64(token_hashes: np.ndarray) -> np.uint64:
 
 
 def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming distance (SWAR popcount — the classic
+    bit-parallel formulation; no per-element Python loop)."""
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = ((x & np.uint64(0x3333333333333333))
+             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +465,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, batch_size: int = 4096) -> pd.DataFrame:
+                  max_hamming: int = 3, batch_size: int = 4096,
+                  max_bucket: int = 8192) -> pd.DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
     Bucketing: split the 64-bit simhash into (max_hamming + 1) bands — by
@@ -467,6 +501,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     dup_buckets = find_duplicate_int_keys(
         ds.select_columns([text_col]), bucket_partial, batch_size
     )
+    dup_buckets = cap_giant_buckets(dup_buckets, max_bucket, "simhash_pairs")
     if dup_buckets.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     bucket_sorted = np.sort(dup_buckets["key"].to_numpy())
@@ -491,7 +526,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     # the 64-bit simhash rides along as pair payload, so verification is a
     # vectorized per-batch popcount — fully distributed, no joins needed
-    pairs = pairs_from_membership(mem, payload_cols=("simhash",))
+    pairs = pairs_from_membership(mem, payload_cols=("simhash",),
+                                  max_bucket=max_bucket)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

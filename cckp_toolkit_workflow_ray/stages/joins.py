@@ -266,7 +266,11 @@ def interval_join_bucketed(left, right, left_ts: str, right_start: str,
         reps = (b1 - b0 + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(df)), reps)
         out = df.iloc[idx].copy()
-        offsets = np.concatenate([[0], np.cumsum(reps[:-1])])
+        # cumsum(reps) - reps == exclusive prefix sum with len(offsets) ==
+        # len(reps) even when the null-bound filter emptied the frame (a
+        # batch of all-NaT bounds previously crashed np.repeat on a
+        # length-1 offsets vs length-0 reps — never-abort rule)
+        offsets = np.cumsum(reps) - reps
         out["__bucket"] = (np.arange(reps.sum()) - np.repeat(offsets, reps)
                            + np.repeat(b0, reps))
         out["__side"] = np.int8(1)

@@ -106,6 +106,11 @@ def _drift_hist_row(lang, profile, cfg, reference, check: str,
     if not ref_hists or lang not in ref_hists or n_rows == 0:
         # no baseline -> UNKNOWN, never abort (analyze_joss.py:91-105 analog)
         return (lang, check, n_rows, 0, float("nan"), "unknown", SCORE_NONE, "UNKNOWN")
+    if profile_key == "hist_html" and profile.get("hist_html_missing"):
+        # a merged partial predates the html histogram (pre-r2 checkpoint
+        # resume): the histogram undercounts, so the verdict is UNKNOWN
+        # rather than silently wrong
+        return (lang, check, n_rows, 0, float("nan"), "unknown", SCORE_NONE, "UNKNOWN")
     ks = ks_statistic(ref_hists[lang], profile[profile_key])
     p = psi(ref_hists[lang], profile[profile_key])
     if math.isnan(ks) or math.isnan(p):

@@ -318,3 +318,19 @@ def test_cluster_near_dups_transitive_chain(ray_session):
     pairs = pd.DataFrame({"id_a": [4, 3, 2, 1], "id_b": [5, 4, 3, 2]})
     cl = cluster_near_dups(pairs)
     assert set(cl.cluster_rep) == {1}
+
+
+def test_hamming_distance64_swar_matches_bincount():
+    from cckp_toolkit_workflow_ray.stages.dedup import hamming_distance64
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 2**63, 1000, dtype=np.int64).astype(np.uint64)
+    # edges: identical, all-ones xor, zero
+    a = np.concatenate([a, [np.uint64(0), np.uint64(2**64 - 1), np.uint64(7)]])
+    b = np.concatenate([b, [np.uint64(0), np.uint64(0), np.uint64(7)]])
+    got = hamming_distance64(a, b)
+    want = np.array([bin(int(x) ^ int(y)).count("1")
+                     for x, y in zip(a, b)], dtype=np.int64)
+    assert (got == want).all()
+    assert got[-3] == 0 and got[-2] == 64 and got[-1] == 0

@@ -255,3 +255,49 @@ def test_url_format_re2_vs_oracle_trailing_newline(ray_session, tmp_path_factory
     want = oracle_violations(t.to_pandas(), res.config)
     want_fmt = set(want[want["check"] == "url_format"]["url"])
     assert got_fmt == want_fmt == {"https://bad.example/y\n"}
+
+
+def test_pre_r2_partial_backfill_yields_unknown_html_drift():
+    # ADVICE r2: a resumed run mixing pre-r2 checkpointed partials (no
+    # hist_html) must report drift_html_len UNKNOWN, not a verdict from a
+    # silently undercounted histogram
+    import pickle
+
+    import numpy as np
+
+    from cckp_toolkit_workflow_ray.config import ValidationConfig
+    from cckp_toolkit_workflow_ray.stages.checks import (
+        _empty_partial, deserialize_partial, merge_partials, serialize_partial)
+    from cckp_toolkit_workflow_ray.stages.verdicts import _drift_hist_row
+    from cckp_toolkit_workflow_ray.stages.profile import ReferenceProfile
+    from cckp_toolkit_workflow_ray.functions.sketches import FixedHistogram
+
+    cfg = ValidationConfig()
+    fresh = _empty_partial(cfg)
+    fresh["n_rows"] = 10
+    fresh["hist_html"].add(np.array([100.0, 200.0, 300.0]))
+    fresh["hist_text"].add(np.array([50.0, 150.0, 250.0]))
+
+    # simulate a pre-r2 checkpoint: serialized dict without hist_html
+    legacy = pickle.loads(serialize_partial(_empty_partial(cfg)))
+    del legacy["hist_html"]
+    del legacy["hist_html_missing"]
+    legacy_partial = deserialize_partial(pickle.dumps(legacy, protocol=4))
+    assert legacy_partial["hist_html_missing"] is True
+
+    merged = merge_partials([fresh, legacy_partial], cfg)
+    assert merged["hist_html_missing"] is True
+    # fresh-only merge stays untagged
+    assert merge_partials([fresh], cfg)["hist_html_missing"] is False
+
+    ref = ReferenceProfile(
+        valid_langs=["en"], hists={"en": fresh["hist_text"]},
+        counts={"en": 10}, hists_html={"en": fresh["hist_html"]})
+    row = _drift_hist_row("en", merged, cfg, ref, "drift_html_len",
+                          "hist_html", "hists_html")
+    assert row[-1] == "UNKNOWN"
+    # the text drift is unaffected by the html backfill tag
+    merged["hist_text"].add(np.array([5.0]))
+    row_t = _drift_hist_row("en", merged, cfg, ref, "drift_text_len",
+                            "hist_text", "hists")
+    assert row_t[-1] in ("PASS", "FAIL")

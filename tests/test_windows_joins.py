@@ -283,3 +283,22 @@ def test_exact_grouped_quantiles_matches_numpy(ray_session):
         for q, col in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
             want = vals[max(1, math.ceil(q * vals.size)) - 1]
             assert r[col] == want, (r["k"], q, r[col], want)
+
+
+def test_interval_join_all_null_bound_batch(ray_session):
+    # ADVICE r2: a right-side batch containing ONLY null-bound rows left
+    # tag_right with offsets of length 1 vs reps of length 0 and crashed
+    # np.repeat; after the exclusive-prefix-sum fix it must simply emit
+    # nothing (never-abort rule)
+    base = pd.Timestamp("2024-01-01").to_datetime64().astype("datetime64[us]")
+    left = pd.DataFrame({"event_id": np.arange(5, dtype=np.int64),
+                         "ts": base + np.arange(5).astype("timedelta64[us]")})
+    right = pd.DataFrame({
+        "window_id": np.array([1, 2], dtype=np.int64),
+        "w_start": [pd.NaT, base],
+        "w_end": [base, pd.NaT],
+    })
+    got = interval_join_bucketed(_ds(left), _ds(right), "ts", "w_start",
+                                 "w_end", bucket_us=10**9,
+                                 right_cols=["window_id"]).to_pandas()
+    assert len(got) == 0
