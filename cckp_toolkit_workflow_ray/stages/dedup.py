@@ -90,12 +90,23 @@ def cap_giant_buckets(dup_buckets: pd.DataFrame, max_bucket: int,
 def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None = None):
     """(bucket, doc[, payload…]) Dataset → distinct-pair Dataset.
 
-    Emits all unordered doc pairs per bucket group with ``id_a < id_b``
+    Emits all unordered doc pairs per bucket with ``id_a < id_b``
     (payload columns are carried as ``<col>_a`` / ``<col>_b``), then
     drops cross-bucket duplicates with a range-sort + per-block dedup
     (rare block-boundary survivors tolerated — see below).  Buckets with
     more than ``max_bucket`` members (degenerate hash regions) are
-    skipped inside the group task.
+    skipped with a warning.
+
+    Scale/perf shape (r3 rewrite): a ``groupby("bucket").map_groups``
+    here pays ~ms-per-group Python overhead on |collided buckets| groups
+    (measured 51 s for 27.8k buckets at sf0.1 — the whole rest of the
+    minhash pipeline was 11 s).  Instead the membership is range-sorted
+    by (bucket, doc); within each sorted block every bucket is a
+    contiguous run, so pair emission for block-INTERIOR runs is one
+    vectorized numpy pass (repeat/cumsum index arithmetic, no per-bucket
+    Python), and only the ≤2 block-EDGE buckets per block — the runs that
+    may span blocks — go through the per-group path.  Same motif as
+    ``groupagg.candidate_duplicates``.
     """
     cols = list(payload_cols)
 
@@ -107,16 +118,20 @@ def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None 
             data[f"{c}_b"] = pd.Series([], dtype=g[c].dtype)
         return pd.DataFrame(data)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
+    def _warn_giant(size: int) -> None:
+        import warnings
+
+        warnings.warn(
+            f"pairs_from_membership: skipped a bucket with {size} "
+            f"members (> max_bucket={max_bucket}) — recall may be "
+            "reduced for that region")
+
+    def emit_group(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact per-bucket emission (block-edge buckets only)."""
         g = g.drop_duplicates("doc").sort_values("doc")
         docs = g["doc"].to_numpy()
         if max_bucket is not None and docs.size > max_bucket:
-            import warnings
-
-            warnings.warn(
-                f"pairs_from_membership: skipped a bucket with {docs.size} "
-                f"members (> max_bucket={max_bucket}) — recall may be "
-                "reduced for that region")
+            _warn_giant(docs.size)
             return _empty(g)
         if docs.size < 2:
             return _empty(g)
@@ -129,7 +144,79 @@ def pairs_from_membership(mem, payload_cols: tuple = (), max_bucket: int | None 
             data[f"{c}_b"] = v[ib]
         return pd.DataFrame(data)
 
-    pairs = mem.groupby("bucket").map_groups(emit, batch_format="pandas")
+    sorted_mem = mem.sort(["bucket", "doc"]).materialize()
+
+    def emit_interior(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pairs for every bucket run fully inside this block
+        (first and last runs excluded — they may continue in neighbor
+        blocks and are handled by the edge group pass)."""
+        if len(df):
+            # drop adjacent (bucket, doc) duplicates (same doc hitting one
+            # bucket via several bands); runs are sorted so dups are adjacent
+            b0 = df["bucket"].to_numpy()
+            d0 = df["doc"].to_numpy()
+            keep = np.ones(b0.size, dtype=bool)
+            keep[1:] = (b0[1:] != b0[:-1]) | (d0[1:] != d0[:-1])
+            if not keep.all():
+                df = df[keep]
+        if len(df) < 2:
+            return _empty(df)
+        b = df["bucket"].to_numpy()
+        new = np.ones(b.size, dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        n_runs = starts.size
+        if n_runs <= 2:
+            return _empty(df)
+        lens = np.diff(np.append(starts, b.size))
+        s, L = starts[1:-1], lens[1:-1]          # interior runs only
+        if max_bucket is not None:
+            giant = L > max_bucket
+            if giant.any():
+                for sz in L[giant]:
+                    _warn_giant(int(sz))
+                s, L = s[~giant], L[~giant]
+        pairable = L >= 2
+        s, L = s[pairable], L[pairable]
+        if s.size == 0:
+            return _empty(df)
+        # element-level index arithmetic: element j of run i pairs with
+        # the (L_i - 1 - j) elements after it in the same run
+        n_elems = int(L.sum())
+        excl = np.cumsum(L) - L
+        pos_in_run = np.arange(n_elems) - np.repeat(excl, L)
+        row = np.repeat(s, L) + pos_in_run        # global row index
+        after = np.repeat(L, L) - 1 - pos_in_run
+        total = int(after.sum())
+        if total == 0:
+            return _empty(df)
+        off = np.cumsum(after) - after
+        a_rows = np.repeat(row, after)
+        b_rows = a_rows + (np.arange(total) - np.repeat(off, after)) + 1
+        d = df["doc"].to_numpy()
+        data = {"id_a": d[a_rows].astype(np.int64),
+                "id_b": d[b_rows].astype(np.int64)}
+        for c in cols:
+            v = df[c].to_numpy()
+            data[f"{c}_a"] = v[a_rows]
+            data[f"{c}_b"] = v[b_rows]
+        return pd.DataFrame(data)
+
+    def extract_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        b = df["bucket"].to_numpy()
+        return df[(b == b[0]) | (b == b[-1])]
+
+    # batch_size=None → one call per block, so "block edge" is well-defined
+    # and both passes see the same (materialized) block boundaries
+    ipairs = sorted_mem.map_batches(emit_interior, batch_format="pandas",
+                                    batch_size=None)
+    edges = sorted_mem.map_batches(extract_edges, batch_format="pandas",
+                                   batch_size=None)
+    epairs = edges.groupby("bucket").map_groups(emit_group,
+                                                batch_format="pandas")
+    pairs = ipairs.union(epairs)
     # per-batch combiner before the pair-keyed exchange
     pairs = pairs.map_batches(
         lambda df: df.drop_duplicates(["id_a", "id_b"]), batch_format="pandas"
@@ -295,11 +382,16 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 _MINHASH_P = np.uint64((1 << 61) - 1)
 
 
+def _minhash_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)) | np.uint64(1)
+    b = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 977))
+    return a, b
+
+
 def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 11) -> np.ndarray:
     """num_perm-wide MinHash signature from hashed shingles (universal
     hashing a*x+b mod p, all permutations vectorized at once)."""
-    a = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)) | np.uint64(1)
-    b = splitmix64(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 977))
+    a, b = _minhash_coeffs(num_perm, seed)
     if shingles.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -308,17 +400,59 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 11) -> np
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(shingle_list: list, num_perm: int,
+                             seed: int = 11,
+                             temp_budget_bytes: int = 64 << 20) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures for a whole batch at once.
+
+    VERDICT r2 #8: the per-doc ``np.outer`` loop pays one Python iteration
+    + small-array overhead per document.  Here all docs' shingle arrays
+    concatenate into one flat array and each permutation chunk evaluates
+    ``(a*x+b) % p`` over the whole batch in one vectorized pass; per-doc
+    minima come from ``np.minimum.reduceat`` over the segment offsets.
+    Permutations are chunked so the temporary stays under
+    ``temp_budget_bytes``.  Bit-identical to :func:`minhash_signature`
+    per doc (same coefficients, same uint64 wrap arithmetic)."""
+    n = len(shingle_list)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.array([s.size for s in shingle_list], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.size == 0:
+        return out
+    allsh = np.concatenate([shingle_list[i] for i in nonempty])
+    starts = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+    a, b = _minhash_coeffs(num_perm, seed)
+    chunk = max(1, int(temp_budget_bytes // (8 * max(allsh.size, 1))))
+    with np.errstate(over="ignore"):
+        for lo in range(0, num_perm, chunk):
+            hi = min(lo + chunk, num_perm)
+            vals = (a[lo:hi, None] * allsh[None, :] + b[lo:hi, None]) % _MINHASH_P
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            out[nonempty, lo:hi] = mins.T
+    return out
+
+
 def band_hashes(signature: np.ndarray, bands: int) -> np.ndarray:
     """Hash each band of the signature to one uint64 bucket key."""
-    rows = signature.size // bands
-    sig = signature[: rows * bands].reshape(bands, rows)
+    return band_hashes_batch(signature[None, :], bands)[0].astype(np.uint64)
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band-bucket keys from (n_docs, num_perm)
+    signatures — the whole batch mixed at once (rows per band is small, so
+    the r-loop is over ~4 iterations, not over docs)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    sig = sigs[:, : rows * bands].reshape(n, bands, rows)
     with np.errstate(over="ignore"):
-        h = np.zeros(bands, dtype=np.uint64)
+        h = np.zeros((n, bands), dtype=np.uint64)
         for r in range(rows):
-            h = splitmix64(h ^ sig[:, r])
+            h = splitmix64(h ^ sig[:, :, r])
         # mix the band index in so identical band contents in different
         # bands never collide into one bucket
-        return splitmix64(h + np.arange(bands, dtype=np.uint64))
+        return splitmix64(h + np.arange(bands, dtype=np.uint64)[None, :]).astype(np.int64)
 
 
 def simhash64(token_hashes: np.ndarray) -> np.uint64:
@@ -351,68 +485,78 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                       jaccard_threshold: float = 0.6,
                       batch_size: int = 4096,
-                      shingle_fn=None) -> pd.DataFrame:
+                      shingle_fn=None, max_bucket: int = 8192) -> pd.DataFrame:
     """Near-duplicate pairs via shingle→MinHash→band→bucket→verify.
 
-    Pipeline: per-batch signatures (vectorized) → (bucket_key, n) int
-    partials → rare-duplicate-key groupby finds collided buckets → a
-    second scan recovers (bucket, doc) membership for collided buckets
-    only → exact shingle-Jaccard verification per candidate pair.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Pipeline: ONE signature pass materializes an exploded ints-only
+    ``(doc, key)`` band-key Dataset (16 bytes × bands per doc) — VERDICT
+    r2 #2: the previous shape recomputed shingles+signatures in both the
+    bucket-count pass and the membership pass.  Both now derive from the
+    materialized band keys: (key, n) partials → rare-duplicate-key
+    groupby finds collided buckets → a vectorized filter of the same
+    Dataset recovers (bucket, doc) membership → exact shingle-Jaccard
+    verification per candidate pair (the only remaining shingle
+    recompute, over candidate docs only).  Returns (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard ≥ threshold.
 
-    Scale notes: the bucket exchange is ints-only; membership recovery is
-    bounded by |collided buckets| per batch; pair emission runs per bucket
-    group and pair dedup per pair key (both distributed); verification
-    recomputes the two shingle sets per pair (stateless) and attaches them
-    to the distributed pair stream — via a candidate-pruned scan when the
-    id set is broadcastable, else via bucketed hash joins.  No step holds
-    an O(candidates) structure on the driver except the returned frame.
+    Scale notes: the materialized band-key Dataset is ints-only
+    (bands × 16 B/doc ≪ text size) and spills to the object store rather
+    than the driver; degenerate buckets are skipped loudly
+    (``cap_giant_buckets``); pair emission runs per bucket group and pair
+    dedup via range-sort (both distributed); shingle payloads attach to
+    the pair stream via a candidate-pruned scan when the id set is
+    broadcastable, else via bucketed hash joins.  No step holds an
+    O(candidates) structure on the driver except the returned frame.
     """
     import ray
     import ray.data as rd
 
     shingles_of = shingle_fn or (lambda txt: char_shingle_hashes(txt, shingle_k))
 
-    def sig_buckets(t: pa.Table) -> pa.Table:
+    def doc_band_keys(t: pa.Table) -> pa.Table:
+        """One row per (doc, band): the signature pass, run ONCE."""
         texts = t.column(text_col).to_numpy(zero_copy_only=False)
-        keys = []
-        for txt in texts:
-            sh = shingles_of(txt or "")
-            sig = minhash_signature(sh, num_perm)
-            keys.append(band_hashes(sig, bands).astype(np.int64))
-        allk = np.concatenate(keys) if keys else np.empty(0, dtype=np.int64)
-        uniq, counts = np.unique(allk, return_counts=True)
-        return pa.table({"key": uniq, "n": counts.astype(np.int64)})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_list = [shingles_of(txt or "") for txt in texts]
+        sigs = minhash_signatures_batch(sh_list, num_perm)
+        keys = band_hashes_batch(sigs, bands) if len(texts) else \
+            np.empty((0, bands), dtype=np.int64)
+        return pa.table({
+            "doc": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "key": pa.array(keys.ravel(), type=pa.int64()),
+        })
 
-    pruned = ds.select_columns([text_col])
-    dup_buckets = find_duplicate_int_keys(pruned, sig_buckets, batch_size)
+    bands_ds = ds.select_columns([text_col, id_col]).map_batches(
+        doc_band_keys, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(
+            t.column("key").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"key": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    dup_buckets = find_duplicate_int_keys(bands_ds.select_columns(["key"]),
+                                          key_partial, batch_size=65536)
+    dup_buckets = cap_giant_buckets(dup_buckets, max_bucket, "minhash_lsh_pairs")
     if dup_buckets.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    bucket_sorted = np.sort(dup_buckets["key"].to_numpy())
+    bucket_ref = ray.put(np.sort(dup_buckets["key"].to_numpy()))
 
     def memberships(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_numpy(zero_copy_only=False)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        out_k, out_id = [], []
-        for txt, did in zip(texts, ids):
-            sh = shingles_of(txt or "")
-            sig = minhash_signature(sh, num_perm)
-            bh = band_hashes(sig, bands).astype(np.int64)
-            hit = isin_sorted(bucket_sorted, bh)
-            for kk in bh[hit]:
-                out_k.append(int(kk))
-                out_id.append(int(did))
-        return pa.table({"bucket": pa.array(out_k, type=pa.int64()),
-                         "doc": pa.array(out_id, type=pa.int64())})
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        docs = t.column("doc").to_numpy(zero_copy_only=False)
+        hit = isin_sorted(ray.get(bucket_ref), keys)
+        return pa.table({"bucket": pa.array(keys[hit], type=pa.int64()),
+                         "doc": pa.array(docs[hit], type=pa.int64())})
 
-    mem = ds.select_columns([text_col, id_col]).map_batches(
-        memberships, batch_format="pyarrow", batch_size=batch_size
-    )
+    mem = bands_ds.map_batches(memberships, batch_format="pyarrow",
+                               batch_size=65536)
 
     # candidate pairs: distributed per-bucket emission + pair-keyed dedup
     # (materialized so schema/count/join reads don't re-run the pipeline —
     # pairs are candidate-bounded, not O(N))
-    pairs = pairs_from_membership(mem).materialize()
+    pairs = pairs_from_membership(mem, max_bucket=max_bucket).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
@@ -549,7 +693,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, jaccard_threshold: float = 0.5,
                         num_perm: int = 128, bands: int = 32,
-                        batch_size: int = 4096) -> pd.DataFrame:
+                        batch_size: int = 4096,
+                        max_bucket: int = 8192) -> pd.DataFrame:
     """Word n-gram Jaccard near-duplicate pairs.
 
     Same LSH candidate machinery as MinHash (the bands bucket the MinHash
@@ -560,6 +705,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
         jaccard_threshold=jaccard_threshold, batch_size=batch_size,
         shingle_fn=lambda txt: word_ngram_hashes(txt, n),
+        max_bucket=max_bucket,
     )
 
 

@@ -334,3 +334,28 @@ def test_hamming_distance64_swar_matches_bincount():
                      for x, y in zip(a, b)], dtype=np.int64)
     assert (got == want).all()
     assert got[-3] == 0 and got[-2] == 64 and got[-1] == 0
+
+
+def test_minhash_signatures_batch_matches_per_doc():
+    from cckp_toolkit_workflow_ray.stages.dedup import (
+        band_hashes, band_hashes_batch, minhash_signature,
+        minhash_signatures_batch)
+
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(0, 2**63, size, dtype=np.int64).astype(np.uint64)
+            for size in (0, 1, 7, 200, 0, 33)]
+    batch = minhash_signatures_batch(docs, num_perm=128)
+    for i, sh in enumerate(docs):
+        assert (batch[i] == minhash_signature(sh, 128)).all(), i
+    # tiny temp budget forces permutation chunking — identical output
+    chunked = minhash_signatures_batch(docs, num_perm=128,
+                                       temp_budget_bytes=1024)
+    assert (chunked == batch).all()
+    # band keys: batch form == per-doc form
+    keys = band_hashes_batch(batch, bands=32)
+    for i in range(len(docs)):
+        assert (keys[i] == band_hashes(batch[i], 32).astype(np.int64)).all()
+    # all-empty batch
+    empty = minhash_signatures_batch([np.empty(0, dtype=np.uint64)], 16)
+    assert (empty == np.iinfo(np.uint64).max).all()
+    assert minhash_signatures_batch([], 16).shape == (0, 16)
