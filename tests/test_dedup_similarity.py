@@ -359,3 +359,77 @@ def test_minhash_signatures_batch_matches_per_doc():
     empty = minhash_signatures_batch([np.empty(0, dtype=np.uint64)], 16)
     assert (empty == np.iinfo(np.uint64).max).all()
     assert minhash_signatures_batch([], 16).shape == (0, 16)
+
+
+def test_distributed_cc_matches_union_find(ray_session):
+    """VERDICT r3 #1: distributed connected components (min-label
+    propagation over a pairs Dataset) must assign exactly the clusters
+    the driver union-find does on a multi-component fixture with chains,
+    a star, duplicate edges, and singleton-pair components."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import (
+        cluster_near_dups, cluster_near_dups_dataset)
+
+    rng = np.random.default_rng(7)
+    # chain of 30, star of 12, several 2-3 node components, duplicate edges
+    chain = [(i, i + 1) for i in range(100, 130)]
+    star = [(200, 200 + i) for i in range(1, 13)]
+    smalls = [(1000 + 10 * i, 1001 + 10 * i) for i in range(50)]
+    tris = [(5000, 5001), (5001, 5002), (5000, 5002)]
+    edges = chain + star + smalls + tris + chain[:5]  # dup edges
+    rng.shuffle(edges)
+    pairs = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    # mix orientation: swap some edges so id_a > id_b occasionally —
+    # propagation must not depend on edge orientation
+    swap = rng.random(len(pairs)) < 0.4
+    a = pairs["id_a"].to_numpy().copy()
+    pairs.loc[swap, "id_a"] = pairs.loc[swap, "id_b"]
+    pairs.loc[swap, "id_b"] = a[swap]
+
+    want = cluster_near_dups(pd.DataFrame({
+        "id_a": np.minimum(pairs.id_a, pairs.id_b),
+        "id_b": np.maximum(pairs.id_a, pairs.id_b)}))
+    got = cluster_near_dups_dataset(
+        rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False)),
+        n_buckets=4,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(got.doc_id, got.cluster_rep)) == \
+        dict(zip(want.doc_id, want.cluster_rep))
+
+
+def test_cluster_near_dups_dataset_empty(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import cluster_near_dups_dataset
+
+    empty = rd.from_arrow(pa.table({"id_a": pa.array([], type=pa.int64()),
+                                    "id_b": pa.array([], type=pa.int64())}))
+    assert cluster_near_dups_dataset(empty).count() == 0
+
+
+def test_drop_near_dups_join_path_matches_broadcast(ray_session):
+    """The huge-regime anti-join filter must produce exactly the
+    broadcast-filter output (same rows, same plain int64 schema)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import drop_near_dups
+
+    pairs_df = pd.DataFrame({"id_a": [1, 2, 7, 10], "id_b": [2, 3, 8, 11]})
+    pairs_ds = rd.from_arrow(pa.Table.from_pandas(pairs_df, preserve_index=False))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 13)), type=pa.int64()),
+        "n_chars": pa.array(list(range(101, 113)), type=pa.int64())}))
+    want = drop_near_dups(ds, pairs_df).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # broadcast_limit=0 forces the bucketed anti-join regime
+    got = drop_near_dups(ds, pairs_ds, broadcast_limit=0, n_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+    assert str(got["doc_id"].dtype) == "int64"
+    # Dataset pairs + broadcastable losers takes the broadcast path too
+    got2 = drop_near_dups(ds, pairs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2[sorted(got2.columns)],
+                                  want[sorted(want.columns)])
