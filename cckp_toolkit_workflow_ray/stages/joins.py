@@ -152,44 +152,61 @@ def _nullable_int_pandas(t: pa.Table) -> pd.DataFrame:
     return t.to_pandas(types_mapper=_PD_INT_MAP.get)
 
 
-def _with_bucket_and_tag(ds, on: str, n_buckets: int, tag: int, batch_size: int):
-    def add(t: pa.Table) -> pd.DataFrame:
-        df = _nullable_int_pandas(t)
-        keys = df[on]
-        if pd.api.types.is_integer_dtype(keys.dtype):
-            # bucket from exact int values, independent of per-batch null
-            # presence (null keys get an arbitrary bucket; they are
-            # dropped by the merge's NULL-key semantics anyway)
-            from ..functions.hashing import splitmix64
+def _col_hash_u64(col: pd.Series) -> np.ndarray:
+    """Per-column uint64 key hash from exact values, independent of
+    per-batch null presence (null keys get an arbitrary bucket; they are
+    dropped by the merge's NULL-key semantics anyway)."""
+    from ..functions.hashing import splitmix64
 
-            kv = keys.fillna(0).astype("int64").to_numpy()
-            kh = splitmix64(kv.astype(np.uint64)).astype(np.int64)
-        else:
-            kh = _key_hash(keys.to_numpy())
-        df["__bucket"] = kh % n_buckets
+    if pd.api.types.is_integer_dtype(col.dtype):
+        kv = col.fillna(0).astype("int64").to_numpy()
+        return splitmix64(kv.astype(np.uint64))
+    return hash_strings(col.to_numpy(), seed=3)
+
+
+def _key_cols(on) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _with_bucket_and_tag(ds, on, n_buckets: int, tag: int, batch_size: int):
+    """``on`` may be one column name or a list (composite key: the bucket
+    mixes every key column's hash, so e.g. a 128-bit (h1, h2) pair
+    buckets by the full pair, never by h1 alone)."""
+    keys = _key_cols(on)
+
+    def add(t: pa.Table) -> pd.DataFrame:
+        from ..functions.hashing import splitmix64
+
+        df = _nullable_int_pandas(t)
+        kh = np.zeros(len(df), dtype=np.uint64)
+        for c in keys:
+            kh = splitmix64(kh ^ _col_hash_u64(df[c]))
+        df["__bucket"] = kh.astype(np.int64) % n_buckets
         df["__side"] = np.int8(tag)
         return df
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=batch_size)
 
 
-def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
+def hash_join(left, right, on, n_buckets: int = 64, how: str = "inner",
               batch_size: int = 65536):
     """Large-large equi-join: explicit partitioned hash join.
 
-    Both sides get a ``bucket`` column and a side tag, are unioned, and
-    each bucket group splits by tag and pandas-merges (the union pads
-    each side's missing columns with nulls; the per-side column lists are
-    captured from the schemas up front so padding is dropped exactly).
-    Column sets must be disjoint apart from the key.
+    ``on`` is one column name or a list of names shared by both sides
+    (composite key).  Both sides get a ``bucket`` column and a side tag,
+    are unioned, and each bucket group splits by tag and pandas-merges
+    (the union pads each side's missing columns with nulls; the per-side
+    column lists are captured from the schemas up front so padding is
+    dropped exactly).  Column sets must be disjoint apart from the key.
     """
+    keys = _key_cols(on)
     left_schema, right_schema = left.schema(), right.schema()
     left_cols = [c for c in left_schema.names]
     right_cols = [c for c in right_schema.names]
     left_dtypes = _schema_dtype_map(left_schema, left_cols)
     right_dtypes = _schema_dtype_map(right_schema, right_cols)
-    l = _with_bucket_and_tag(left, on, n_buckets, 0, batch_size)
-    r = _with_bucket_and_tag(right, on, n_buckets, 1, batch_size)
+    l = _with_bucket_and_tag(left, keys, n_buckets, 0, batch_size)
+    r = _with_bucket_and_tag(right, keys, n_buckets, 1, batch_size)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # a bucket whose rows all come from one side lacks the other
@@ -203,10 +220,11 @@ def hash_join(left, right, on: str, n_buckets: int = 64, how: str = "inner",
                         right_dtypes)
         # SQL equi-join semantics: NULL keys match nothing (pandas would
         # match NaN to NaN); null-key left rows survive only a left join
-        lg_null = lg[lg[on].isna()]
-        lg = lg[lg[on].notna()]
-        rg = rg[rg[on].notna()]
-        out = lg.merge(rg, on=on, how=how)
+        l_nullmask = lg[keys].isna().any(axis=1)
+        lg_null = lg[l_nullmask]
+        lg = lg[~l_nullmask]
+        rg = rg[rg[keys].notna().all(axis=1)]
+        out = lg.merge(rg, on=keys, how=how)
         if how == "left" and len(lg_null):
             out = pd.concat([out, lg_null.reindex(columns=out.columns)],
                             ignore_index=True)

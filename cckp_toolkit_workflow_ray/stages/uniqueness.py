@@ -212,26 +212,21 @@ def _dup_keys_via_index(pages_scan, cfg: ValidationConfig) -> pd.DataFrame:
     })
 
 
-def _dup_keys_via_sort(pages_scan, cfg: ValidationConfig) -> pd.DataFrame:
-    from .groupagg import candidate_duplicates
-
-    partials = pages_scan().map_batches(
-        _hash_counts, batch_format="pyarrow", batch_size=cfg.uniqueness_batch_size
-    )
-    cands = candidate_duplicates(partials, ["h1", "h2"], "n").to_pandas()
-    if cands.empty:
-        return pd.DataFrame({"h1": pd.Series([], dtype="int64"),
-                             "h2": pd.Series([], dtype="int64"),
-                             "n": pd.Series([], dtype="int64")})
-    totals = cands.groupby(["h1", "h2"], as_index=False)["n"].sum()
-    return totals[totals["n"] > 1].reset_index(drop=True)
-
-
-def duplicate_urls(source, cfg: ValidationConfig | None = None):
-    """Return a small Dataset of ``(url, lang_min, n)`` for urls with n>1.
+def duplicate_urls(source, cfg: ValidationConfig | None = None,
+                   broadcast_limit: int = 2_000_000, n_buckets: int = 64):
+    """Return a Dataset of ``(url, lang_min, n)`` for urls with n>1.
 
     ``source`` is either a list of parquet paths (preferred: pruned read)
     or an existing ``ray.data.Dataset`` of pages.
+
+    Two regimes (VERDICT r2 #5): duplicated keys ≤ ``broadcast_limit``
+    resolve via the broadcast-filtered recovery scan (rare-dup regime —
+    the result is small).  A duplicate-heavy input switches to bucketed
+    hash joins: per-batch (key, url_min, lang_min) partials join the
+    dup-key Dataset and a distributed keyed Min picks representatives —
+    no driver-side key set, and the returned Dataset is itself
+    distributed (O(dup keys) rows).  The ``"index"`` strategy centralizes
+    keys in sharded actors by design and stays broadcast-only.
     """
     import ray.data as rd
 
@@ -244,32 +239,80 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None):
         return source.select_columns(["url", "lang"])
 
     if cfg.uniqueness_strategy == "index":
-        dup_keys = _dup_keys_via_index(pages_scan, cfg)
+        regime, dup_keys = "broadcast", _dup_keys_via_index(pages_scan, cfg)
     else:
-        dup_keys = _dup_keys_via_sort(pages_scan, cfg)
-    if dup_keys.empty:
-        return rd.from_arrow(_DUPS_SCHEMA.empty_table())
+        from .dedup import find_duplicate_int_keys_two_regime
 
-    # recovery scan: representative url + min lang per duplicated key
-    dk = dup_keys.sort_values(["h1", "h2"], kind="mergesort")
-    reps = (
-        pages_scan()
-        .map_batches(
-            _make_recover_fn(dk["h1"].to_numpy(), dk["h2"].to_numpy()),
-            batch_format="pyarrow",
-            batch_size=cfg.uniqueness_batch_size,
+        regime, dup_keys = find_duplicate_int_keys_two_regime(
+            pages_scan(), _hash_counts, cfg.uniqueness_batch_size,
+            key_cols=["h1", "h2"], broadcast_limit=broadcast_limit)
+
+    if regime == "broadcast":
+        if dup_keys.empty:
+            return rd.from_arrow(_DUPS_SCHEMA.empty_table())
+        # recovery scan: representative url + min lang per duplicated key
+        dk = dup_keys.sort_values(["h1", "h2"], kind="mergesort")
+        reps = (
+            pages_scan()
+            .map_batches(
+                _make_recover_fn(dk["h1"].to_numpy(), dk["h2"].to_numpy()),
+                batch_format="pyarrow",
+                batch_size=cfg.uniqueness_batch_size,
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
-    reps = reps.groupby(["h1", "h2"], as_index=False).agg(
-        url=("url", "min"), lang_min=("lang", "min")
-    )
-    out = dup_keys.merge(reps, on=["h1", "h2"], how="inner")[["url", "lang_min", "n"]]
-    return rd.from_arrow(
-        pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False).cast(
-            _DUPS_SCHEMA
+        reps = reps.groupby(["h1", "h2"], as_index=False).agg(
+            url=("url", "min"), lang_min=("lang", "min")
         )
+        out = dup_keys.merge(reps, on=["h1", "h2"], how="inner")[["url", "lang_min", "n"]]
+        return rd.from_arrow(
+            pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False).cast(
+                _DUPS_SCHEMA
+            )
+        )
+
+    # ---- duplicate-heavy regime: joins end-to-end ------------------------
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    def recover_all(batch: pa.Table) -> pa.Table:
+        """Per-batch (h1, h2, url_min, lang_min) for ALL keys — the
+        duplicate-heavy input makes pruning pointless; the per-batch
+        combine still bounds the exchange to distinct urls per batch."""
+        urls = batch.column("url")
+        valid = _valid_url_mask(urls)
+        url_np = urls.to_numpy(zero_copy_only=False)[valid]
+        if url_np.size == 0:
+            return pa.table({"h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64()),
+                             "url": pa.array([], type=pa.string()),
+                             "lang": pa.array([], type=pa.string())})
+        lang_np = pc.fill_null(batch.column("lang"), MISSING_LANG).to_numpy(
+            zero_copy_only=False)[valid]
+        h1 = hash_strings(url_np, seed=1).astype(np.int64)
+        h2 = hash_strings(url_np, seed=2).astype(np.int64)
+        df = pd.DataFrame({"h1": h1, "h2": h2, "url": url_np, "lang": lang_np})
+        g = df.groupby(["h1", "h2"], as_index=False).agg(
+            url=("url", "min"), lang=("lang", "min"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    recs = pages_scan().map_batches(
+        recover_all, batch_format="pyarrow",
+        batch_size=cfg.uniqueness_batch_size)
+    joined = hash_join(recs, dup_keys, on=["h1", "h2"], n_buckets=n_buckets)
+    reps = joined.groupby(["h1", "h2"]).aggregate(
+        Min("url", alias_name="url"),
+        Min("lang", alias_name="lang_min"),
+        Min("n", alias_name="n"),   # n is constant per key: Min == the count
     )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["url", "lang_min", "n"]].copy()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return reps.map_batches(finish, batch_format="pandas")
 
 
 def duplicates_to_violations(dups: pa.Table, severity: str = "error") -> pa.Table:

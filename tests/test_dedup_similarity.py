@@ -433,3 +433,66 @@ def test_drop_near_dups_join_path_matches_broadcast(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got2[sorted(got2.columns)],
                                   want[sorted(want.columns)])
+
+
+def test_exact_dedup_join_regime_high_dup_rate(ray_session):
+    """VERDICT r3 #5: a ≥30% dup-rate corpus through the duplicate-heavy
+    (join) regime must keep exactly the same rows as the broadcast
+    regime, with the same plain-int schema."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import exact_dedup_dataset
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    # ~60% of rows share one of 600 contents -> dup rate far above 30%
+    content_id = rng.integers(0, 1200, n)
+    texts = np.array([f"document body number {c}" for c in content_id],
+                     dtype=object)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts,
+                       "extra": np.arange(n, dtype=np.int64) * 3})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+    want = exact_dedup_dataset(ds, broadcast_limit=10**9) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = exact_dedup_dataset(ds, broadcast_limit=0, n_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+    assert str(got["doc_id"].dtype) == "int64"
+    # pandas oracle: min doc_id per text
+    oracle = set(df.groupby("text")["doc_id"].min())
+    assert set(got["doc_id"]) == oracle
+
+
+def test_duplicate_urls_join_regime_high_dup_rate(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.config import ValidationConfig
+    from cckp_toolkit_workflow_ray.stages.uniqueness import duplicate_urls
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    url_id = rng.integers(0, 1000, n)  # heavy duplication
+    df = pd.DataFrame({
+        "url": np.array([f"https://ex.com/{u}" for u in url_id], dtype=object),
+        "lang": np.array(["en", "de", "fr", "zh"], dtype=object)[
+            rng.integers(0, 4, n)],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+    cfg = ValidationConfig()
+    want = duplicate_urls(ds, cfg, broadcast_limit=10**9).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    got = duplicate_urls(ds, cfg, broadcast_limit=0, n_buckets=4) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)], check_dtype=False)
+    # pandas oracle
+    oracle = df.groupby("url").agg(n=("url", "size"), lang_min=("lang", "min"))
+    oracle = oracle[oracle["n"] > 1]
+    assert len(got) == len(oracle)
+    m = got.set_index("url")
+    assert (m["n"] == oracle["n"].reindex(m.index)).all()
+    assert (m["lang_min"] == oracle["lang_min"].reindex(m.index)).all()
