@@ -15,6 +15,53 @@ from typing import Any
 
 from cckp_toolkit_workflow_ray.pipelines import queries as q
 
+# exact char-5-shingle Jaccard of the seeded (doc, perturbed-copy) pairs;
+# shingles are distinct 5-char windows (short strings pad — the PAD:
+# namespace can never equal a real 5-char window).  Shared by the
+# minhash_verify_jaccard oracle and the minhash_seeded_containment filter.
+_MINHASH_VERIFY_SQL = """
+    WITH seeded AS (
+        SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+               coalesce(text, '') AS ta,
+               CASE WHEN contains(coalesce(text, ''), ' ')
+                    THEN 'xqzv' || substr(coalesce(text, ''),
+                                          strpos(coalesce(text, ''), ' '))
+                    ELSE 'xqzv' END AS tb
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    ga AS (
+        SELECT DISTINCT id_a, sh FROM (
+            SELECT id_a, substr(ta, unnest(generate_series(
+                1, greatest(length(ta) - 4, 0))), 5) AS sh
+            FROM seeded)
+        UNION
+        SELECT id_a, 'PAD:' || ta FROM seeded WHERE length(ta) < 5
+    ),
+    gb AS (
+        SELECT DISTINCT id_a, sh FROM (
+            SELECT id_a, substr(tb, unnest(generate_series(
+                1, greatest(length(tb) - 4, 0))), 5) AS sh
+            FROM seeded)
+        UNION
+        SELECT id_a, 'PAD:' || tb FROM seeded WHERE length(tb) < 5
+    ),
+    inter AS (
+        SELECT a.id_a, count(*) AS ni
+        FROM ga a JOIN gb b ON a.id_a = b.id_a AND a.sh = b.sh
+        GROUP BY a.id_a
+    ),
+    ca AS (SELECT id_a, count(*) AS na FROM ga GROUP BY id_a),
+    cb AS (SELECT id_a, count(*) AS nb FROM gb GROUP BY id_a)
+    SELECT s.id_a, s.id_b,
+           CAST(round((1000000.0 * coalesce(i.ni, 0))
+                      / (ca.na + cb.nb - coalesce(i.ni, 0)))
+                AS BIGINT) AS jaccard_e6
+    FROM seeded s
+    JOIN ca ON ca.id_a = s.id_a
+    JOIN cb ON cb.id_a = s.id_a
+    LEFT JOIN inter i ON i.id_a = s.id_a
+"""
+
 
 def entry() -> Any:
     """Flagship: full validation DAG over a 10k-row pages table derived
@@ -27,18 +74,51 @@ def entry() -> Any:
     return res.verdicts
 
 
+PAGES_ORACLE_DIR = "/tmp/cckp_pages_oracle/pages"
+
+# The full engine check set minus `extraction` (the one check whose
+# semantics — re-running the HTML extractor — no SQL oracle can express;
+# it keeps its byte-exact pytest oracle in tests/oracle.py and runs in
+# entry()).  Everything else in the verdict table is SQL-reproducible.
+_PAGES_SQL_CHECKS = (
+    "presence_url", "presence_warc_ts", "presence_html", "presence_text",
+    "presence_lang", "url_format", "referential_lang", "uniqueness_url",
+    "drift_text_len", "drift_html_len", "drift_null_rate",
+)
+
+
 def _pages_validate(sf_dir: str) -> Any:
-    """Rows-only check: deterministic verdict table of the full engine on a
-    synthesized pages table (size tied to the scale point)."""
+    """Full-engine verdict table (per-(lang, check) n_rows/violations/
+    pass-rate/status/verdict + __overall__ rollups) on a synthesized
+    pages table (size tied to the scale point) — with the pages table
+    also written to parquet at a fixed path so the DuckDB oracle can
+    reproduce every row (VERDICT r2 #7).  The `score` column is excluded
+    from the compared output: the __overall__ mean's float summation
+    order is engine-internal and would make the hash comparison
+    ulp-flaky; scores are pinned by pytest instead."""
+    import os
+    import shutil
+
     import pyarrow.parquet as pq
 
+    from cckp_toolkit_workflow_ray.config import ValidationConfig
     from cckp_toolkit_workflow_ray.pipelines.validate import validate
     from cckp_toolkit_workflow_ray.sources.pages import generate_pages_dataset
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    res = validate(generate_pages_dataset(20 * n_docs, seed=42))
+    n = 20 * n_docs
+    # deterministic pages parquet for the oracle (rows are a pure function
+    # of (index, seed), so content is layout-independent); the dir must be
+    # cleared first — write_parquet appends UUID part files
+    shutil.rmtree(PAGES_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(PAGES_ORACLE_DIR, exist_ok=True)
+    generate_pages_dataset(n, seed=42).write_parquet(PAGES_ORACLE_DIR)
+
+    cfg = ValidationConfig(checks=_PAGES_SQL_CHECKS)
+    res = validate(PAGES_ORACLE_DIR, config=cfg)
     df = res.verdicts.sort_values(["lang", "check"]).reset_index(drop=True)
-    return df
+    return df[["lang", "check", "n_rows", "n_violations", "pass_rate",
+               "status", "verdict"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -75,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_threshold_pairs": q.cosine_threshold_pairs,
         "minhash_verify_jaccard": q.minhash_verify_jaccard,
         "ngram_verify_jaccard": q.ngram_verify_jaccard,
+        "minhash_seeded_containment": q.minhash_seeded_containment,
         "docs_validate": q.docs_validate,
         "bpe_token_count": q.bpe_token_count,
         "quality_check": q.quality_check,
@@ -381,48 +462,15 @@ def oracle_sql() -> dict[str, str]:
         # exact char-5-shingle Jaccard of the seeded (doc, perturbed-copy)
         # pairs; shingles are distinct 5-char windows (short strings pad —
         # the PAD: namespace can never equal a real 5-char window)
-        "minhash_verify_jaccard": """
-            WITH seeded AS (
-                SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
-                       coalesce(text, '') AS ta,
-                       CASE WHEN contains(coalesce(text, ''), ' ')
-                            THEN 'xqzv' || substr(coalesce(text, ''),
-                                                  strpos(coalesce(text, ''), ' '))
-                            ELSE 'xqzv' END AS tb
-                FROM documents WHERE doc_id % 10 = 0
-            ),
-            ga AS (
-                SELECT DISTINCT id_a, sh FROM (
-                    SELECT id_a, substr(ta, unnest(generate_series(
-                        1, greatest(length(ta) - 4, 0))), 5) AS sh
-                    FROM seeded)
-                UNION
-                SELECT id_a, 'PAD:' || ta FROM seeded WHERE length(ta) < 5
-            ),
-            gb AS (
-                SELECT DISTINCT id_a, sh FROM (
-                    SELECT id_a, substr(tb, unnest(generate_series(
-                        1, greatest(length(tb) - 4, 0))), 5) AS sh
-                    FROM seeded)
-                UNION
-                SELECT id_a, 'PAD:' || tb FROM seeded WHERE length(tb) < 5
-            ),
-            inter AS (
-                SELECT a.id_a, count(*) AS ni
-                FROM ga a JOIN gb b ON a.id_a = b.id_a AND a.sh = b.sh
-                GROUP BY a.id_a
-            ),
-            ca AS (SELECT id_a, count(*) AS na FROM ga GROUP BY id_a),
-            cb AS (SELECT id_a, count(*) AS nb FROM gb GROUP BY id_a)
-            SELECT s.id_a, s.id_b,
-                   CAST(round((1000000.0 * coalesce(i.ni, 0))
-                              / (ca.na + cb.nb - coalesce(i.ni, 0)))
-                        AS BIGINT) AS jaccard_e6
-            FROM seeded s
-            JOIN ca ON ca.id_a = s.id_a
-            JOIN cb ON cb.id_a = s.id_a
-            LEFT JOIN inter i ON i.id_a = s.id_a
-        """,
+        "minhash_verify_jaccard": _MINHASH_VERIFY_SQL,
+        # LSH recall containment: the seeded pairs at Jaccard >= 0.9 (per
+        # the same exact-Jaccard SQL) must ALL be found by the MinHash-LSH
+        # pipeline — the engine query intersects them with the LSH output,
+        # so a recall failure surfaces as a missing row
+        "minhash_seeded_containment":
+            "SELECT id_a, id_b, jaccard_e6 FROM ("
+            + _MINHASH_VERIFY_SQL +
+            ") WHERE jaccard_e6 >= 900000",
         # exact word-3-gram Jaccard on the same seeded pairs (python
         # str.split() semantics: whitespace runs, strip; <3 words -> the
         # single gram join(words))
@@ -478,6 +526,102 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = s.id_a
         """.replace("FROM seeded_src",
                     "FROM documents WHERE doc_id % 10 = 0"),
+        # the FULL pages-validate verdict table (minus the extraction
+        # check, whose extractor no SQL can run, and the score column —
+        # see _pages_validate).  The query wrote the deterministic pages
+        # table to parquet at a fixed path first, so this SQL reproduces
+        # n_rows / violation counts / pass rates / tri-level statuses /
+        # verdicts / __overall__ rollups from the same bytes the engine
+        # read.  Lang attribution: NULL lang -> '__missing__' (empty
+        # string stays its own group); uniqueness counts one violation
+        # per duplicated url, attributed to min(lang).
+        "pages_validate": """
+            WITH pages AS (
+                SELECT * FROM read_parquet('/tmp/cckp_pages_oracle/pages/*.parquet')
+            ),
+            base AS (
+                SELECT coalesce(lang, '__missing__') AS g,
+                       url, warc_ts, html, text, lang
+                FROM pages
+            ),
+            grp AS (
+                SELECT g,
+                       count(*) AS n_rows,
+                       count(*) FILTER (WHERE url IS NULL OR url = '')
+                           AS v_presence_url,
+                       count(*) FILTER (WHERE warc_ts IS NULL)
+                           AS v_presence_warc_ts,
+                       count(*) FILTER (WHERE html IS NULL
+                                        OR octet_length(html) = 0)
+                           AS v_presence_html,
+                       count(*) FILTER (WHERE text IS NULL OR text = '')
+                           AS v_presence_text,
+                       count(*) FILTER (WHERE lang IS NULL OR lang = '')
+                           AS v_presence_lang,
+                       count(*) FILTER (WHERE NOT (url IS NULL OR url = '')
+                           AND NOT regexp_matches(url, '^https?://[^/\\s]+/.+$'))
+                           AS v_url_format,
+                       count(*) FILTER (WHERE NOT (lang IS NULL OR lang = '')
+                           AND lang NOT IN ('en','de','fr','es','zh'))
+                           AS v_referential_lang
+                FROM base GROUP BY g
+            ),
+            uniq AS (
+                SELECT lang_min AS g, count(*) AS v
+                FROM (
+                    SELECT url, min(coalesce(lang, '__missing__')) AS lang_min
+                    FROM pages WHERE url IS NOT NULL AND url <> ''
+                    GROUP BY url HAVING count(*) > 1
+                ) GROUP BY lang_min
+            ),
+            checks AS (
+                SELECT g, 'presence_url' AS cn, n_rows, v_presence_url AS v FROM grp
+                UNION ALL SELECT g, 'presence_warc_ts', n_rows, v_presence_warc_ts FROM grp
+                UNION ALL SELECT g, 'presence_html', n_rows, v_presence_html FROM grp
+                UNION ALL SELECT g, 'presence_text', n_rows, v_presence_text FROM grp
+                UNION ALL SELECT g, 'presence_lang', n_rows, v_presence_lang FROM grp
+                UNION ALL SELECT g, 'url_format', n_rows, v_url_format FROM grp
+                UNION ALL SELECT g, 'referential_lang', n_rows, v_referential_lang FROM grp
+                UNION ALL SELECT grp.g, 'uniqueness_url', grp.n_rows,
+                                 coalesce(uniq.v, 0)
+                          FROM grp LEFT JOIN uniq ON uniq.g = grp.g
+            ),
+            scored AS (
+                SELECT g AS lang, cn, n_rows, CAST(v AS BIGINT) AS n_violations,
+                       1.0 - CAST(v AS DOUBLE) / n_rows AS pass_rate,
+                       CASE WHEN 1.0 - CAST(v AS DOUBLE) / n_rows >= 0.9 THEN 'good'
+                            WHEN 1.0 - CAST(v AS DOUBLE) / n_rows >= 0.7 THEN 'ok'
+                            ELSE 'needs_improvement' END AS status,
+                       CASE WHEN v = 0 THEN 'PASS' ELSE 'FAIL' END AS verdict
+                FROM checks
+            ),
+            drift AS (
+                SELECT g AS lang, d.cn, n_rows, CAST(0 AS BIGINT) AS n_violations,
+                       CAST(NULL AS DOUBLE) AS pass_rate,
+                       'unknown' AS status, 'UNKNOWN' AS verdict
+                FROM grp CROSS JOIN (VALUES ('drift_text_len'),
+                                            ('drift_html_len'),
+                                            ('drift_null_rate')) AS d(cn)
+            ),
+            allrows AS (
+                SELECT * FROM scored UNION ALL SELECT * FROM drift
+            ),
+            overall AS (
+                SELECT lang, '__overall__' AS cn, max(n_rows) AS n_rows,
+                       CAST(sum(n_violations) AS BIGINT) AS n_violations,
+                       CAST(NULL AS DOUBLE) AS pass_rate, '-' AS status,
+                       CASE WHEN bool_or(verdict = 'FAIL') THEN 'FAIL'
+                            WHEN bool_or(verdict = 'UNKNOWN') THEN 'UNKNOWN'
+                            ELSE 'PASS' END AS verdict
+                FROM allrows GROUP BY lang
+            )
+            SELECT lang, cn AS "check", n_rows, n_violations,
+                   pass_rate, status, verdict
+            FROM allrows
+            UNION ALL
+            SELECT lang, cn, n_rows, n_violations, pass_rate, status, verdict
+            FROM overall
+        """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's
         # __missing__ attribution only differs when lang is NULL, which the

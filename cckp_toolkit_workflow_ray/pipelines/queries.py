@@ -339,9 +339,16 @@ def nchars_mode(sf_dir: str) -> pa.Table:
 
 def normalized_prefixes(sf_dir: str) -> pa.Table:
     """Text-normalization pipeline (lowercase, whitespace-run collapse,
-    trim) + exact distinct count of 8-char normalized prefixes per lang —
-    per-batch drop_duplicates combiner, tiny exact distinct at the end."""
+    trim) + exact distinct count of 8-char normalized prefixes per lang.
+
+    VERDICT r2 #4: the previous shape merged per-batch distinct sets on
+    the driver — O(distinct prefixes) driver memory.  Now the distinct
+    merge happens in the salted exchange
+    (``stages.groupagg.salted_distinct_count``): salting by the counted
+    entity partitions DISTINCT exactly, so no driver set anywhere."""
     import re
+
+    from ..stages.groupagg import salted_distinct_count
 
     # RE2's \s is exactly [\t\n\f\r ] — python's \s (even with re.ASCII)
     # also matches \x0b, so spell the class out; likewise SQL trim()
@@ -349,14 +356,20 @@ def normalized_prefixes(sf_dir: str) -> pa.Table:
     ws = re.compile(r"[\t\n\f\r ]+")
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def to_prefix(df: pd.DataFrame) -> pd.DataFrame:
         pref = (df["text"].fillna("").str.replace(ws, " ", regex=True)
                 .str.strip(" ").str.lower().str[:8])
-        return pd.DataFrame({"lang": df["lang"], "prefix": pref}).drop_duplicates()
+        # sentinel NULL langs so the salted groupby matches SQL's NULL
+        # group; prefixes are never null (fillna above), so none are
+        # dropped by the distinct-count's NULL-entity rule
+        return pd.DataFrame({"lang": _sentinel_nulls(df["lang"]),
+                             "prefix": pref})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = (parts.drop_duplicates().groupby("lang", dropna=False, as_index=False)
-           .size().rename(columns={"size": "n_prefixes"}))
+    pref_ds = ds.map_batches(to_prefix, batch_format="pandas")
+    out = salted_distinct_count(pref_ds, "lang", "prefix", n_salts=32
+                                ).to_pandas()
+    out = _restore_null_keys(
+        out.rename(columns={"n_distinct": "n_prefixes"}), ["lang"])
     out["n_prefixes"] = out["n_prefixes"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
@@ -722,6 +735,29 @@ def minhash_verify_jaccard(sf_dir: str) -> pa.Table:
 def ngram_verify_jaccard(sf_dir: str) -> pa.Table:
     """Word-3-gram Jaccard on the seeded pair set (SQL-oracled)."""
     return _seeded_pair_jaccard(sf_dir, _word3_grams_sql)
+
+
+def minhash_seeded_containment(sf_dir: str) -> pa.Table:
+    """LSH recall conformance oracle (VERDICT r2 #3): every seeded pair
+    with exact char-5 Jaccard ≥ 0.9 MUST appear in the MinHash-LSH pair
+    output — at J ≥ 0.9 the per-pair miss probability with 32 bands × 4
+    rows is (1-J⁴)³² ≈ 5e-15, so the containment is deterministic for
+    all practical purposes.  The query returns the high-similarity seeded
+    pairs intersected with the LSH output; the SQL oracle returns the
+    high-similarity seeded pairs — any LSH recall failure shows up as a
+    missing row (rows_match=false), making this a true end-to-end gate
+    on the candidate-generation + verification pipeline."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_derived_text_corpus(sf_dir),
+                              jaccard_threshold=0.5)
+    seeded = _seeded_pair_jaccard(sf_dir, _char5_grams_sql)
+    high = seeded[seeded["jaccard_e6"] >= 900_000]
+    out = high.merge(pairs[["id_a", "id_b"]], on=["id_a", "id_b"],
+                     how="inner")
+    out = out[["id_a", "id_b", "jaccard_e6"]].astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard_e6": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def docs_validate(sf_dir: str) -> pa.Table:
