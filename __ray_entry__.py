@@ -62,6 +62,62 @@ _MINHASH_VERIFY_SQL = """
     LEFT JOIN inter i ON i.id_a = s.id_a
 """
 
+# exact word-3-gram Jaccard on the same seeded pairs (python str.split()
+# semantics: whitespace runs, strip; <3 words -> the single gram
+# join(words)).  Shared by the ngram_verify_jaccard oracle and the
+# ngram_seeded_containment filter.
+_NGRAM_VERIFY_SQL = """
+    WITH seeded AS (
+        SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+               coalesce(text, '') AS ta,
+               CASE WHEN contains(coalesce(text, ''), ' ')
+                    THEN 'xqzv' || substr(coalesce(text, ''),
+                                          strpos(coalesce(text, ''), ' '))
+                    ELSE 'xqzv' END AS tb
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    wa AS (SELECT id_a, list_filter(string_split_regex(ta, '\\s+'),
+                                    x -> x <> '') AS ws FROM seeded),
+    wb AS (SELECT id_a, list_filter(string_split_regex(tb, '\\s+'),
+                                    x -> x <> '') AS ws FROM seeded),
+    ga AS (
+        SELECT DISTINCT id_a, g FROM (
+            SELECT id_a, array_to_string(ws[i:i+2], ' ') AS g FROM (
+                SELECT id_a, ws, unnest(generate_series(
+                    1, greatest(len(ws) - 2, 0))) AS i
+                FROM wa WHERE len(ws) >= 3))
+        UNION
+        SELECT id_a, array_to_string(ws, ' ')
+        FROM wa WHERE len(ws) BETWEEN 1 AND 2
+    ),
+    gb AS (
+        SELECT DISTINCT id_a, g FROM (
+            SELECT id_a, array_to_string(ws[i:i+2], ' ') AS g FROM (
+                SELECT id_a, ws, unnest(generate_series(
+                    1, greatest(len(ws) - 2, 0))) AS i
+                FROM wb WHERE len(ws) >= 3))
+        UNION
+        SELECT id_a, array_to_string(ws, ' ')
+        FROM wb WHERE len(ws) BETWEEN 1 AND 2
+    ),
+    inter AS (
+        SELECT a.id_a, count(*) AS ni
+        FROM ga a JOIN gb b ON a.id_a = b.id_a AND a.g = b.g
+        GROUP BY a.id_a
+    ),
+    ca AS (SELECT id_a, count(*) AS na FROM ga GROUP BY id_a),
+    cb AS (SELECT id_a, count(*) AS nb FROM gb GROUP BY id_a)
+    SELECT s.id_a, s.id_b,
+           CAST(round((1000000.0 * coalesce(i.ni, 0))
+                      / (coalesce(ca.na, 0) + coalesce(cb.nb, 0)
+                         - coalesce(i.ni, 0)))
+                AS BIGINT) AS jaccard_e6
+    FROM seeded s
+    LEFT JOIN ca ON ca.id_a = s.id_a
+    LEFT JOIN cb ON cb.id_a = s.id_a
+    LEFT JOIN inter i ON i.id_a = s.id_a
+"""
+
 
 def entry() -> Any:
     """Flagship: full validation DAG over a 10k-row pages table derived
@@ -156,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verify_jaccard": q.minhash_verify_jaccard,
         "ngram_verify_jaccard": q.ngram_verify_jaccard,
         "minhash_seeded_containment": q.minhash_seeded_containment,
+        "ngram_seeded_containment": q.ngram_seeded_containment,
         "docs_validate": q.docs_validate,
         "bpe_token_count": q.bpe_token_count,
         "quality_check": q.quality_check,
@@ -474,58 +531,45 @@ def oracle_sql() -> dict[str, str]:
         # exact word-3-gram Jaccard on the same seeded pairs (python
         # str.split() semantics: whitespace runs, strip; <3 words -> the
         # single gram join(words))
-        "ngram_verify_jaccard": """
-            WITH seeded AS (
-                SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
-                       coalesce(text, '') AS ta,
-                       CASE WHEN contains(coalesce(text, ''), ' ')
-                            THEN 'xqzv' || substr(coalesce(text, ''),
-                                                  strpos(coalesce(text, ''), ' '))
-                            ELSE 'xqzv' END AS tb
-                FROM seeded_src
-            ),
-            wa AS (SELECT id_a, list_filter(string_split_regex(ta, '\\s+'),
-                                            x -> x <> '') AS ws FROM seeded),
-            wb AS (SELECT id_a, list_filter(string_split_regex(tb, '\\s+'),
-                                            x -> x <> '') AS ws FROM seeded),
-            ga AS (
-                SELECT DISTINCT id_a, g FROM (
-                    SELECT id_a, array_to_string(ws[i:i+2], ' ') AS g FROM (
-                        SELECT id_a, ws, unnest(generate_series(
-                            1, greatest(len(ws) - 2, 0))) AS i
-                        FROM wa WHERE len(ws) >= 3))
-                UNION
-                SELECT id_a, array_to_string(ws, ' ')
-                FROM wa WHERE len(ws) BETWEEN 1 AND 2
-            ),
-            gb AS (
-                SELECT DISTINCT id_a, g FROM (
-                    SELECT id_a, array_to_string(ws[i:i+2], ' ') AS g FROM (
-                        SELECT id_a, ws, unnest(generate_series(
-                            1, greatest(len(ws) - 2, 0))) AS i
-                        FROM wb WHERE len(ws) >= 3))
-                UNION
-                SELECT id_a, array_to_string(ws, ' ')
-                FROM wb WHERE len(ws) BETWEEN 1 AND 2
-            ),
-            inter AS (
-                SELECT a.id_a, count(*) AS ni
-                FROM ga a JOIN gb b ON a.id_a = b.id_a AND a.g = b.g
-                GROUP BY a.id_a
-            ),
-            ca AS (SELECT id_a, count(*) AS na FROM ga GROUP BY id_a),
-            cb AS (SELECT id_a, count(*) AS nb FROM gb GROUP BY id_a)
-            SELECT s.id_a, s.id_b,
-                   CAST(round((1000000.0 * coalesce(i.ni, 0))
-                              / (coalesce(ca.na, 0) + coalesce(cb.nb, 0)
-                                 - coalesce(i.ni, 0)))
-                        AS BIGINT) AS jaccard_e6
-            FROM seeded s
-            LEFT JOIN ca ON ca.id_a = s.id_a
-            LEFT JOIN cb ON cb.id_a = s.id_a
-            LEFT JOIN inter i ON i.id_a = s.id_a
-        """.replace("FROM seeded_src",
-                    "FROM documents WHERE doc_id % 10 = 0"),
+        "ngram_verify_jaccard": _NGRAM_VERIFY_SQL,
+        # word-3-gram LSH recall containment (same gate as the minhash
+        # variant): seeded pairs at word-trigram Jaccard >= 0.9 must all
+        # be found by the n-gram LSH pipeline
+        "ngram_seeded_containment":
+            "SELECT id_a, id_b, jaccard_e6 FROM ("
+            + _NGRAM_VERIFY_SQL +
+            ") WHERE jaccard_e6 >= 900000",
+        # the FULL SimHash near-dup pair set: banding with max_hamming+1
+        # bands has exact recall (pigeonhole) and exact verification, so
+        # the engine output must equal ALL pairs at hamming <= 3 over the
+        # per-doc simhash table the query wrote to parquet; DuckDB's
+        # BIGINT bit_count counts the 64-bit two's-complement pattern,
+        # identical to the engine's uint64 popcount
+        "simhash_dedup": """
+            WITH sims AS (
+                SELECT * FROM read_parquet('/tmp/cckp_simhash_oracle/sims/*.parquet')
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # exact cosine near-dup pairs over embeddings + the deterministic
+        # noisy copies the query wrote to parquet (threshold 0.995 sits
+        # far from both populations, so summation ulps cannot flip a row)
+        "embedding_neardup": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM read_parquet('/tmp/cckp_emb_oracle/noisy/*.parquet')
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.995
+        """,
         # the FULL pages-validate verdict table (minus the extraction
         # check, whose extractor no SQL can run, and the score column —
         # see _pages_validate).  The query wrote the deterministic pages

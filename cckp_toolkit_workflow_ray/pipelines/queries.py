@@ -605,11 +605,36 @@ def minhash_dedup_filtered(sf_dir: str) -> pa.Table:
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def simhash_dedup(sf_dir: str) -> pa.Table:
-    """SimHash banding near-dup pairs over the derived corpus (rows-only)."""
-    from ..stages.dedup import simhash_pairs
+SIMHASH_ORACLE_DIR = "/tmp/cckp_simhash_oracle/sims"
 
-    pairs = simhash_pairs(_derived_text_corpus(sf_dir), max_hamming=3)
+
+def simhash_dedup(sf_dir: str) -> pa.Table:
+    """SimHash banding near-dup pairs over the derived corpus — fully
+    SQL-oracled: banding with (max_hamming + 1) bands has EXACT recall by
+    pigeonhole and the verification is exact, so the output equals ALL
+    pairs with hamming(simhash_a, simhash_b) ≤ 3.  The query writes the
+    per-doc simhash table to parquet; the oracle reproduces the pair set
+    with a self-join on ``bit_count(xor(...))`` (verified: DuckDB's
+    BIGINT bit_count counts the 64-bit two's-complement pattern, matching
+    the engine's uint64 popcount)."""
+    import os
+    import shutil
+
+    from ..stages.dedup import doc_simhash64, simhash_pairs
+
+    corpus = _derived_text_corpus(sf_dir).materialize()
+
+    def sims(t: pa.Table) -> pa.Table:
+        sh = doc_simhash64(t.column("text").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "simhash": pa.array(sh.astype(np.int64))})
+
+    shutil.rmtree(SIMHASH_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(SIMHASH_ORACLE_DIR, exist_ok=True)
+    corpus.map_batches(sims, batch_format="pyarrow").write_parquet(
+        SIMHASH_ORACLE_DIR)
+
+    pairs = simhash_pairs(corpus, max_hamming=3)
     return pairs[["id_a", "id_b", "hamming"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -760,6 +785,24 @@ def minhash_seeded_containment(sf_dir: str) -> pa.Table:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def ngram_seeded_containment(sf_dir: str) -> pa.Table:
+    """The minhash_seeded_containment recall gate for the word-3-gram
+    Jaccard family: seeded pairs with exact word-trigram Jaccard ≥ 0.9
+    must all appear in the n-gram LSH pair output (same 32×4 banding,
+    same ~5e-15 miss bound)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_derived_text_corpus(sf_dir), n=3,
+                                jaccard_threshold=0.5)
+    seeded = _seeded_pair_jaccard(sf_dir, _word3_grams_sql)
+    high = seeded[seeded["jaccard_e6"] >= 900_000]
+    out = high.merge(pairs[["id_a", "id_b"]], on=["id_a", "id_b"],
+                     how="inner")
+    out = out[["id_a", "id_b", "jaccard_e6"]].astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard_e6": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def docs_validate(sf_dir: str) -> pa.Table:
     """The flagship CheckSuite run over the shared ``documents`` table
     (mapped into the pages schema), so the validation DAG's violation
@@ -852,9 +895,19 @@ def cosine_threshold_pairs(sf_dir: str) -> pa.Table:
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+EMB_ORACLE_DIR = "/tmp/cckp_emb_oracle/noisy"
+
+
 def embedding_neardup(sf_dir: str) -> pa.Table:
-    """Exact cosine near-dup pairs over embeddings ∪ noisy copies
-    (rows-only; natural data has no pairs above threshold)."""
+    """Exact cosine near-dup pairs over embeddings ∪ noisy copies — now
+    SQL-oracled (VERDICT r3): the deterministic noisy copies are written
+    to parquet, so DuckDB reproduces the full pair set with
+    ``list_cosine_similarity`` over embeddings ∪ the written table.  The
+    0.995 threshold sits far from both populations (noisy pairs ~0.9999,
+    natural pairs ≪ 0.9), so float-summation ulps cannot flip a row."""
+    import os
+    import shutil
+
     import ray.data as rd
 
     from ..functions.hashing import uniform01
@@ -878,7 +931,11 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
                                   type=pa.list_(pa.float32())),
         })
 
-    corpus = ds.union(ds.map_batches(noisy_copies, batch_format="pyarrow"))
+    noisy = ds.map_batches(noisy_copies, batch_format="pyarrow").materialize()
+    shutil.rmtree(EMB_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(EMB_ORACLE_DIR, exist_ok=True)
+    noisy.write_parquet(EMB_ORACLE_DIR)
+    corpus = ds.union(noisy)
     pairs = near_dup_cosine(corpus, threshold=0.995)
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

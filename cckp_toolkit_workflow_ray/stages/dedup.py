@@ -550,6 +550,18 @@ def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
         return splitmix64(h + np.arange(bands, dtype=np.uint64)[None, :]).astype(np.int64)
 
 
+def doc_simhash64(texts) -> np.ndarray:
+    """Per-document 64-bit SimHash over whitespace tokens (uint64 array).
+    The single definition shared by simhash_pairs and the oracle queries
+    so an algorithm change can never silently diverge the two."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, txt in enumerate(texts):
+        toks = (txt or "").split()
+        out[i] = simhash64(hash_strings(np.array(toks, dtype=object), seed=5)) \
+            if toks else np.uint64(0)
+    return out
+
+
 def simhash64(token_hashes: np.ndarray) -> np.uint64:
     """Classic 64-bit SimHash over hashed tokens."""
     if token_hashes.size == 0:
@@ -731,13 +743,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
-
-    def doc_simhash(texts) -> np.ndarray:
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            toks = (txt or "").split()
-            out[i] = simhash64(hash_strings(np.array(toks, dtype=object), seed=5)) if toks else np.uint64(0)
-        return out
+    doc_simhash = doc_simhash64
 
     def band_keys(sh: np.ndarray) -> np.ndarray:
         """(n_docs, n_bands) int64 bucket keys: band index mixed with bits."""
