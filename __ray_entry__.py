@@ -666,6 +666,141 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, cn, n_rows, n_violations, pass_rate, status, verdict
             FROM overall
         """,
+        # distribution-drift verdicts recomputed end-to-end in SQL from
+        # the SAME parquet bytes the engine profiled (the query wrote the
+        # clean baseline and the zh-drifted live corpus first): fixed-bin
+        # histograms (searchsorted-right bin index = least(len//w + 1, 65)
+        # for the 65-edge grids), KS = max |cdf_live - cdf_ref| at the
+        # edges (integer cumulatives, one double division each — bit-
+        # identical to the engine), eps-clipped PSI with natural log, and
+        # per-column null-or-empty-rate deltas, all thresholded exactly
+        # like config.py (ks 0.05/0.15, psi 0.10/0.25, null 0.02/0.10)
+        "drift_check": """
+            WITH live AS (
+                SELECT * FROM read_parquet('/tmp/cckp_drift_oracle/live/*.parquet')
+            ),
+            refp AS (
+                SELECT * FROM read_parquet('/tmp/cckp_drift_oracle/ref/*.parquet')
+            ),
+            nrows AS (SELECT lang, count(*) AS n_rows FROM live GROUP BY lang),
+            binned AS (
+                SELECT 0 AS src, lang, 'drift_text_len' AS chk,
+                       least(length(text) // 32 + 1, 65) AS b, count(*) AS c
+                FROM live WHERE text IS NOT NULL GROUP BY lang, b
+                UNION ALL
+                SELECT 0, lang, 'drift_html_len',
+                       least(octet_length(html) // 128 + 1, 65), count(*)
+                FROM live WHERE html IS NOT NULL GROUP BY lang, 4
+                UNION ALL
+                SELECT 1, lang, 'drift_text_len',
+                       least(length(text) // 32 + 1, 65), count(*)
+                FROM refp WHERE text IS NOT NULL GROUP BY lang, 4
+                UNION ALL
+                SELECT 1, lang, 'drift_html_len',
+                       least(octet_length(html) // 128 + 1, 65), count(*)
+                FROM refp WHERE html IS NOT NULL GROUP BY lang, 4
+            ),
+            tot AS (
+                SELECT src, lang, chk, sum(c) AS t
+                FROM binned GROUP BY src, lang, chk
+            ),
+            grid AS (
+                SELECT lc.lang, lc.chk, gs.i
+                FROM (SELECT DISTINCT lang, chk FROM binned) lc
+                CROSS JOIN (SELECT unnest(generate_series(0, 65)) AS i) gs
+            ),
+            dense AS (
+                SELECT g.lang, g.chk, g.i,
+                       coalesce(l.c, 0) AS cl, coalesce(r.c, 0) AS cr
+                FROM grid g
+                LEFT JOIN binned l ON l.src = 0 AND l.lang = g.lang
+                                  AND l.chk = g.chk AND l.b = g.i
+                LEFT JOIN binned r ON r.src = 1 AND r.lang = g.lang
+                                  AND r.chk = g.chk AND r.b = g.i
+            ),
+            wt AS (
+                SELECT d.*, tl.t AS tl, tr.t AS tr
+                FROM dense d
+                JOIN tot tl ON tl.src = 0 AND tl.lang = d.lang AND tl.chk = d.chk
+                JOIN tot tr ON tr.src = 1 AND tr.lang = d.lang AND tr.chk = d.chk
+            ),
+            cum AS (
+                SELECT lang, chk, i, tl, tr,
+                       sum(cl) OVER (PARTITION BY lang, chk ORDER BY i
+                                     ROWS UNBOUNDED PRECEDING) AS ccl,
+                       sum(cr) OVER (PARTITION BY lang, chk ORDER BY i
+                                     ROWS UNBOUNDED PRECEDING) AS ccr
+                FROM wt
+            ),
+            ks AS (
+                SELECT lang, chk,
+                       max(abs(CAST(ccl AS DOUBLE) / tl
+                               - CAST(ccr AS DOUBLE) / tr)) AS ks
+                FROM cum WHERE i <= 64 GROUP BY lang, chk
+            ),
+            psi AS (
+                SELECT lang, chk,
+                       sum((greatest(CAST(cl AS DOUBLE) / tl, 0.000001)
+                            - greatest(CAST(cr AS DOUBLE) / tr, 0.000001))
+                           * ln(greatest(CAST(cl AS DOUBLE) / tl, 0.000001)
+                                / greatest(CAST(cr AS DOUBLE) / tr, 0.000001)))
+                           AS psi
+                FROM wt GROUP BY lang, chk
+            ),
+            hist_rows AS (
+                SELECT k.lang, k.chk AS cn, n.n_rows,
+                       CASE WHEN k.ks >= 0.15 OR p.psi >= 0.25
+                                THEN 'needs_improvement'
+                            WHEN k.ks >= 0.05 OR p.psi >= 0.10 THEN 'ok'
+                            ELSE 'good' END AS status,
+                       CASE WHEN k.ks >= 0.15 OR p.psi >= 0.25 THEN 'FAIL'
+                            ELSE 'PASS' END AS verdict
+                FROM ks k
+                JOIN psi p ON p.lang = k.lang AND p.chk = k.chk
+                JOIN nrows n ON n.lang = k.lang
+            ),
+            lnull AS (
+                SELECT lang, count(*) AS n,
+                       count(*) FILTER (WHERE url IS NULL OR url = '') AS nu,
+                       count(*) FILTER (WHERE warc_ts IS NULL) AS nw,
+                       count(*) FILTER (WHERE html IS NULL
+                                        OR octet_length(html) = 0) AS nh,
+                       count(*) FILTER (WHERE text IS NULL OR text = '') AS nt,
+                       count(*) FILTER (WHERE lang IS NULL OR lang = '') AS nl
+                FROM live GROUP BY lang
+            ),
+            rnull AS (
+                SELECT lang, count(*) AS n,
+                       count(*) FILTER (WHERE url IS NULL OR url = '') AS nu,
+                       count(*) FILTER (WHERE warc_ts IS NULL) AS nw,
+                       count(*) FILTER (WHERE html IS NULL
+                                        OR octet_length(html) = 0) AS nh,
+                       count(*) FILTER (WHERE text IS NULL OR text = '') AS nt,
+                       count(*) FILTER (WHERE lang IS NULL OR lang = '') AS nl
+                FROM refp GROUP BY lang
+            ),
+            nd AS (
+                SELECT l.lang, l.n AS n_rows,
+                       greatest(
+                           abs(CAST(l.nu AS DOUBLE)/l.n - CAST(r.nu AS DOUBLE)/r.n),
+                           abs(CAST(l.nw AS DOUBLE)/l.n - CAST(r.nw AS DOUBLE)/r.n),
+                           abs(CAST(l.nh AS DOUBLE)/l.n - CAST(r.nh AS DOUBLE)/r.n),
+                           abs(CAST(l.nt AS DOUBLE)/l.n - CAST(r.nt AS DOUBLE)/r.n),
+                           abs(CAST(l.nl AS DOUBLE)/l.n - CAST(r.nl AS DOUBLE)/r.n)
+                       ) AS d
+                FROM lnull l JOIN rnull r ON r.lang = l.lang
+            ),
+            null_rows AS (
+                SELECT lang, 'drift_null_rate' AS cn, n_rows,
+                       CASE WHEN d >= 0.10 THEN 'needs_improvement'
+                            WHEN d >= 0.02 THEN 'ok' ELSE 'good' END AS status,
+                       CASE WHEN d >= 0.10 THEN 'FAIL' ELSE 'PASS' END AS verdict
+                FROM nd
+            )
+            SELECT lang, cn AS "check", n_rows, status, verdict FROM hist_rows
+            UNION ALL
+            SELECT lang, cn, n_rows, status, verdict FROM null_rows
+        """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's
         # __missing__ attribution only differs when lang is NULL, which the

@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     # r2: distributed LSH candidate resolution + oracled CheckSuite run
     "minhash_dedup",
     "docs_validate",
+    # r3: vectorized banding + SQL-oracled simhash; end-to-end near-dup
+    # removal through distributed connected components
+    "simhash_dedup",
+    "minhash_dedup_filtered",
 ]
 
 

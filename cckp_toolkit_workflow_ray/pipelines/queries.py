@@ -1285,12 +1285,25 @@ def json_props_stats(sf_dir: str) -> pa.Table:
                        ["event_type"], ["n_events", "sum_k"]).to_pandas()
 
 
+DRIFT_ORACLE_LIVE = "/tmp/cckp_drift_oracle/live"
+DRIFT_ORACLE_REF = "/tmp/cckp_drift_oracle/ref"
+
+
 def drift_check(sf_dir: str) -> pa.Table:
     """Distribution-drift verdicts (KS + PSI on deterministic fixed-bin
     histograms + per-column null-rate deltas vs a broadcast reference
-    profile, rows-only): the baseline is the clean synthetic corpus; the
+    profile) — SQL-oracled (r3): both the clean baseline corpus and the
+    drifted live corpus are written to parquet, the engine profiles the
+    written files, and the DuckDB oracle recomputes the same fixed-bin
+    histograms (searchsorted-right bin = least(len // width + 1, 65)),
+    the KS statistic (max |cdf diff| at the 65 edges — exact integer
+    cumulatives, one float division each), PSI (eps-clipped, natural
+    log) and null-rate deltas, then applies the same thresholds.  The
     live run has the zh length distribution shifted, so zh must FAIL the
     length drifts while null rates stay PASS."""
+    import os
+    import shutil
+
     import pyarrow.parquet as pq
 
     from ..pipelines.validate import build_reference_profile, validate
@@ -1298,12 +1311,15 @@ def drift_check(sf_dir: str) -> pa.Table:
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     n = 20 * n_docs
-    ref = build_reference_profile(generate_pages_dataset(n, seed=42, violations=False))
-    res = validate(
+    for out, kwargs in ((DRIFT_ORACLE_REF, {}),
+                        (DRIFT_ORACLE_LIVE,
+                         {"drift_lang": "zh", "drift_factor": 0.5})):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
         generate_pages_dataset(n, seed=42, violations=False,
-                               drift_lang="zh", drift_factor=0.5),
-        reference_profile=ref,
-    )
+                               **kwargs).write_parquet(out)
+    ref = build_reference_profile(DRIFT_ORACLE_REF)
+    res = validate(DRIFT_ORACLE_LIVE, reference_profile=ref)
     d = res.verdicts[res.verdicts.check.str.startswith("drift_")]
     return d[["lang", "check", "n_rows", "status", "verdict"]].sort_values(
         ["lang", "check"]
