@@ -114,39 +114,93 @@ def session_window(ds, ts_col: str, key_col: str, gap_us: int,
     ``order_cols``) — a total order so results are deterministic under
     timestamp ties.  Returns per-session rows:
     (key, session_start_us, session_end_us, n_events).
+
+    Scale shape (r3): a ``groupby(key).map_groups`` here pays per-group
+    Python overhead on |keys| groups (~ms each; the session key is
+    ~user-cardinality).  Instead the events are range-sorted by
+    (key, ts, order) so every key is a contiguous run; block-INTERIOR
+    runs sessionize in one vectorized pass over the whole block (gap
+    breaks + run boundaries → session ids; per-session min/max/count are
+    slice reads off the sorted arrays), and only the ≤2 block-EDGE keys
+    per block — the runs that may span blocks — take the per-group path.
+    Same motif as dedup.pairs_from_membership.
     """
     order_cols = order_cols or []
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        # robust epoch-us regardless of pandas datetime unit (ns vs us)
-        g["_us"] = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        """Exact per-key sessionization (block-edge keys only)."""
         g = g.sort_values(["_us", *order_cols], kind="mergesort")
         us = g["_us"].to_numpy()
         new = np.ones(len(g), dtype=bool)
         new[1:] = (us[1:] - us[:-1]) > gap_us
-        sid = np.cumsum(new)
-        out = (
-            pd.DataFrame({"sid": sid, "us": us})
-            .groupby("sid")
-            .agg(session_start_us=("us", "min"), session_end_us=("us", "max"),
-                 n_events=("us", "size"))
-            .reset_index(drop=True)
-        )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g)) - 1
+        out = pd.DataFrame({
+            "session_start_us": us[starts],
+            "session_end_us": us[ends],
+            "n_events": (ends - starts + 1).astype(np.int64),
+        })
         out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
     cols = [key_col, ts_col, *order_cols]
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         if df[key_col].dtype == object:
-            df = df.copy()
             df[key_col] = sentinel_nulls(df[key_col])
-        return df
+        # robust epoch-us regardless of pandas datetime unit (ns vs us)
+        df["_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        return df[[key_col, "_us", *order_cols]]
 
-    out = ds.select_columns(cols).map_batches(pre, batch_format="pandas").groupby(
-        key_col
-    ).map_groups(sessionize, batch_format="pandas")
+    sorted_ev = ds.select_columns(cols).map_batches(
+        pre, batch_format="pandas"
+    ).sort([key_col, "_us", *order_cols]).materialize()
+
+    def _empty(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: pd.Series([], dtype=df[key_col].dtype),
+            "session_start_us": pd.Series([], dtype="int64"),
+            "session_end_us": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+        })
+
+    def emit_interior(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 1:
+            return _empty(df)
+        k = df[key_col].to_numpy()
+        first_key, last_key = k[0], k[-1]
+        us = df["_us"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | ((us[1:] - us[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(df)) - 1
+        sess_key = k[starts]
+        keep = (sess_key != first_key) & (sess_key != last_key)
+        if not keep.any():
+            return _empty(df)
+        return pd.DataFrame({
+            key_col: sess_key[keep],
+            "session_start_us": us[starts][keep],
+            "session_end_us": us[ends][keep],
+            "n_events": (ends - starts + 1)[keep].astype(np.int64),
+        })
+
+    def extract_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        k = df[key_col].to_numpy()
+        return df[(k == k[0]) | (k == k[-1])]
+
+    # batch_size=None → one call per block, so "block edge" is well-defined
+    # and both passes see the same (materialized) block boundaries
+    interior = sorted_ev.map_batches(emit_interior, batch_format="pandas",
+                                     batch_size=None)
+    edges = sorted_ev.map_batches(extract_edges, batch_format="pandas",
+                                  batch_size=None)
+    edge_sessions = edges.groupby(key_col).map_groups(
+        sessionize, batch_format="pandas")
+    out = interior.union(edge_sessions)
     return out.map_batches(
         lambda df: restore_null_keys(df, [key_col]), batch_format="pandas"
     )
