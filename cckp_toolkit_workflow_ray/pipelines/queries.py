@@ -1158,8 +1158,16 @@ def interval_event_windows(sf_dir: str) -> pa.Table:
         return df.groupby("window_id", as_index=False).size().rename(
             columns={"size": "n_events"})
 
-    return _sum_by_key(joined.map_batches(partial, batch_format="pandas"),
-                       ["window_id"], ["n_events"]).to_pandas()
+    # window_id is order-key cardinality (15k at sf0.01): Ray's keyed Sum
+    # pays ~1.5 ms/group there (measured 22 s); the sorted-run exact sum
+    # has no per-group cost
+    from ..stages.groupagg import sorted_sum_by_key
+
+    out = sorted_sum_by_key(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["window_id"], ["n_events"])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
 
 
 def distinct_users_events(sf_dir: str) -> pa.Table:

@@ -53,6 +53,52 @@ def candidate_duplicates(partials, key_cols: list[str], n_col: str = "n"):
     return sorted_ds.map_batches(block_candidates, batch_format="pandas", batch_size=None)
 
 
+def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
+                      batch_size: int = 65536) -> pd.DataFrame:
+    """Exact keyed sum for MID/HIGH-cardinality keys without Ray's
+    per-group aggregate overhead (measured ~1.5 ms/group: a 15k-group
+    Sum cost 22 s at sf0.01).
+
+    Shape: per-batch combine → range-sort the partial stream → one
+    vectorized pandas groupby-sum per block for block-INTERIOR keys
+    (after a global sort a key interior to a block cannot appear in any
+    other block) → the ≤2 block-EDGE keys per block (the only keys that
+    can span blocks) merge exactly in a tiny driver groupby bounded by
+    2 × n_blocks rows.  Returns the O(groups) result as a DataFrame —
+    the same driver-bound output every keyed-sum query already returns.
+    """
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, as_index=False, dropna=False)[sum_cols].sum()
+
+    sorted_ds = partials.map_batches(
+        combine, batch_format="pandas", batch_size=batch_size
+    ).sort(key_cols).materialize()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        g = df.groupby(key_cols, as_index=False, dropna=False, sort=True)[
+            sum_cols].sum()
+        return g.iloc[1:-1] if len(g) > 2 else g.iloc[0:0]
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        k = df[key_cols].to_numpy()
+        mask = (k == k[0]).all(axis=1) | (k == k[-1]).all(axis=1)
+        return df[mask]
+
+    # batch_size=None → one call per block, so "block edge" is well-defined
+    interior_df = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    edge_sum = edge_rows.groupby(key_cols, as_index=False, dropna=False)[
+        sum_cols].sum() if len(edge_rows) else edge_rows
+    out = pd.concat([interior_df, edge_sum], ignore_index=True)
+    return out.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+
+
 def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
                           batch_size: int = 65536):
     """Exact ``count(DISTINCT entity)`` per LOW-cardinality key at scale.
