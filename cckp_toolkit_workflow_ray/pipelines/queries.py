@@ -774,7 +774,10 @@ def minhash_seeded_containment(sf_dir: str) -> pa.Table:
     on the candidate-generation + verification pipeline."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(_derived_text_corpus(sf_dir),
+    # materialize: the LSH pipeline scans its input twice (band-key pass
+    # + shingle verification pass); an unmaterialized corpus would re-run
+    # the perturb derivation each time
+    pairs = minhash_lsh_pairs(_derived_text_corpus(sf_dir).materialize(),
                               jaccard_threshold=0.5)
     seeded = _seeded_pair_jaccard(sf_dir, _char5_grams_sql)
     high = seeded[seeded["jaccard_e6"] >= 900_000]
@@ -792,8 +795,8 @@ def ngram_seeded_containment(sf_dir: str) -> pa.Table:
     same ~5e-15 miss bound)."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_derived_text_corpus(sf_dir), n=3,
-                                jaccard_threshold=0.5)
+    pairs = ngram_jaccard_pairs(_derived_text_corpus(sf_dir).materialize(),
+                                n=3, jaccard_threshold=0.5)
     seeded = _seeded_pair_jaccard(sf_dir, _word3_grams_sql)
     high = seeded[seeded["jaccard_e6"] >= 900_000]
     out = high.merge(pairs[["id_a", "id_b"]], on=["id_a", "id_b"],

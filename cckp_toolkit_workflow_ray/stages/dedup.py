@@ -435,17 +435,12 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
                   n_buckets=n_buckets)
 
     def keep_joined(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import restore_plain_ints
+
         win = df["winner"]
         mask = (win.isna() | (win == df[id_col])).fillna(False).astype(bool)
-        out = df[mask].drop(columns=["k1", "k2", "winner"])
-        # restore plain numpy ints where the join's nullable upcast left
-        # extension dtypes and no nulls remain (schema parity with the
-        # broadcast regime)
-        for c in out.columns:
-            if str(out[c].dtype).startswith(("Int", "UInt")) and \
-                    out[c].notna().all():
-                out[c] = out[c].astype(str(out[c].dtype).lower())
-        return out
+        return restore_plain_ints(
+            df[mask].drop(columns=["k1", "k2", "winner"]))
 
     return j.map_batches(keep_joined, batch_format="pandas")
 
@@ -1027,15 +1022,10 @@ def drop_near_dups(ds, pairs, id_col: str = "doc_id",
                        n_buckets=n_buckets)
 
     def keep_unflagged(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[df["__near_dup_loser"].isna()].drop(
-            columns=["__near_dup_loser"])
-        # the join path upcasts ints to nullable extension dtypes; restore
-        # plain numpy dtypes where no nulls remain so the output schema
-        # matches the broadcast path
-        for c in out.columns:
-            if str(out[c].dtype).startswith(("Int", "UInt")) and \
-                    out[c].notna().all():
-                out[c] = out[c].astype(str(out[c].dtype).lower())
-        return out
+        from .joins import restore_plain_ints
+
+        return restore_plain_ints(
+            df[df["__near_dup_loser"].isna()].drop(
+                columns=["__near_dup_loser"]))
 
     return joined.map_batches(keep_unflagged, batch_format="pandas")

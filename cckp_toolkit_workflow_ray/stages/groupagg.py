@@ -74,19 +74,38 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
         combine, batch_format="pandas", batch_size=batch_size
     ).sort(key_cols).materialize()
 
+    def _edge_mask(df: pd.DataFrame) -> np.ndarray:
+        """Rows whose key equals the block's FIRST or LAST row's key,
+        NaN-safely (plain `==` is always False for NaN, which silently
+        dropped the NULL-key group — review r3 finding).  Positional
+        first/last is what defines a block edge under Ray's sort order,
+        whatever that order puts NaN at."""
+        mask = np.zeros(len(df), dtype=bool)
+        for pos in (0, -1):
+            m = np.ones(len(df), dtype=bool)
+            for c in key_cols:
+                col = df[c]
+                ref = col.iloc[pos]
+                if pd.isna(ref):
+                    m &= col.isna().to_numpy()
+                else:
+                    m &= (col == ref).to_numpy()
+            mask |= m
+        return mask
+
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        g = df.groupby(key_cols, as_index=False, dropna=False, sort=True)[
+        inner = df[~_edge_mask(df)]
+        if inner.empty:
+            return inner
+        return inner.groupby(key_cols, as_index=False, dropna=False)[
             sum_cols].sum()
-        return g.iloc[1:-1] if len(g) > 2 else g.iloc[0:0]
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        k = df[key_cols].to_numpy()
-        mask = (k == k[0]).all(axis=1) | (k == k[-1]).all(axis=1)
-        return df[mask]
+        return df[_edge_mask(df)]
 
     # batch_size=None → one call per block, so "block edge" is well-defined
     interior_df = sorted_ds.map_batches(

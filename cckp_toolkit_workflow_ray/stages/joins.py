@@ -168,6 +168,20 @@ def _key_cols(on) -> list[str]:
     return [on] if isinstance(on, str) else list(on)
 
 
+def restore_plain_ints(df: pd.DataFrame) -> pd.DataFrame:
+    """Inverse of the ``_nullable_int_pandas`` upcast for join consumers:
+    cast nullable extension int columns back to plain numpy ints where no
+    nulls remain, so join-regime outputs match the broadcast-regime
+    schema.  Columns that kept genuine nulls stay extension-typed —
+    callers needing float64-for-NULL semantics convert at their own
+    output surface."""
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith(("Int", "UInt")) and df[c].notna().all():
+            df[c] = df[c].astype(dt.lower())
+    return df
+
+
 def _with_bucket_and_tag(ds, on, n_buckets: int, tag: int, batch_size: int):
     """``on`` may be one column name or a list (composite key: the bucket
     mixes every key column's hash, so e.g. a 128-bit (h1, h2) pair

@@ -149,6 +149,12 @@ def session_window(ds, ts_col: str, key_col: str, gap_us: int,
         df = df.copy()
         if df[key_col].dtype == object:
             df[key_col] = sentinel_nulls(df[key_col])
+        else:
+            # numeric NULL keys are dropped (functions/nulls.py policy) —
+            # a NaN key defeats run detection (`NaN != NaN` splits every
+            # row into its own run; review r3 finding), so enforce the
+            # documented drop here rather than emit per-event sessions
+            df = df[df[key_col].notna()]
         # robust epoch-us regardless of pandas datetime unit (ns vs us)
         df["_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         return df[[key_col, "_us", *order_cols]]

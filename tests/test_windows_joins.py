@@ -302,3 +302,98 @@ def test_interval_join_all_null_bound_batch(ray_session):
                                  "w_end", bucket_us=10**9,
                                  right_cols=["window_id"]).to_pandas()
     assert len(got) == 0
+
+
+def test_sorted_sum_by_key_matches_bruteforce_with_nulls(ray_session):
+    """Review r3: the sorted-run keyed sum must be exact across many
+    blocks AND must not drop the NULL-key group (NaN defeats `==`-based
+    edge detection)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.groupagg import sorted_sum_by_key
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    keys = rng.integers(0, 500, n).astype("float64")
+    keys[rng.random(n) < 0.05] = np.nan  # a NULL-key group
+    df = pd.DataFrame({"k": keys, "v": rng.integers(0, 100, n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(16)
+    got = sorted_sum_by_key(ds, ["k"], ["v"])
+    want = df.groupby("k", dropna=False, as_index=False)["v"].sum() \
+        .sort_values("k").reset_index(drop=True)
+    g = got.sort_values("k").reset_index(drop=True)
+    assert len(g) == len(want)
+    # NaN group present and exact
+    nan_got = g[g["k"].isna()]["v"].sum()
+    nan_want = want[want["k"].isna()]["v"].sum()
+    assert nan_got == nan_want and nan_want > 0
+    nn_g = g[g["k"].notna()]
+    nn_w = want[want["k"].notna()]
+    assert (nn_g["k"].to_numpy() == nn_w["k"].to_numpy()).all()
+    assert (nn_g["v"].to_numpy() == nn_w["v"].to_numpy()).all()
+
+
+def test_sorted_sum_by_key_composite_keys(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.groupagg import sorted_sum_by_key
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 40, n),
+        "b": rng.integers(0, 10, n),
+        "v": rng.integers(0, 1000, n),
+        "w": rng.integers(0, 7, n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(9)
+    got = sorted_sum_by_key(ds, ["a", "b"], ["v", "w"])
+    want = df.groupby(["a", "b"], as_index=False)[["v", "w"]].sum() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["a", "b"]).reset_index(drop=True).astype("int64"),
+        want.astype("int64"))
+
+
+def test_session_window_multiblock_matches_bruteforce(ray_session):
+    """The sorted-run sessionizer must agree with a single-frame pandas
+    sessionization across many blocks, and numeric NULL keys are dropped
+    (functions/nulls.py policy)."""
+    from cckp_toolkit_workflow_ray.stages.windows import session_window
+
+    rng = np.random.default_rng(31)
+    n = 12000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    users = rng.integers(0, 800, n).astype("float64")
+    users[rng.random(n) < 0.02] = np.nan
+    ts_us = base + rng.integers(0, 3 * 24 * 3600 * 10**6, n)
+    df = pd.DataFrame({
+        "user_id": users,
+        "ts": ts_us.astype("datetime64[us]"),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    gap = 1800 * 10**6
+    got = session_window(_ds(df), "ts", "user_id", gap_us=gap,
+                         order_cols=["event_id"]).to_pandas()
+    # brute force on non-null users
+    d = df[df["user_id"].notna()].copy()
+    d["_us"] = d["ts"].astype("datetime64[us]").astype("int64")
+    d = d.sort_values(["user_id", "_us", "event_id"])
+    rows = []
+    for u, g in d.groupby("user_id"):
+        us = g["_us"].to_numpy()
+        new = np.ones(len(g), bool)
+        new[1:] = (us[1:] - us[:-1]) > gap
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g)) - 1
+        for s, e in zip(starts, ends):
+            rows.append((u, us[s], us[e], e - s + 1))
+    want = pd.DataFrame(rows, columns=["user_id", "session_start_us",
+                                       "session_end_us", "n_events"])
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    g2 = got[cols].sort_values(cols).reset_index(drop=True)
+    w2 = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+    assert not got["user_id"].isna().any()
