@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_filtered": q.minhash_dedup_filtered,
         "simhash_dedup": q.simhash_dedup,
         "ngram_jaccard_dedup": q.ngram_jaccard_dedup,
+        "paragraph_dedup": q.paragraph_dedup,
         "knn_embeddings": q.knn_embeddings,
         "ivf_knn_embeddings": q.ivf_knn_embeddings,
         "embedding_neardup": q.embedding_neardup,
@@ -665,6 +666,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT lang, cn, n_rows, n_violations, pass_rate, status, verdict
             FROM overall
+        """,
+        # corpus-wide paragraph dedup (CCNet boilerplate removal): split
+        # each text into two halves joined by \n, union with exact copies
+        # of every 7th doc, drop every paragraph occurring more than once
+        # corpus-wide, reassemble in order.  The engine decides on 128-bit
+        # paragraph hashes; the SQL on exact strings — they agree unless a
+        # hash collision occurs (~3e-15)
+        "paragraph_dedup": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       substr(t, 1, length(t) // 2) || chr(10)
+                           || substr(t, length(t) // 2 + 1) AS text
+                FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       substr(t, 1, length(t) // 2) || chr(10)
+                           || substr(t, length(t) // 2 + 1)
+                FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+                WHERE doc_id % 7 = 0
+            ),
+            parts AS (
+                SELECT doc_id, p.i AS i, parts[p.i] AS para FROM (
+                    SELECT doc_id, string_split(text, chr(10)) AS parts
+                    FROM corpus
+                ) CROSS JOIN LATERAL (
+                    SELECT unnest(generate_series(1, len(parts))) AS i) p
+            ),
+            dups AS (
+                SELECT para FROM parts GROUP BY para HAVING count(*) > 1
+            ),
+            kept AS (
+                SELECT pt.doc_id, pt.i, pt.para
+                FROM parts pt LEFT JOIN dups d ON d.para = pt.para
+                WHERE d.para IS NULL
+            )
+            SELECT c.doc_id,
+                   coalesce(string_agg(k.para, chr(10) ORDER BY k.i), '')
+                       AS clean_text
+            FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
+            GROUP BY c.doc_id
         """,
         # distribution-drift verdicts recomputed end-to-end in SQL from
         # the SAME parquet bytes the engine profiled (the query wrote the

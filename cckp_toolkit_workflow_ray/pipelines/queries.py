@@ -1337,6 +1337,40 @@ def drift_check(sf_dir: str) -> pa.Table:
     ).reset_index(drop=True)
 
 
+def paragraph_dedup(sf_dir: str) -> pa.Table:
+    """Corpus-wide paragraph dedup (CCNet/RefinedWeb boilerplate
+    removal), SQL-oracled exactly: the corpus is documents ∪ exact
+    copies (doc_id % 7), each text split into two newline-joined halves
+    at len//2, so every copied document's paragraphs are corpus
+    duplicates and get dropped from ALL occurrences; the oracle
+    reproduces the whole op with string_split / HAVING count(*) > 1 /
+    ordered string_agg."""
+    from ..stages.dedup import drop_duplicate_paragraphs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def two_para(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        out = [(s := x or "")[: len(s) // 2] + "\n" + s[len(s) // 2:]
+               for x in texts]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    def copy7(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % 7 == 0
+        return pa.table({
+            "doc_id": pa.array(ids[sel] + 10_000_000, type=pa.int64()),
+            "text": t.column("text").filter(pa.array(sel)),
+        })
+
+    base = ds.map_batches(two_para, batch_format="pyarrow")
+    corpus = base.union(base.map_batches(copy7, batch_format="pyarrow")
+                        ).materialize()
+    out = drop_duplicate_paragraphs(corpus).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
     """Word-trigram Jaccard near-dup pairs over the derived corpus
     (rows-only; exact Jaccard verification over LSH candidates)."""

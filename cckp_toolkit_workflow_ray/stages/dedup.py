@@ -446,6 +446,91 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup (the CCNet / RefinedWeb motif: a paragraph
+# that appears in many documents is boilerplate — drop every occurrence)
+# ---------------------------------------------------------------------------
+
+
+def _pair_isin(dh1_sorted: np.ndarray, dh2_sorted: np.ndarray,
+               h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Membership of (h1, h2) rows in a pair set sorted by (h1, h2).
+    Vectorized for the dominant run-length-1 case; tiny loop for longer
+    h1 runs."""
+    out = np.zeros(h1.size, dtype=bool)
+    if dh1_sorted.size == 0 or h1.size == 0:
+        return out
+    lo = np.searchsorted(dh1_sorted, h1, side="left")
+    hi = np.searchsorted(dh1_sorted, h1, side="right")
+    runs = hi - lo
+    one = np.flatnonzero(runs == 1)
+    out[one] = dh2_sorted[lo[one]] == h2[one]
+    for i in np.flatnonzero(runs > 1).tolist():
+        out[i] = h2[i] in dh2_sorted[lo[i]:hi[i]]
+    return out
+
+
+def drop_duplicate_paragraphs(ds, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              batch_size: int = 8192):
+    """Corpus-wide paragraph dedup: drop every newline-delimited
+    paragraph whose exact content occurs MORE THAN ONCE in the corpus,
+    then reassemble the survivors per document (joined with ``\\n``).
+    Returns a Dataset of ``(id_col, clean_text)``.
+
+    The CCNet-style boilerplate-removal pass a web corpus needs before
+    training.  Shape: the rare-duplicate-key motif on 128-bit paragraph
+    hashes — (1) per-batch (h1, h2, n) partials over the exploded
+    paragraphs, sorted-candidate extraction of the duplicated pairs;
+    (2) one streaming pass splitting each doc, dropping paragraphs whose
+    pair is in the broadcast dup set, rejoining.  Deciding on hash
+    equality is safe at the 128-bit width (~3e-15 collision odds at
+    10^12 paragraphs).  The dup-pair set is broadcast — at a
+    boilerplate-heavy 30%+ dup rate, switch detection to
+    ``find_duplicate_int_keys_two_regime`` and the filter to an exploded
+    (doc, idx, para) hash join + per-doc regroup (the exact_dedup_dataset
+    pattern); not needed for the tested regimes."""
+    import ray
+
+    def _flat_hashes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        para_lists = [(s or "").split("\n") for s in texts]
+        lens = np.array([len(p) for p in para_lists], dtype=np.int64)
+        flat = np.array([p for ps in para_lists for p in ps], dtype=object)
+        return (hash_strings(flat, seed=9).astype(np.int64),
+                hash_strings(flat, seed=10).astype(np.int64), lens), flat
+
+    def para_partial(t: pa.Table) -> pa.Table:
+        (h1, h2, _), _flat = _flat_hashes(
+            t.column(text_col).to_numpy(zero_copy_only=False))
+        g = pd.DataFrame({"h1": h1, "h2": h2}).groupby(
+            ["h1", "h2"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dup = find_duplicate_int_keys(ds.select_columns([text_col]),
+                                  para_partial, batch_size,
+                                  key_cols=["h1", "h2"])
+    dup = dup.sort_values(["h1", "h2"], kind="mergesort")
+    ref = ray.put((dup["h1"].to_numpy(), dup["h2"].to_numpy()))
+
+    def clean(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        (h1, h2, lens), flat = _flat_hashes(texts)
+        dh1, dh2 = ray.get(ref)
+        is_dup = _pair_isin(dh1, dh2, h1, h2)
+        out, pos = [], 0
+        for length in lens.tolist():
+            keep = ~is_dup[pos:pos + length]
+            out.append("\n".join(
+                p for p, k in zip(flat[pos:pos + length], keep) if k))
+            pos += length
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "clean_text": pa.array(out, type=pa.string())})
+
+    return ds.select_columns([text_col, id_col]).map_batches(
+        clean, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
 # shingling / MinHash / SimHash primitives (vectorized)
 # ---------------------------------------------------------------------------
 

@@ -554,3 +554,30 @@ def test_simhash_seeded_containment_exact_recall(ray_session, doc_corpus):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
     for k, d in want.items():
         assert k in got and got[k] == d, (k, d, got.get(k))
+
+
+def test_drop_duplicate_paragraphs_semantics(ray_session):
+    """Every paragraph occurring >1 time corpus-wide is dropped from ALL
+    occurrences (including within-document repeats); unique paragraphs
+    survive in order; null/empty texts behave like [''] paragraph lists."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import drop_duplicate_paragraphs
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "alpha\nshared\nbeta",       # shared dup w/ doc 1
+            "shared\ngamma",
+            "solo one\nsolo two",        # fully unique
+            "rep\nrep\ndelta",           # within-doc repeat -> dropped
+            None,                        # -> [''] ; '' also in doc 5
+            "",
+        ],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(docs, preserve_index=False)) \
+        .repartition(3)
+    got = drop_duplicate_paragraphs(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["clean_text"].tolist() == [
+        "alpha\nbeta", "gamma", "solo one\nsolo two", "delta", "", ""]
