@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q.simhash_dedup,
         "ngram_jaccard_dedup": q.ngram_jaccard_dedup,
         "paragraph_dedup": q.paragraph_dedup,
+        "word_frequencies": q.word_frequencies,
         "knn_embeddings": q.knn_embeddings,
         "ivf_knn_embeddings": q.ivf_knn_embeddings,
         "embedding_neardup": q.embedding_neardup,
@@ -666,6 +667,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT lang, cn, n_rows, n_violations, pass_rate, status, verdict
             FROM overall
+        """,
+        # exact top-50 vocabulary words, deterministic tie-break
+        "word_frequencies": """
+            SELECT word, n, rk FROM (
+                SELECT word, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, word ASC)
+                           AS rk
+                FROM (
+                    SELECT unnest(string_split(coalesce(text, ''), ' '))
+                        AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+            ) WHERE rk <= 50
         """,
         # corpus-wide paragraph dedup (CCNet boilerplate removal): split
         # each text into two halves joined by \n, union with exact copies

@@ -1337,6 +1337,34 @@ def drift_check(sf_dir: str) -> pa.Table:
     ).reset_index(drop=True)
 
 
+def word_frequencies(sf_dir: str) -> pa.Table:
+    """Exact corpus vocabulary statistics: top-50 words by occurrence
+    count with a deterministic (count DESC, word ASC) tie-break.  The
+    classic map-reduce word count in the engine's shape: per-batch
+    np.unique combiner → sorted-run exact keyed sum (no per-group
+    aggregate overhead at vocabulary cardinality) → tiny driver top-k."""
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        words = [w for x in texts for w in (x or "").split(" ") if w]
+        if not words:
+            return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        u, c = np.unique(np.array(words, dtype=object), return_counts=True)
+        return pd.DataFrame({"word": u, "n": c.astype(np.int64)})
+
+    counts = sorted_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"], ["n"])
+    top = counts.sort_values(["n", "word"], ascending=[False, True],
+                             kind="mergesort").head(50).reset_index(drop=True)
+    top["n"] = top["n"].astype("int64")
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
 def paragraph_dedup(sf_dir: str) -> pa.Table:
     """Corpus-wide paragraph dedup (CCNet/RefinedWeb boilerplate
     removal), SQL-oracled exactly: the corpus is documents ∪ exact
