@@ -58,9 +58,57 @@ def test_read_pages_pruned_and_filtered(ray_session, tiny_pages_dir):
 
 
 # ---------------------------------------------------------------- multimodal
-def test_decode_image_stub_contract():
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+def test_real_ppm_bmp_decode_roundtrip():
+    """r3: PPM and BMP decode are REAL (pure parse) — a default
+    DecodeImage() recovers the exact deterministic pixels from both
+    formats, and corrupt/unknown payloads yield None (never-abort)."""
+    from cckp_toolkit_workflow_ray.stages.multimodal import (
+        _det_pixels, synthesize_bmp, synthesize_ppm)
+
+    dec = DecodeImage()                     # no fake flag needed
+    for synth in (synthesize_ppm, synthesize_bmp):
+        w, h, c, pix = dec._decode(synth(7, 13, 5))
+        assert (w, h, c) == (13, 5, 3)
+        assert (pix == _det_pixels(7, 13 * 5 * 3)).all(), synth.__name__
+    # width not divisible by 4 exercises BMP row padding
+    w, h, c, pix = dec._decode(synthesize_bmp(3, 5, 4))
+    assert (w, h, c) == (5, 4, 3)
+    assert (pix == _det_pixels(3, 5 * 4 * 3)).all()
+    assert dec._decode(b"P6\n13 5\n255\n\x00") is None      # truncated
+    assert dec._decode(b"BMgarbage") is None
+    assert dec._decode(b"\x89PNG\r\n") is None              # unsupported codec
+    # IMG1 fixture format requires opting in
+    from cckp_toolkit_workflow_ray.stages.multimodal import synthesize_image
+
+    assert dec._decode(synthesize_image(1, 4, 4)) is None
+    assert DecodeImage(fake=True)._decode(synthesize_image(1, 4, 4)) is not None
+
+
+def test_real_wav_decode_features(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.multimodal import (
+        DecodeAudio, decode_audio_features, synthesize_wav)
+
+    rows = [{"audio_id": i, "payload": synthesize_wav(i, 1600 + 100 * i)}
+            for i in range(6)]
+    rows.append({"audio_id": 99, "payload": b"RIFFbroken"})
+    rows.append({"audio_id": 100, "payload": None})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = decode_audio_features(ds, batch_size=3).to_pandas() \
+        .sort_values("audio_id").reset_index(drop=True)
+    ok = out[out["decode_ok"]]
+    assert len(ok) == 6 and len(out) == 8
+    assert (ok["sample_rate"] == 16000).all()
+    assert (ok["n_samples"].to_numpy() == 1600 + 100 * np.arange(6)).all()
+    assert (ok["duration_ms"].to_numpy() ==
+            (1600 + 100 * np.arange(6)) * 1000 // 16000).all()
+    # a full-scale sine has RMS ~ amplitude/sqrt(2): 12000/32768/1.414 ~ 0.26
+    assert ok["rms_e3"].between(200, 300).all()
+    bad = out[~out["decode_ok"]]
+    assert set(bad["audio_id"]) == {99, 100}
+    assert (bad[["n_channels", "n_samples", "rms_e3"]] == 0).all().all()
 
 
 def test_fake_decode_roundtrip_and_actor_pipeline(ray_session):
