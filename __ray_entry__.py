@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": q.ngram_jaccard_dedup,
         "paragraph_dedup": q.paragraph_dedup,
         "word_frequencies": q.word_frequencies,
+        "media_features": q.media_features,
         "knn_embeddings": q.knn_embeddings,
         "ivf_knn_embeddings": q.ivf_knn_embeddings,
         "embedding_neardup": q.embedding_neardup,

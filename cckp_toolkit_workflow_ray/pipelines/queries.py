@@ -1399,6 +1399,78 @@ def paragraph_dedup(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def media_features(sf_dir: str) -> pa.Table:
+    """Multimodal pipeline over a deterministic synthetic media table
+    (rows-only: no SQL can decode BMP/WAV): one image row per document
+    (PPM / BMP / corrupt, by id mod), decoded by the DecodeImage actor
+    pool (REAL pure-python codecs), plus a WAV lane through DecodeAudio;
+    returns per-(kind, decode_ok) counts and exact feature sums."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (DecodeAudio, DecodeImage,
+                                     synthesize_bmp, synthesize_ppm,
+                                     synthesize_wav)
+
+    ids_ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_images(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pay = []
+        for i in ids.tolist():
+            w, h = 4 + (i % 5), 3 + (i % 4)
+            if i % 3 == 0:
+                pay.append(synthesize_ppm(i, w, h))
+            elif i % 3 == 1:
+                pay.append(synthesize_bmp(i, w, h))
+            else:
+                pay.append(b"\x89PNG corrupt")
+            # a PNG payload is a KNOWN-UNSUPPORTED codec: decode_ok=False
+        return pa.table({"image_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(pay, type=pa.binary())})
+
+    feats = ids_ds.map_batches(mk_images, batch_format="pyarrow").map_batches(
+        DecodeImage, batch_size=512, batch_format="pyarrow",
+        concurrency=(1, 4))
+
+    def img_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        kind = np.where(df["image_id"] % 3 == 0, "ppm",
+                        np.where(df["image_id"] % 3 == 1, "bmp", "png"))
+        g = pd.DataFrame({
+            "kind": kind, "decode_ok": df["decode_ok"], "n": 1,
+            "sum_pixels": (df["width"] * df["height"]).astype("int64"),
+        }).groupby(["kind", "decode_ok"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    img = _sum_by_key(feats.map_batches(img_partial, batch_format="pyarrow"),
+                      ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()
+
+    def mk_audio(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % 10 == 0
+        pay = [synthesize_wav(int(i), 800 + int(i) % 7 * 160)
+               for i in ids[sel].tolist()]
+        return pa.table({"audio_id": pa.array(ids[sel], type=pa.int64()),
+                         "payload": pa.array(pay, type=pa.binary())})
+
+    afeats = ids_ds.map_batches(mk_audio, batch_format="pyarrow").map_batches(
+        DecodeAudio, batch_size=256, batch_format="pyarrow",
+        concurrency=(1, 2))
+
+    def au_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({
+            "kind": "wav", "decode_ok": df["decode_ok"], "n": 1,
+            "sum_pixels": df["n_samples"].astype("int64"),
+        }).groupby(["kind", "decode_ok"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    au = _sum_by_key(afeats.map_batches(au_partial, batch_format="pyarrow"),
+                     ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()
+    out = pd.concat([img, au], ignore_index=True)
+    return out.sort_values(["kind", "decode_ok"]).reset_index(drop=True)
+
+
 def ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
     """Word-trigram Jaccard near-dup pairs over the derived corpus
     (rows-only; exact Jaccard verification over LSH candidates)."""

@@ -303,3 +303,22 @@ def test_sample_frames_zero_dimension_payload_skipped(ray_session):
     out = sample_frames(rd.from_arrow(vids), stride=2, fake=True).to_pandas()
     assert set(out["video_id"]) == {2}
     assert len(out) == 2   # frames 0, 2 of video 2
+
+
+def test_media_features_query_golden(ray_session):
+    """End-to-end multimodal query over sf0.001: per-(kind, decode_ok)
+    counts and exact pixel/sample sums are pinned — PPM and BMP decode
+    with the REAL pure-python codecs, the PNG lane must fail cleanly
+    (unsupported codec => decode_ok=False), and the WAV lane decodes
+    every synthesized clip."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["media_features"]("/root/testdata/sf0.001")
+    got = {(r.kind, bool(r.decode_ok)): (int(r.n), int(r.sum_pixels))
+           for r in out.itertuples()}
+    assert got == {
+        ("bmp", True): (167, 4511),
+        ("png", False): (166, 0),
+        ("ppm", True): (167, 4508),
+        ("wav", True): (50, 63520),
+    }
