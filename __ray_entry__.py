@@ -119,6 +119,83 @@ _NGRAM_VERIFY_SQL = """
 """
 
 
+def _lsh_pair_ctes(oracle_dir: str) -> str:
+    """Shared CTE block recomputing the FULL LSH-verified pair set from
+    the engine's oracle export (``minhash_lsh_pairs(export_oracle_dir=)``):
+    candidates = docs sharing >= 1 band key (self-join on the engine's own
+    band-key table), verified by exact set-Jaccard over the exported
+    per-doc distinct shingle-hash sets.  Mirrors the stage exactly — docs
+    with empty shingle sets can never pass (j = 0 < threshold, and they
+    are absent from the shingle table so the sizes join drops them), and
+    the DOUBLE division of exact BIGINTs is IEEE-identical to the
+    engine's numpy float64 division."""
+    return f"""
+    bands AS (
+        SELECT * FROM read_parquet('{oracle_dir}/bands/*.parquet')
+    ),
+    sh AS (
+        SELECT * FROM read_parquet('{oracle_dir}/shingles/*.parquet')
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM bands a JOIN bands b
+          ON a."key" = b."key" AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc = c.id_a
+        JOIN sh sb ON sb.doc = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sizes na ON na.doc = c.id_a
+        JOIN sizes nb ON nb.doc = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (na.n + nb.n - coalesce(i.i, 0)) >= 0.5
+    )"""
+
+
+def _lsh_pairs_sql(oracle_dir: str) -> str:
+    """Engine LSH pair-set output = the verified CTE, bare."""
+    return ("WITH " + _lsh_pair_ctes(oracle_dir)
+            + "\n    SELECT id_a, id_b FROM verified")
+
+
+def _lsh_filtered_sql(oracle_dir: str) -> str:
+    """End-to-end near-dup removal oracle: pair set (as above) →
+    connected components via a recursive min-label CTE → keep the min-id
+    representative per component plus every unpaired doc.  The corpus id
+    set is re-derived in SQL exactly as ``_derived_text_corpus`` builds
+    it (documents ∪ perturbed copies of every 10th doc at +10_000_000)."""
+    return ("WITH RECURSIVE " + _lsh_pair_ctes(oracle_dir) + f""",
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl
+        FROM reach r JOIN edges e ON e.a = r.node
+        WHERE r.lbl < e.b
+    ),
+    minlbl AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+    losers AS (SELECT node FROM minlbl WHERE lbl < node),
+    corpus AS (
+        SELECT doc_id FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT c.doc_id FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT node FROM losers)""")
+
+
 def entry() -> Any:
     """Flagship: full validation DAG over a 10k-row pages table derived
     deterministically (seed=42) from the sf0.001 scale point; returns the
@@ -542,6 +619,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, jaccard_e6 FROM ("
             + _NGRAM_VERIFY_SQL +
             ") WHERE jaccard_e6 >= 900000",
+        # the FULL MinHash-LSH verified pair set, recomputed by SQL from
+        # the engine's exported band-key table + per-doc shingle sets:
+        # the self-join reproduces candidate generation, the intersection
+        # counts reproduce exact-Jaccard verification — checking the
+        # distributed bucket/pair-dedup/payload-join/verify machinery
+        "minhash_dedup": _lsh_pairs_sql(q.MINHASH_ORACLE_DIR),
+        # same pair machinery + recursive-CTE connected components + the
+        # min-id-representative keep rule: oracles LSH, verification,
+        # distributed CC AND the two-regime loser filter end-to-end
+        "minhash_dedup_filtered": _lsh_filtered_sql(q.MINHASH_FILT_ORACLE_DIR),
+        # word-3-gram variant of the full LSH pair-set oracle
+        "ngram_jaccard_dedup": _lsh_pairs_sql(q.NGRAM_ORACLE_DIR),
         # the FULL SimHash near-dup pair set: banding with max_hamming+1
         # bands has exact recall (pigeonhole) and exact verification, so
         # the engine output must equal ALL pairs at hamming <= 3 over the

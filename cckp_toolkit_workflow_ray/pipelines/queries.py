@@ -577,12 +577,22 @@ def exact_dedup_full(sf_dir: str) -> pa.Table:
     return kept.select_columns(["doc_id"]).to_pandas()
 
 
+MINHASH_ORACLE_DIR = "/tmp/cckp_minhash_oracle"
+MINHASH_FILT_ORACLE_DIR = "/tmp/cckp_minhash_filt_oracle"
+
+
 def minhash_dedup(sf_dir: str) -> pa.Table:
-    """MinHash+LSH near-dup pairs over the derived corpus (rows-only)."""
+    """MinHash+LSH near-dup pairs over the derived corpus — fully
+    SQL-oracled: the stage exports its own band-key table and per-doc
+    shingle sets (``export_oracle_dir``), and the oracle independently
+    reproduces candidate generation (self-join on band key) and exact
+    shingle-Jaccard verification (intersection counts), so the engine's
+    distributed bucket/pair/verify machinery is checked end-to-end."""
     from ..stages.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(
-        _derived_text_corpus(sf_dir), jaccard_threshold=0.5
+        _derived_text_corpus(sf_dir), jaccard_threshold=0.5,
+        export_oracle_dir=MINHASH_ORACLE_DIR,
     )
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -591,16 +601,20 @@ def minhash_dedup_filtered(sf_dir: str) -> pa.Table:
     """END-TO-END near-dup removal, fully distributed: derived corpus →
     MinHash-LSH verified-pair Dataset → distributed connected components
     (min-label propagation) → two-regime loser filter keeping the min-id
-    representative per cluster (rows-only; the LSH candidate set is
-    approximate).  No driver-side pair list or union-find anywhere
-    (VERDICT r2 #1)."""
+    representative per cluster.  No driver-side pair list or union-find
+    anywhere (VERDICT r2 #1).  SQL-oracled via the stage's oracle export:
+    the oracle recomputes the pair set from the exported band keys +
+    shingle sets, runs connected components as a recursive CTE, and
+    keeps the min-id representative — checking LSH, verification,
+    clustering AND the loser filter in one query."""
     from ..stages.dedup import drop_near_dups, minhash_lsh_pairs
 
     # materialize once: select_columns can't push projection through the
     # perturb transform, so an unmaterialized corpus would re-run the
     # whole derivation for each of the LSH passes AND the id enumeration
     corpus = _derived_text_corpus(sf_dir).materialize()
-    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5, as_dataset=True)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5, as_dataset=True,
+                              export_oracle_dir=MINHASH_FILT_ORACLE_DIR)
     kept = drop_near_dups(corpus.select_columns(["doc_id"]), pairs)
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
@@ -1471,11 +1485,17 @@ def media_features(sf_dir: str) -> pa.Table:
     return out.sort_values(["kind", "decode_ok"]).reset_index(drop=True)
 
 
+NGRAM_ORACLE_DIR = "/tmp/cckp_ngram_oracle"
+
+
 def ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
-    """Word-trigram Jaccard near-dup pairs over the derived corpus
-    (rows-only; exact Jaccard verification over LSH candidates)."""
+    """Word-trigram Jaccard near-dup pairs over the derived corpus —
+    fully SQL-oracled via the stage's oracle export (band keys + per-doc
+    word-3-gram hash sets): the oracle reproduces the candidate self-join
+    and the exact n-gram-Jaccard verification independently."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(_derived_text_corpus(sf_dir), n=3,
-                                jaccard_threshold=0.5)
+                                jaccard_threshold=0.5,
+                                export_oracle_dir=NGRAM_ORACLE_DIR)
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -673,7 +673,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       jaccard_threshold: float = 0.6,
                       batch_size: int = 4096,
                       shingle_fn=None, max_bucket: int = 8192,
-                      as_dataset: bool = False):
+                      as_dataset: bool = False,
+                      export_oracle_dir: str | None = None):
     """Near-duplicate pairs via shingle→MinHash→band→bucket→verify.
 
     Pipeline: ONE signature pass materializes an exploded ints-only
@@ -699,6 +700,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Dataset is returned directly (rare block-boundary duplicate pairs
     may survive the distributed dedup; cluster/drop consumers are
     insensitive to duplicate edges).
+
+    ``export_oracle_dir``: ORACLE MODE — additionally write the
+    engine's own ``(doc, key)`` band-key table and the per-doc distinct
+    shingle-hash sets ``(doc, shingle)`` to ``<dir>/bands`` and
+    ``<dir>/shingles`` parquet, so an external SQL engine can
+    independently reproduce candidate generation (self-join on band
+    key) and exact-Jaccard verification (intersection counts over the
+    shingle sets).  Costs one extra corpus scan; never used on
+    production paths.
     """
     import ray
     import ray.data as rd
@@ -721,6 +731,30 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     bands_ds = ds.select_columns([text_col, id_col]).map_batches(
         doc_band_keys, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
+
+    if export_oracle_dir is not None:
+        import os
+        import shutil
+
+        shutil.rmtree(export_oracle_dir, ignore_errors=True)
+        os.makedirs(export_oracle_dir, exist_ok=True)
+        bands_ds.write_parquet(f"{export_oracle_dir}/bands")
+
+        def shingle_rows(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sh_list = [shingles_of(txt or "") for txt in texts]
+            lens = np.array([s.size for s in sh_list], dtype=np.int64)
+            flat = (np.concatenate(sh_list) if sh_list
+                    else np.empty(0, dtype=np.uint64))
+            return pa.table({
+                "doc": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "shingle": pa.array(flat.view(np.int64)),
+            })
+
+        ds.select_columns([text_col, id_col]).map_batches(
+            shingle_rows, batch_format="pyarrow", batch_size=batch_size
+        ).write_parquet(f"{export_oracle_dir}/shingles")
 
     def key_partial(t: pa.Table) -> pa.Table:
         uniq, counts = np.unique(
@@ -892,7 +926,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 128, bands: int = 32,
                         batch_size: int = 4096,
                         max_bucket: int = 8192,
-                        as_dataset: bool = False):
+                        as_dataset: bool = False,
+                        export_oracle_dir: str | None = None):
     """Word n-gram Jaccard near-duplicate pairs.
 
     Same LSH candidate machinery as MinHash (the bands bucket the MinHash
@@ -908,6 +943,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         jaccard_threshold=jaccard_threshold, batch_size=batch_size,
         shingle_fn=lambda txt: word_ngram_hashes(txt, n),
         max_bucket=max_bucket, as_dataset=as_dataset,
+        export_oracle_dir=export_oracle_dir,
     )
 
 
