@@ -671,7 +671,7 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
                       jaccard_threshold: float = 0.6,
-                      batch_size: int = 4096,
+                      batch_size: int = 512,
                       shingle_fn=None, max_bucket: int = 8192,
                       as_dataset: bool = False,
                       export_oracle_dir: str | None = None):
@@ -688,7 +688,11 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     recompute, over candidate docs only).  Returns (id_a, id_b, jaccard)
     with id_a < id_b, jaccard ≥ threshold.
 
-    Scale notes: the materialized band-key Dataset is ints-only
+    Scale notes: ``batch_size`` defaults to 512 — the signature math is
+    fully vectorized well below that (one concatenated shingle array per
+    batch), so smaller batches buy read-stage parallelism at small
+    corpus sizes without losing amortization at large ones.  The
+    materialized band-key Dataset is ints-only
     (bands × 16 B/doc ≪ text size) and spills to the object store rather
     than the driver; degenerate buckets are skipped loudly
     (``cap_giant_buckets``); pair emission runs per bucket group and pair
@@ -740,9 +744,33 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         os.makedirs(export_oracle_dir, exist_ok=True)
         bands_ds.write_parquet(f"{export_oracle_dir}/bands")
 
+    def _export_shingles(filter_ids: np.ndarray) -> None:
+        """Oracle mode: write the per-doc distinct shingle sets for the
+        candidate-pair docs only — the SQL verification joins shingles
+        exclusively for docs appearing in candidate pairs, so the export
+        scan prunes to those ids (the same pruning the verification
+        payload scan uses).  NOTE the oracle's candidate self-join has no
+        giant-bucket cap, so the SQL only matches while no bucket
+        exceeded ``max_bucket`` (true at every test/driver scale; a
+        capped run warns loudly)."""
+        out = f"{export_oracle_dir}/shingles"
+        if filter_ids.size == 0:
+            # keep read_parquet('<dir>/*.parquet') valid for the oracle
+            import pyarrow.parquet as pq
+
+            os.makedirs(out, exist_ok=True)
+            pq.write_table(
+                pa.table({"doc": pa.array([], type=pa.int64()),
+                          "shingle": pa.array([], type=pa.int64())}),
+                f"{out}/empty.parquet")
+            return
+        ref = ray.put(np.sort(filter_ids))
+
         def shingle_rows(t: pa.Table) -> pa.Table:
             texts = t.column(text_col).to_numpy(zero_copy_only=False)
             ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = isin_sorted(ray.get(ref), ids)
+            texts, ids = texts[sel], ids[sel]
             sh_list = [shingles_of(txt or "") for txt in texts]
             lens = np.array([s.size for s in sh_list], dtype=np.int64)
             flat = (np.concatenate(sh_list) if sh_list
@@ -754,7 +782,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         ds.select_columns([text_col, id_col]).map_batches(
             shingle_rows, batch_format="pyarrow", batch_size=batch_size
-        ).write_parquet(f"{export_oracle_dir}/shingles")
+        ).write_parquet(out)
 
     def key_partial(t: pa.Table) -> pa.Table:
         uniq, counts = np.unique(
@@ -774,6 +802,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                           key_partial, batch_size=65536)
     dup_buckets = cap_giant_buckets(dup_buckets, max_bucket, "minhash_lsh_pairs")
     if dup_buckets.empty:
+        if export_oracle_dir is not None:
+            _export_shingles(np.empty(0, dtype=np.int64))
         return _no_pairs()
     bucket_ref = ray.put(np.sort(dup_buckets["key"].to_numpy()))
 
@@ -792,6 +822,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # pairs are candidate-bounded, not O(N))
     pairs = pairs_from_membership(mem, max_bucket=max_bucket).materialize()
     n_pairs = pairs.count()
+    if export_oracle_dir is not None:
+        _export_shingles(_distinct_pair_ids(pairs) if n_pairs
+                         else np.empty(0, dtype=np.int64))
     if n_pairs == 0:
         return _no_pairs()
 
@@ -924,7 +957,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, jaccard_threshold: float = 0.5,
                         num_perm: int = 128, bands: int = 32,
-                        batch_size: int = 4096,
+                        batch_size: int = 512,
                         max_bucket: int = 8192,
                         as_dataset: bool = False,
                         export_oracle_dir: str | None = None):
@@ -1086,18 +1119,26 @@ def _losers_from_clusters_ds(clusters):
 
 
 def drop_near_dups(ds, pairs, id_col: str = "doc_id",
-                   broadcast_limit: int = 2_000_000, n_buckets: int = 32):
+                   broadcast_limit: int = 2_000_000, n_buckets: int = 32,
+                   task_cc_limit: int = 2_000_000):
     """Stream-filter a dataset to one representative (min id) per near-dup
     cluster.
 
     ``pairs`` is either a pandas DataFrame (candidate-bounded: clusters
-    via driver union-find) or a Dataset (corpus-scale: clusters via
-    distributed connected components).  Two regimes for the filter itself
-    (VERDICT r2 #1): when the loser set fits ``broadcast_limit`` it
-    broadcasts as a sorted id array (one object-store put, no shuffle);
-    beyond that the corpus is anti-joined against the loser Dataset with
-    bucketed hash joins — the honest all-to-all cost of a huge dup rate,
-    with no driver-side set anywhere."""
+    via driver union-find) or a Dataset.  For a pair Dataset the
+    clustering itself is two-regime: up to ``task_cc_limit`` pairs the
+    union-find runs in ONE remote Ray task over the materialized pair
+    blocks (off-driver — one task read, no per-round join barriers; the
+    iterative label propagation pays ~6 fixed Dataset barriers per round,
+    which dominates wall-time for candidate-bounded pair sets); beyond
+    the limit it switches to distributed connected components
+    (:func:`cluster_near_dups_dataset`) with no single-task structure.
+    Two regimes for the filter as well (VERDICT r2 #1): when the loser
+    set fits ``broadcast_limit`` it broadcasts as a sorted id array (one
+    object-store put, no shuffle); beyond that the corpus is anti-joined
+    against the loser Dataset with bucketed hash joins — the honest
+    all-to-all cost of a huge dup rate, with no driver-side set
+    anywhere."""
     import ray
     import ray.data as rd
 
@@ -1110,15 +1151,34 @@ def drop_near_dups(ds, pairs, id_col: str = "doc_id",
         ]["doc_id"].to_numpy().astype(np.int64)
         losers_ds = None
     else:
-        losers = _losers_from_clusters_ds(
-            cluster_near_dups_dataset(pairs, n_buckets=n_buckets)
-        ).materialize()
-        if losers.count() <= broadcast_limit:
-            lp = losers.to_pandas()
-            losers_np = lp["doc_id"].to_numpy().astype(np.int64)
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        if n_pairs == 0:
+            losers_np, losers_ds = np.empty(0, dtype=np.int64), None
+        elif n_pairs <= task_cc_limit:
+            @ray.remote
+            def _task_losers(*tables) -> np.ndarray:
+                df = pa.concat_tables(
+                    [t.select(["id_a", "id_b"]) for t in tables]
+                ).to_pandas()
+                clusters = cluster_near_dups(df)
+                return clusters[
+                    clusters["doc_id"] != clusters["cluster_rep"]
+                ]["doc_id"].to_numpy().astype(np.int64)
+
+            refs = pairs.to_arrow_refs()
+            losers_np = ray.get(_task_losers.remote(*refs))
             losers_ds = None
         else:
-            losers_np, losers_ds = None, losers
+            losers = _losers_from_clusters_ds(
+                cluster_near_dups_dataset(pairs, n_buckets=n_buckets)
+            ).materialize()
+            if losers.count() <= broadcast_limit:
+                lp = losers.to_pandas()
+                losers_np = lp["doc_id"].to_numpy().astype(np.int64)
+                losers_ds = None
+            else:
+                losers_np, losers_ds = None, losers
 
     if losers_ds is None and losers_np.size <= broadcast_limit:
         ref = ray.put(np.sort(losers_np))

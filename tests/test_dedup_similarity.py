@@ -581,3 +581,30 @@ def test_drop_duplicate_paragraphs_semantics(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert got["clean_text"].tolist() == [
         "alpha\nbeta", "gamma", "solo one\nsolo two", "delta", "", ""]
+
+
+def test_drop_near_dups_task_cc_matches_distributed_cc(ray_session):
+    """The small-regime single-task union-find and the large-regime
+    distributed label propagation must keep exactly the same rows
+    (task_cc_limit=0 forces the distributed path on the same pairs)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import drop_near_dups
+
+    # multi-component graph: chain, star, 2-cycles, mixed orientation
+    edges = ([(i, i + 1) for i in range(100, 110)]
+             + [(200, 200 + i) for i in range(1, 6)]
+             + [(301, 300), (400, 401)])
+    pairs_ds = rd.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+        "id_b": pa.array([b for _, b in edges], type=pa.int64())}))
+    ids = sorted({x for e in edges for x in e} | {999, 1000})
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+
+    small = drop_near_dups(ds, pairs_ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    big = drop_near_dups(ds, pairs_ds, task_cc_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, big)
+    # min-id reps + untouched ids survive
+    assert set(small["doc_id"]) == {100, 200, 300, 400, 999, 1000}
