@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_validate": q.docs_validate,
         "bpe_token_count": q.bpe_token_count,
         "quality_check": q.quality_check,
+        "pii_redact": q.pii_redact,
+        "decontaminate": q.decontaminate,
+        "repetition_check": q.repetition_check,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -945,6 +948,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, cn AS "check", n_rows, status, verdict FROM hist_rows
             UNION ALL
             SELECT lang, cn, n_rows, status, verdict FROM null_rows
+        """,
+        # PII redaction rollup: the seeded emails/phones/IPs are a pure
+        # function of doc_id; counts and redacted-length deltas use the
+        # SAME RE2 patterns the engine runs through pyarrow.compute
+        "pii_redact": """
+            WITH seeded AS (
+                SELECT lang,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com now' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' call 555-123-4567' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            red AS (
+                SELECT lang,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+                       len(regexp_extract_all(t,
+                           '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS np,
+                       len(regexp_extract_all(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ni,
+                       length(t) - length(regexp_replace(regexp_replace(
+                           regexp_replace(t,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g')) AS removed
+                FROM seeded
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(ne) AS BIGINT) AS n_email,
+                   CAST(sum(np) AS BIGINT) AS n_phone,
+                   CAST(sum(ni) AS BIGINT) AS n_ip,
+                   CAST(sum(removed) AS BIGINT) AS chars_removed
+            FROM red GROUP BY lang
+        """,
+        # benchmark decontamination: 13-word-gram intersection with the
+        # first-13-word snippets of every 97th doc; the engine decides on
+        # 128-bit gram-hash membership, the SQL on exact gram strings —
+        # they agree unless a hash collision occurs (~3e-15)
+        "decontaminate": """
+            WITH words AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(coalesce(text, ''),
+                                                      '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            bench AS (
+                SELECT DISTINCT array_to_string(ws[1:13], ' ') AS g
+                FROM words WHERE doc_id % 97 = 0 AND len(ws) >= 13
+            ),
+            grams AS (
+                SELECT doc_id, lang, array_to_string(ws[i:i+12], ' ') AS g
+                FROM (
+                    SELECT doc_id, lang, ws,
+                           unnest(generate_series(
+                               1, greatest(len(ws) - 12, 0))) AS i
+                    FROM words WHERE len(ws) >= 13)
+            )
+            SELECT DISTINCT g.doc_id, g.lang
+            FROM grams g JOIN bench b ON b.g = g.g
+        """,
+        # Gopher-style repetition rollup: integer thresholds (10*max >=
+        # total, 2*distinct <= total) so no float boundary can flip a doc
+        "repetition_check": """
+            WITH words AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM words GROUP BY doc_id, w
+            ),
+            per_doc AS (
+                SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+                       count(*) AS nd
+                FROM wc GROUP BY doc_id
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   count(*) FILTER (WHERE p.tot IS NOT NULL
+                                    AND 10 * p.mx >= p.tot)
+                       AS n_top_repetitive,
+                   count(*) FILTER (WHERE p.tot IS NOT NULL
+                                    AND 2 * p.nd <= p.tot)
+                       AS n_low_diversity
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            GROUP BY d.lang
         """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's

@@ -186,3 +186,34 @@ def fingerprint64(text: str) -> int:
         for v in np.sort(fp):
             acc = splitmix64(np.array([acc ^ v], dtype=np.uint64))[0]
     return int(acc)
+
+
+# ---------------------------------------------------------------------------
+# word-repetition metrics (Gopher-style repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def word_repetition_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc repetition metrics (the Gopher / MassiveText quality-filter
+    family): ``max_word_count`` (count of the most frequent word),
+    ``total_words``, ``distinct_words`` — all int64, 0 for empty/null
+    text.  Tokenization = python ``str.split()`` (whitespace runs).
+
+    Vectorized: one pandas split/explode + two C-level groupbys per
+    batch — no Python per row."""
+    s = texts.fillna("").reset_index(drop=True)
+    w = s.str.split().explode().dropna()
+    n = len(s)
+    out = pd.DataFrame({
+        "max_word_count": np.zeros(n, dtype=np.int64),
+        "total_words": np.zeros(n, dtype=np.int64),
+        "distinct_words": np.zeros(n, dtype=np.int64),
+    })
+    if len(w):
+        counts = pd.DataFrame({"r": w.index.to_numpy(), "w": w.to_numpy()}) \
+            .groupby(["r", "w"], as_index=False, sort=False).size()
+        per = counts.groupby("r")["size"].agg(["max", "sum", "count"])
+        out.loc[per.index, "max_word_count"] = per["max"].astype(np.int64)
+        out.loc[per.index, "total_words"] = per["sum"].astype(np.int64)
+        out.loc[per.index, "distinct_words"] = per["count"].astype(np.int64)
+    return out

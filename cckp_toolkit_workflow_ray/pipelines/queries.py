@@ -1499,3 +1499,124 @@ def ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
                                 jaccard_threshold=0.5,
                                 export_oracle_dir=NGRAM_ORACLE_DIR)
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / benchmark decontamination / repetition filtering
+# ---------------------------------------------------------------------------
+
+
+def pii_redact(sf_dir: str) -> pa.Table:
+    """PII redaction rollup: seed deterministic emails / phone numbers /
+    IPs into the corpus (pure function of doc_id — the shared text
+    contains none), run the RE2 redaction stage, and aggregate per lang
+    the match counts and total characters removed.  Engine and oracle
+    share the RE2 regex engine (pyarrow.compute and DuckDB both wrap
+    RE2), so pattern semantics are identical by construction."""
+    from ..functions.pii import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        ds_str = pd.Series(d.astype(str), index=df.index)
+        t = df["text"].fillna("")
+        e5 = (" contact user" + ds_str + "@example.com now").where(
+            d % 5 == 0, "")
+        e7 = pd.Series(" call 555-123-4567", index=df.index).where(
+            d % 7 == 0, "")
+        e11 = (" from 10.0.0." + pd.Series((d % 256).astype(str),
+                                           index=df.index)).where(
+            d % 11 == 0, "")
+        out = df.copy()
+        out["text"] = t + e5 + e7 + e11
+        out["n_seeded_chars"] = out["text"].str.len().astype(np.int64)
+        return out
+
+    red = redact_pii(ds.map_batches(seed, batch_format="pandas"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        red_len = pc.utf8_length(pc.fill_null(t.column("text"), "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_docs": 1,
+            "n_email": t.column("n_email").to_numpy(zero_copy_only=False),
+            "n_phone": t.column("n_phone").to_numpy(zero_copy_only=False),
+            "n_ip": t.column("n_ip").to_numpy(zero_copy_only=False),
+            "chars_removed":
+                t.column("n_seeded_chars").to_numpy(zero_copy_only=False)
+                - red_len,
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+                                    preserve_index=False)
+
+    return _restore_null_keys(
+        _sum_by_key(red.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"],
+                    ["n_docs", "n_email", "n_phone", "n_ip", "chars_removed"]
+                    ).to_pandas(), ["lang"])
+
+
+def decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: benchmark = first-13-word snippets of
+    every 97th doc (that has >= 13 words); a corpus doc is contaminated
+    iff any of its word 13-grams matches a benchmark gram (128-bit hash
+    membership against the broadcast benchmark gram set).  Returns the
+    contaminated (doc_id, lang) rows — by construction the benchmark
+    source docs themselves, plus any doc sharing a 13-word run."""
+    from ..stages.decontaminate import benchmark_gram_set, flag_contaminated
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def first13(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 97 == 0))
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        snips = [" ".join((txt or "").split()[:13]) for txt in texts]
+        keep = [len((txt or "").split()) >= 13 for txt in texts]
+        return pa.table({"text": pa.array(
+            [s for s, k in zip(snips, keep) if k], type=pa.string())})
+
+    bench = ds.map_batches(first13, batch_format="pyarrow")
+    bh1, bh2 = benchmark_gram_set(bench, n=13)
+    flagged = flag_contaminated(ds, bh1, bh2, n=13)
+    out = flagged.map_batches(
+        lambda t: t.filter(t.column("contaminated"))
+                   .select(["doc_id", "lang"]),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_check(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition filter rollup per lang: a doc is
+    top-repetitive when its most frequent word covers >= 10% of all words
+    (integer test 10*max >= total — no float threshold to flip), and
+    low-diversity when distinct words <= half of total words."""
+    from ..functions.text import word_repetition_metrics
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = word_repetition_metrics(
+            pd.Series(t.column("text").to_numpy(zero_copy_only=False)))
+        mx = m["max_word_count"].to_numpy()
+        tot = m["total_words"].to_numpy()
+        nd = m["distinct_words"].to_numpy()
+        nonempty = tot > 0
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_docs": 1,
+            "n_top_repetitive": (nonempty & (10 * mx >= tot)).astype(np.int64),
+            "n_low_diversity": (nonempty & (2 * nd <= tot)).astype(np.int64),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+                                    preserve_index=False)
+
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"],
+                    ["n_docs", "n_top_repetitive", "n_low_diversity"]
+                    ).to_pandas(), ["lang"])

@@ -228,3 +228,64 @@ def test_fingerprint64_golden_values():
     assert fingerprint64("") == 0
     assert fingerprint64("short") == 0      # below k-gram size -> empty set
     assert fingerprint64(None) == 0
+
+
+def test_redact_pii_batch_exact_strings():
+    from cckp_toolkit_workflow_ray.functions.pii import redact_pii_batch
+
+    t = pa.table({
+        "text": pa.array([
+            "mail me at bob.smith+x@sub.example.org today",
+            "call 555-123-4567 or 555-999-0000 now",
+            "host 192.168.1.10 and 10.0.0.1",
+            "clean text with no pii",
+            None,
+            "",
+        ]),
+    })
+    out = redact_pii_batch(t)
+    texts = out.column("text").to_pylist()
+    assert texts[0] == "mail me at <EMAIL> today"
+    assert texts[1] == "call <PHONE> or <PHONE> now"
+    assert texts[2] == "host <IP> and <IP>"
+    assert texts[3] == "clean text with no pii"
+    assert texts[4] is None
+    assert texts[5] == ""
+    assert out.column("n_email").to_pylist() == [1, 0, 0, 0, 0, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0, 0, 0, 0]
+    assert out.column("n_ip").to_pylist() == [0, 0, 2, 0, 0, 0]
+
+
+def test_decontaminate_drops_only_contaminated(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.decontaminate import decontaminate
+
+    bench_snippet = " ".join(f"b{i}" for i in range(13))
+    corpus = rd.from_items([
+        # contains the benchmark 13-gram mid-document -> dropped
+        {"doc_id": 1, "text": "x y " + bench_snippet + " z"},
+        # only 12 of the 13 benchmark words -> kept
+        {"doc_id": 2, "text": " ".join(f"b{i}" for i in range(12)) + " other"},
+        {"doc_id": 3, "text": "completely unrelated text"},
+        # shorter than 13 words -> never contaminated
+        {"doc_id": 4, "text": "tiny doc"},
+        {"doc_id": 5, "text": None},
+    ])
+    bench = rd.from_items([{"text": "pre " + bench_snippet + " post"},
+                           {"text": "short bench doc"}])
+    kept = sorted(r["doc_id"]
+                  for r in decontaminate(corpus, bench).take_all())
+    assert kept == [2, 3, 4, 5]
+
+
+def test_word_repetition_metrics_hand_values():
+    import pandas as pd
+
+    from cckp_toolkit_workflow_ray.functions.text import word_repetition_metrics
+
+    m = word_repetition_metrics(pd.Series(
+        ["a a a b", "x y z", "", None, "  padded   spaces  here "]))
+    assert m["max_word_count"].tolist() == [3, 1, 0, 0, 1]
+    assert m["total_words"].tolist() == [4, 3, 0, 0, 3]
+    assert m["distinct_words"].tolist() == [2, 3, 0, 0, 3]
