@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q.pii_redact,
         "decontaminate": q.decontaminate,
         "repetition_check": q.repetition_check,
+        "chunk_docs": q.chunk_docs,
+        "unigram_logprob": q.unigram_logprob,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1044,6 +1046,68 @@ def oracle_sql() -> dict[str, str]:
                        AS n_low_diversity
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
             GROUP BY d.lang
+        """,
+        # fixed-token sequence chunking: every doc split into consecutive
+        # 32-token chunks (single-space tokenization, empties dropped);
+        # one row per chunk with the exact chunk text
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   w -> w <> '') AS words
+                FROM documents
+            ),
+            expanded AS (
+                SELECT doc_id, words,
+                       unnest(generate_series(
+                           0, (len(words) + 31) // 32 - 1)) AS c
+                FROM toks WHERE len(words) > 0
+            )
+            SELECT doc_id,
+                   CAST(c AS BIGINT) AS chunk_idx,
+                   CAST(least(32, len(words) - c * 32) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(
+                       list_slice(words, c * 32 + 1, c * 32 + 32), ' ')
+                       AS chunk_text
+            FROM expanded
+        """,
+        # unigram-LM quality rollup: exact corpus word frequencies →
+        # per-word-type integer micro-nat log-prob (rounded half away
+        # from zero ONCE, so all downstream sums are exact int64) →
+        # per-doc token log-prob sums → per-lang aggregate
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   w -> w <> '') AS words
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, unnest(words) AS w FROM toks
+            ),
+            counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+            lp AS (
+                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                    ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS lp_e6
+                FROM (SELECT w, 1e6 * ln(n / t) AS x FROM counts, tot)
+            ),
+            per_doc AS (
+                SELECT t.doc_id, t.lang,
+                       coalesce(s.lp_sum, 0) AS logprob_e6,
+                       coalesce(s.ntok, 0) AS n_tokens
+                FROM toks t LEFT JOIN (
+                    SELECT doc_id, CAST(sum(lp_e6) AS BIGINT) AS lp_sum,
+                           count(*) AS ntok
+                    FROM words JOIN lp USING (w) GROUP BY doc_id
+                ) s USING (doc_id)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(logprob_e6) AS BIGINT) AS sum_logprob_e6,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM per_doc GROUP BY lang
         """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's

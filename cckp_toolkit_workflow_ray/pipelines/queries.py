@@ -1620,3 +1620,46 @@ def repetition_check(sf_dir: str) -> pa.Table:
                     ["lang"],
                     ["n_docs", "n_top_repetitive", "n_low_diversity"]
                     ).to_pandas(), ["lang"])
+
+
+def chunk_docs(sf_dir: str) -> pa.Table:
+    """Fixed-token sequence chunking: every document split into
+    consecutive 32-token chunks (one output row per chunk, full chunk
+    text compared against the oracle's list-slice reconstruction)."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, chunk_tokens=32).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def unigram_logprob(sf_dir: str) -> pa.Table:
+    """Unigram-LM quality scoring rollup: train exact corpus word
+    frequencies (sorted-run keyed sum), broadcast the model, score every
+    doc's integer micro-nat log-prob, aggregate per lang.  All sums are
+    int64 — the per-word log-prob is rounded once at model build, so no
+    float accumulation order exists anywhere."""
+    from ..stages.lm_score import score_documents, train_unigram_model
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    vocab, lp, oov, _total = train_unigram_model(ds)
+    scored = score_documents(ds, vocab, lp, oov)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_docs": 1,
+            "sum_logprob_e6":
+                t.column("logprob_e6").to_numpy(zero_copy_only=False),
+            "total_tokens":
+                t.column("n_tokens").to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+                                    preserve_index=False)
+
+    return _restore_null_keys(
+        _sum_by_key(scored.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"],
+                    ["n_docs", "sum_logprob_e6", "total_tokens"]
+                    ).to_pandas(), ["lang"])

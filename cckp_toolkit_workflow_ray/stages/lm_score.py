@@ -1,0 +1,110 @@
+"""Unigram language-model quality scoring (KenLM-lite): train corpus
+word frequencies, broadcast the (small, Zipf-truncated) model, score
+every document's log-probability in one streaming pass.
+
+The classic perplexity-style quality filter a training-data pipeline
+runs before sampling (documents whose token distribution diverges from
+the corpus score low).  Generalizes the reference's threshold scorer
+(``/root/reference/bin/analyze_joss.py:302-345``: metrics → score →
+verdict) to a learned-model scorer with the broadcast-state motif of
+``LangIdModel`` (``functions/text.py``).
+
+Scale shape: training = the sorted-run exact keyed sum
+(``stages/groupagg.sorted_sum_by_key`` — no per-group aggregate
+overhead at vocabulary cardinality) truncated to ``top_k`` words; the
+model (word array + int64 log-prob array) broadcasts via ``ray.put``
+once; scoring is a pure fused map — ``searchsorted`` probe +
+``reduceat`` per-doc sums, no Python per row, no shuffle.
+
+Log-probs are pre-rounded to integer micro-nats PER WORD TYPE
+(``round_half_away(1e6 * ln(count/total))``) so every downstream sum is
+exact int64 arithmetic — no float summation order anywhere (the
+``embedding_norm_stats`` ulp lesson, ADVICE r2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def train_unigram_model(ds, text_col: str = "text",
+                        top_k: int | None = None,
+                        batch_size: int = 8192):
+    """(sorted word array, int64 logprob_e6 array, oov_logprob_e6, total).
+
+    Tokenization splits on single spaces and drops empty tokens (the
+    ``word_frequencies`` convention).  ``top_k`` truncates the vocab to
+    the most frequent words (count DESC, word ASC tie-break); words
+    outside it score ``oov_logprob_e6`` = logprob of a count-1/2 word —
+    the Zipf-truncation that keeps the broadcast model small at corpus
+    scale.  With ``top_k=None`` the full vocabulary is kept (exact
+    mode, used by the SQL-oracled query)."""
+    from .groupagg import sorted_sum_by_key
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        words = [w for x in texts for w in (x or "").split(" ") if w]
+        if not words:
+            return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        u, c = np.unique(np.array(words, dtype=object), return_counts=True)
+        return pd.DataFrame({"word": u, "n": c.astype(np.int64)})
+
+    counts = sorted_sum_by_key(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size),
+        ["word"], ["n"])
+    total = int(counts["n"].sum())
+    if top_k is not None and len(counts) > top_k:
+        counts = counts.sort_values(["n", "word"],
+                                    ascending=[False, True],
+                                    kind="mergesort").head(top_k)
+    counts = counts.sort_values("word", kind="mergesort")
+    vocab = counts["word"].to_numpy(dtype=object)
+    if total == 0:
+        return vocab, np.empty(0, dtype=np.int64), np.int64(0), 0
+    lp = _round_half_away(
+        1e6 * np.log(counts["n"].to_numpy(dtype=np.float64) / total)
+    ).astype(np.int64)
+    oov = np.int64(_round_half_away(np.array([1e6 * np.log(0.5 / total)]))[0])
+    return vocab, lp, oov, total
+
+
+def score_documents(ds, vocab: np.ndarray, lp_e6: np.ndarray,
+                    oov_lp_e6: np.int64, text_col: str = "text",
+                    batch_size: int = 8192):
+    """Append int64 ``logprob_e6`` (sum of per-token micro-nat
+    log-probs) and ``n_tokens`` columns — one broadcast, one fused map."""
+    import ray
+
+    ref = ray.put((vocab, lp_e6))
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        per_doc = [[w for w in (x or "").split(" ") if w] for x in texts]
+        lens = np.array([len(p) for p in per_doc], dtype=np.int64)
+        sums = np.zeros(len(texts), dtype=np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if nz.size:
+            v, lp = ray.get(ref)
+            flat = np.array([w for i in nz for w in per_doc[i]],
+                            dtype=object)
+            idx = np.searchsorted(v, flat)
+            idx_c = np.clip(idx, 0, max(len(v) - 1, 0))
+            hit = (v[idx_c] == flat) if len(v) else \
+                np.zeros(flat.size, dtype=bool)
+            tok_lp = np.where(hit, lp[idx_c] if len(v) else 0,
+                              oov_lp_e6).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            sums[nz] = np.add.reduceat(tok_lp, starts)
+        return t.append_column(
+            "logprob_e6", pa.array(sums, type=pa.int64())
+        ).append_column("n_tokens", pa.array(lens, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)

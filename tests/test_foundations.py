@@ -289,3 +289,62 @@ def test_word_repetition_metrics_hand_values():
     assert m["max_word_count"].tolist() == [3, 1, 0, 0, 1]
     assert m["total_words"].tolist() == [4, 3, 0, 0, 3]
     assert m["distinct_words"].tolist() == [2, 3, 0, 0, 3]
+
+
+def test_chunk_batch_hand_values():
+    from cckp_toolkit_workflow_ray.stages.chunking import chunk_batch
+
+    t = chunk_batch(
+        [" ".join(f"w{i}" for i in range(70)),  # 70 tokens -> 32/32/6
+         "a  b   c",                            # runs of spaces drop empties
+         "", None, "solo"],
+        np.array([10, 11, 12, 13, 14], dtype=np.int64), chunk_tokens=32)
+    df = t.to_pandas()
+    assert df[df.doc_id == 10]["n_tokens"].tolist() == [32, 32, 6]
+    assert df[df.doc_id == 10]["chunk_idx"].tolist() == [0, 1, 2]
+    assert df[df.doc_id == 10]["chunk_text"].iloc[2] == \
+        "w64 w65 w66 w67 w68 w69"
+    assert df[df.doc_id == 11]["chunk_text"].tolist() == ["a b c"]
+    # empty/null docs yield no chunks
+    assert set(df.doc_id) == {10, 11, 14}
+    # reassembling chunks reproduces the (space-normalized) document
+    joined = " ".join(df[df.doc_id == 10].sort_values("chunk_idx")
+                      ["chunk_text"])
+    assert joined == " ".join(f"w{i}" for i in range(70))
+
+
+def test_unigram_model_train_score_hand_values(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.lm_score import (
+        score_documents, train_unigram_model)
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "b c"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+    ])
+    vocab, lp, oov, total = train_unigram_model(ds)
+    assert total == 5
+    assert vocab.tolist() == ["a", "b", "c"]
+    # counts a=2 b=2 c=1; lp_e6 = round(1e6 * ln(n/5)) half away from zero
+    exp = {w: round(1e6 * np.log(n / 5)) for w, n in
+           (("a", 2), ("b", 2), ("c", 1))}
+    assert dict(zip(vocab.tolist(), lp.tolist())) == exp
+    assert oov == round(1e6 * np.log(0.5 / 5))
+
+    scored = {r["doc_id"]: r for r in
+              score_documents(ds, vocab, lp, oov).take_all()}
+    assert scored[1]["logprob_e6"] == 2 * exp["a"] + exp["b"]
+    assert scored[1]["n_tokens"] == 3
+    assert scored[3]["logprob_e6"] == 0 and scored[3]["n_tokens"] == 0
+    assert scored[4]["logprob_e6"] == 0 and scored[4]["n_tokens"] == 0
+
+    # top_k truncation: keep the 2 most frequent (count DESC, word ASC
+    # tie-break -> a, b); c scores as OOV
+    vocab2, lp2, oov2, _ = train_unigram_model(ds, top_k=2)
+    assert vocab2.tolist() == ["a", "b"]
+    scored2 = {r["doc_id"]: r for r in
+               score_documents(ds, vocab2, lp2, oov2).take_all()}
+    assert scored2[2]["logprob_e6"] == exp["b"] + oov2
