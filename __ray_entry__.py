@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_check": q.repetition_check,
         "chunk_docs": q.chunk_docs,
         "unigram_logprob": q.unigram_logprob,
+        "domain_cap": q.domain_cap,
+        "sequence_pack": q.sequence_pack,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1108,6 +1110,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(logprob_e6) AS BIGINT) AS sum_logprob_e6,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        # per-domain capping: keep at most 20 docs per (source, lang),
+        # longest first, doc_id tiebreak — sorted-run grouped top-k
+        "domain_cap": """
+            SELECT source, lang, doc_id, n_chars FROM (
+                SELECT source, lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY n_chars DESC,
+                                                   doc_id ASC) AS rn
+                FROM documents)
+            WHERE rn <= 20
+            ORDER BY source, lang, doc_id
+        """,
+        # sequence packing: global exclusive token prefix sum in doc_id
+        # order -> first/last 512-token sequence per doc (token definition
+        # shared with token_count: space separators + 1)
+        "sequence_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN text IS NULL OR length(text) = 0
+                                 THEN 0
+                                 ELSE length(text)
+                                      - length(replace(text, ' ', '')) + 1
+                            END AS BIGINT) AS n_tokens
+                FROM documents),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS off
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(off // 512 AS BIGINT) AS seq_first,
+                   CAST(CASE WHEN n_tokens = 0 THEN off // 512
+                             ELSE (off + n_tokens - 1) // 512
+                        END AS BIGINT) AS seq_last
+            FROM o ORDER BY doc_id
         """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's

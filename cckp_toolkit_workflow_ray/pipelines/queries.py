@@ -1633,6 +1633,50 @@ def chunk_docs(sf_dir: str) -> pa.Table:
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def domain_cap(sf_dir: str) -> pa.Table:
+    """Per-domain capping (corpus-curation op): keep at most 20 documents
+    per (source, lang), preferring longer documents (n_chars DESC,
+    doc_id tiebreak) — SQL ``row_number() OVER (PARTITION BY source, lang
+    ORDER BY n_chars DESC, doc_id) <= 20``.  Runs on the sorted-run
+    grouped top-k, which keeps the O(|groups| × k) result distributed."""
+    from ..stages.ranking import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+    kept = grouped_top_k(ds, ["source", "lang"], ["n_chars", "doc_id"],
+                         k=20, descending=[True, False])
+    out = kept.to_pandas()[["source", "lang", "doc_id", "n_chars"]]
+    return out.sort_values(["source", "lang", "doc_id"]) \
+              .reset_index(drop=True)
+
+
+def sequence_pack(sf_dir: str) -> pa.Table:
+    """Fixed-length sequence packing: concatenate the corpus token stream
+    in doc_id order and map every document to the first/last 512-token
+    training sequence it occupies.  The global token offset is an
+    exclusive prefix sum computed distributed (bucketed partial sums +
+    within-bucket cumsum) — the oracle is the equivalent SQL window
+    ``SUM(...) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING...)``.
+    Token definition matches ``token_count`` (space separators + 1)."""
+    from ..stages.packing import packed_sequence_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        n_spaces = pc.count_substring(txt, " ")
+        nonempty = pc.greater(pc.utf8_length(txt), 0)
+        n = pc.add(n_spaces, nonempty.cast(pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": n.cast(pa.int64())})
+
+    with_toks = ds.map_batches(toks, batch_format="pyarrow")
+    out = packed_sequence_spans(with_toks, "doc_id", "n_tokens",
+                                seq_tokens=512, bucket_size=256).to_pandas()
+    for c in ("n_tokens", "seq_first", "seq_last"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def unigram_logprob(sf_dir: str) -> pa.Table:
     """Unigram-LM quality scoring rollup: train exact corpus word
     frequencies (sorted-run keyed sum), broadcast the model, score every

@@ -1,0 +1,113 @@
+"""Distributed grouped top-k (per-key capping) on sorted runs.
+
+The web-corpus motivation is per-domain capping (keep at most k documents
+per domain, best-first): a standard training-data curation step between
+dedup and sampling.  The reference's per-key "best row wins" semantics
+(`/root/reference/main.nf:101-102` keeps one verdict row per repo) is the
+k=1 special case.
+
+Shape — the same sorted-run motif as ``groupagg.sorted_sum_by_key``:
+
+* global ``sort`` on ``key_cols + order_cols`` (one range-partition
+  exchange — Ray's cheapest all-to-all);
+* per block (``batch_size=None`` → one call per block) every key's rows
+  are contiguous AND already in final order, so "first k rows of the
+  key's run" is a vectorized rank-within-run filter;
+* a key INTERIOR to a block cannot appear in any other block, so its
+  head-k is final and stays distributed;
+* the ≤2 block-EDGE keys per block may span blocks; each block emits at
+  most k rows for each of them, so the driver-side merge is bounded by
+  ``2 k × n_blocks`` rows — independent of corpus size and of the number
+  of groups.  Merging those rows in global sort order and re-taking
+  head-k per key is exact because range partitioning preserves order
+  across blocks.
+
+The result is a Dataset of O(|groups| × k) rows that never funnels the
+group count through the driver — millions of domains stay distributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _edge_mask(df: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """Rows whose key equals the block's FIRST or LAST row's key, NaN-safe
+    (same contract as groupagg.sorted_sum_by_key._edge_mask)."""
+    mask = np.zeros(len(df), dtype=bool)
+    for pos in (0, -1):
+        m = np.ones(len(df), dtype=bool)
+        for c in key_cols:
+            col = df[c]
+            ref = col.iloc[pos]
+            if pd.isna(ref):
+                m &= col.isna().to_numpy()
+            else:
+                m &= (col == ref).to_numpy()
+        mask |= m
+    return mask
+
+
+def _rank_within_runs(df: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
+    """0-based rank of each row within its contiguous key run, vectorized
+    and NaN-safe (NaN == NaN for run purposes, matching SQL PARTITION BY)."""
+    n = len(df)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for c in key_cols:
+        col = df[c]
+        prev = col.shift()
+        same = (col == prev).to_numpy() | (col.isna() & prev.isna()).to_numpy()
+        new_run[1:] |= ~same[1:]
+    run_id = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    return np.arange(n) - starts[run_id]
+
+
+def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
+                  k: int, descending: list[bool] | None = None):
+    """Keep the first ``k`` rows per key under ``ORDER BY order_cols``
+    (SQL ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k``
+    semantics — make ``order_cols`` end in a tiebreaker column for a
+    deterministic result).  Returns a Dataset.
+    """
+    import ray.data as rd
+
+    if descending is None:
+        descending = [False] * len(order_cols)
+    sort_cols = list(key_cols) + list(order_cols)
+    desc = [False] * len(key_cols) + list(descending)
+    sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
+
+    def interior_top(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        keep = _rank_within_runs(df, key_cols) < k
+        return df[keep & ~_edge_mask(df, key_cols)]
+
+    def edge_top(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        keep = _rank_within_runs(df, key_cols) < k
+        return df[keep & _edge_mask(df, key_cols)]
+
+    # batch_size=None → one call per block, so "block edge" is well-defined
+    interior = sorted_ds.map_batches(
+        interior_top, batch_format="pandas", batch_size=None)
+    edge_rows = sorted_ds.map_batches(
+        edge_top, batch_format="pandas", batch_size=None).to_pandas()
+
+    if len(edge_rows):
+        # Rows arrive in arbitrary block order; re-establish global sort
+        # order (range partitioning makes per-key order across blocks the
+        # sort order), then take the true head-k per key.
+        edge_sorted = edge_rows.sort_values(
+            sort_cols, ascending=[not d for d in desc],
+            kind="mergesort", na_position="last").reset_index(drop=True)
+        final_edge = edge_sorted[
+            _rank_within_runs(edge_sorted, key_cols) < k]
+        if len(final_edge):
+            interior = interior.union(rd.from_pandas(
+                final_edge.reset_index(drop=True)))
+    return interior

@@ -1,0 +1,106 @@
+"""Unit tests for the sorted-run grouped top-k and sequence packing stages,
+on fixtures engineered so keys/buckets span block boundaries."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _topk_reference(df, key_cols, order_cols, ascending, k):
+    s = df.sort_values(order_cols, ascending=ascending,
+                       kind="mergesort", na_position="last")
+    return (s.groupby(key_cols, dropna=False, sort=False)
+             .head(k).sort_values(["rid"]).reset_index(drop=True))
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_grouped_top_k_matches_pandas(ray_session, k):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.ranking import grouped_top_k
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    keys = rng.integers(0, 12, n).astype(float)
+    keys[rng.random(n) < 0.05] = np.nan  # NULL key group
+    df = pd.DataFrame({
+        "grp": keys,
+        "val": rng.integers(0, 40, n),  # heavy ties -> tiebreak matters
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    got = grouped_top_k(ds, ["grp"], ["val", "rid"], k=k,
+                        descending=[True, False]).to_pandas()
+    got = got.sort_values("rid").reset_index(drop=True)[df.columns.tolist()]
+    want = _topk_reference(df, ["grp"], ["val", "rid"],
+                           [False, True], k)[df.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_top_k_single_giant_group(ray_session):
+    """One key spanning every block: driver merge must take the true
+    global head-k, not per-block heads."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.ranking import grouped_top_k
+
+    n = 500
+    df = pd.DataFrame({
+        "grp": ["only"] * n,
+        "val": np.arange(n, dtype=np.int64)[::-1],
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = grouped_top_k(ds, ["grp"], ["val", "rid"], k=5,
+                        descending=[False, False]).to_pandas()
+    # smallest 5 vals are rows with val 0..4 == rid n-1..n-5
+    assert sorted(got["val"].tolist()) == [0, 1, 2, 3, 4]
+    assert len(got) == 5
+
+
+def test_packed_sequence_spans_matches_cumsum(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.packing import packed_sequence_spans
+
+    rng = np.random.default_rng(11)
+    n, seq = 2000, 128
+    ntok = rng.integers(0, 90, n).astype(np.int64)
+    ntok[rng.random(n) < 0.1] = 0  # zero-token docs
+    # non-contiguous, shuffled ids: order is defined by id, not row order
+    ids = rng.permutation(np.arange(0, 3 * n, 3, dtype=np.int64))
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": ntok})
+    ds = rd.from_pandas(df).repartition(16)
+    got = packed_sequence_spans(ds, "doc_id", "n_tokens", seq_tokens=seq,
+                                bucket_size=97).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    ref = df.sort_values("doc_id").reset_index(drop=True)
+    off = np.concatenate([[0], np.cumsum(ref["n_tokens"].to_numpy())[:-1]])
+    first = off // seq
+    last = np.where(ref["n_tokens"] > 0,
+                    (off + ref["n_tokens"] - 1) // seq, first)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["seq_first"].tolist() == first.tolist()
+    assert got["seq_last"].tolist() == last.tolist()
+
+
+def test_packed_sequence_spans_keep_cols(ray_session):
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.packing import packed_sequence_spans
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "n_tokens": np.full(10, 7, dtype=np.int64),
+        "lang": ["en"] * 10,
+    })
+    got = packed_sequence_spans(
+        rd.from_pandas(df), "doc_id", "n_tokens", seq_tokens=10,
+        bucket_size=4, keep_cols=["lang"]).to_pandas()
+    assert set(got.columns) == {"lang", "doc_id", "n_tokens",
+                                "seq_first", "seq_last"}
+    got = got.sort_values("doc_id")
+    # 7 tokens/doc, 10/seq: doc 1 occupies tokens 7..13 -> seqs 0..1
+    assert got["seq_first"].tolist()[:3] == [0, 0, 1]
+    assert got["seq_last"].tolist()[:3] == [0, 1, 2]
