@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q.unigram_logprob,
         "domain_cap": q.domain_cap,
         "sequence_pack": q.sequence_pack,
+        "global_shuffle": q.global_shuffle,
+        "curate_corpus": q.curate_corpus,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1148,6 +1150,62 @@ def oracle_sql() -> dict[str, str]:
                              ELSE (off + n_tokens - 1) // 512
                         END AS BIGINT) AS seq_last
             FROM o ORDER BY doc_id
+        """,
+        # deterministic global shuffle: 0-based rank under the bijective
+        # Knuth multiplicative hash (doc_id * 2654435761) % 2^32
+        "global_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY (doc_id * 2654435761) % 4294967296)
+                        - 1 AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
+        """,
+        # end-to-end curation chain: quality filter -> exact dedup
+        # (min-doc_id winner per text) -> per-domain cap (top 10 per
+        # (source, lang), longest first) -> 512-token sequence packing in
+        # doc_id order -> per-lang rollup
+        "curate_corpus": """
+            WITH filtered AS (
+                SELECT doc_id, source, lang, n_chars, text FROM documents
+                WHERE n_chars >= 200 AND text IS NOT NULL
+                      AND length(text) > 0),
+            deduped AS (
+                SELECT doc_id, source, lang, n_chars, text FROM (
+                    SELECT *, row_number() OVER (PARTITION BY text
+                                                 ORDER BY doc_id) AS rn
+                    FROM filtered)
+                WHERE rn = 1),
+            capped AS (
+                SELECT doc_id, lang,
+                       CAST(length(text)
+                            - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_tokens
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY source, lang
+                        ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM deduped)
+                WHERE rn <= 10),
+            packed AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS off
+                FROM capped),
+            spans AS (
+                SELECT lang, n_tokens, off // 512 AS seq_first,
+                       CASE WHEN n_tokens = 0 THEN off // 512
+                            ELSE (off + n_tokens - 1) // 512
+                       END AS seq_last
+                FROM packed)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN seq_last > seq_first THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+                   CAST(sum(seq_last - seq_first + 1) AS BIGINT)
+                       AS n_spanned_seqs
+            FROM spans GROUP BY lang
         """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's

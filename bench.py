@@ -51,6 +51,15 @@ BENCH_QUERIES = [
     # removal through distributed connected components
     "simhash_dedup",
     "minhash_dedup_filtered",
+    # r3 curation-family additions: paragraph-level dedup, exact corpus
+    # word frequencies, unigram-LM scoring, benchmark decontamination,
+    # per-domain capping, fixed-token sequence packing
+    "paragraph_dedup",
+    "word_frequencies",
+    "unigram_logprob",
+    "decontaminate",
+    "domain_cap",
+    "sequence_pack",
 ]
 
 

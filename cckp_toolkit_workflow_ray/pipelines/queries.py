@@ -1677,6 +1677,94 @@ def sequence_pack(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def global_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle (training-data op): assign every doc
+    its 0-based position in the corpus order shuffled by a Knuth
+    multiplicative hash ``(doc_id * 2654435761) % 2^32`` (odd multiplier
+    → bijective mod 2^32, so the order is total and both sides compute it
+    exactly).  Position = #docs with a smaller shuffle key — the same
+    distributed exclusive prefix sum as sequence packing, with one token
+    per doc."""
+    from ..stages.packing import packed_sequence_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+               .astype(np.uint64)
+        sk = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "shuffle_key": pa.array(sk.astype(np.int64)),
+                         "one": pa.array(np.ones(len(ids), dtype=np.int64))})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    spans = packed_sequence_spans(keyed, "shuffle_key", "one",
+                                  seq_tokens=1, bucket_size=2**28,
+                                  keep_cols=["doc_id"]).to_pandas()
+    out = spans.rename(columns={"seq_first": "pos"})[["doc_id", "pos"]]
+    out["pos"] = out["pos"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def curate_corpus(sf_dir: str) -> pa.Table:
+    """Flagship end-to-end curation chain, every stage streaming:
+    quality filter (n_chars >= 200, non-empty text) → exact dedup
+    (min-doc_id winner per identical text) → per-domain cap (top 10 per
+    (source, lang) by n_chars DESC) → fixed 512-token sequence packing in
+    doc_id order → per-lang rollup of docs/tokens/sequence spans.  The
+    oracle is the same chain as SQL CTEs."""
+    from ..stages.dedup import exact_dedup_dataset
+    from ..stages.packing import packed_sequence_spans
+    from ..stages.ranking import grouped_top_k
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "lang", "n_chars", "text"])
+
+    def quality(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        ok = pc.and_(
+            pc.greater_equal(t.column("n_chars"), 200),
+            pc.and_(pc.is_valid(txt),
+                    pc.greater(pc.utf8_length(pc.fill_null(txt, "")), 0)))
+        return t.filter(ok)
+
+    filtered = ds.map_batches(quality, batch_format="pyarrow")
+    deduped = exact_dedup_dataset(filtered, text_col="text",
+                                  id_col="doc_id")
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        n = pc.add(pc.count_substring(txt, " "),
+                   pc.greater(pc.utf8_length(txt), 0).cast(pa.int64()))
+        return t.drop_columns(["text"]).append_column(
+            "n_tokens", n.cast(pa.int64()))
+
+    slim = deduped.map_batches(toks, batch_format="pyarrow")
+    capped = grouped_top_k(slim, ["source", "lang"], ["n_chars", "doc_id"],
+                           k=10, descending=[True, False])
+    spans = packed_sequence_spans(capped, "doc_id", "n_tokens",
+                                  seq_tokens=512, bucket_size=4096,
+                                  keep_cols=["lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["seq_first"].to_numpy()
+        last = df["seq_last"].to_numpy()
+        out = pd.DataFrame({
+            "lang": _sentinel_nulls(df["lang"]),
+            "n_docs": 1,
+            "total_tokens": df["n_tokens"].to_numpy(),
+            "n_boundary_docs": (last > first).astype(np.int64),
+            "n_spanned_seqs": (last - first + 1).astype(np.int64),
+        })
+        return out.groupby("lang", as_index=False).sum()
+
+    return _restore_null_keys(
+        _sum_by_key(spans.map_batches(partial, batch_format="pandas"),
+                    ["lang"],
+                    ["n_docs", "total_tokens", "n_boundary_docs",
+                     "n_spanned_seqs"]).to_pandas(), ["lang"])
+
+
 def unigram_logprob(sf_dir: str) -> pa.Table:
     """Unigram-LM quality scoring rollup: train exact corpus word
     frequencies (sorted-run keyed sum), broadcast the model, score every

@@ -78,25 +78,29 @@ def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
         descending = [False] * len(order_cols)
     sort_cols = list(key_cols) + list(order_cols)
     desc = [False] * len(key_cols) + list(descending)
-    sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
+    sorted_ds = ds.sort(sort_cols, descending=desc)
 
-    def interior_top(df: pd.DataFrame) -> pd.DataFrame:
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return df
+            return df.assign(__edge=pd.Series([], dtype=bool))
         keep = _rank_within_runs(df, key_cols) < k
-        return df[keep & ~_edge_mask(df, key_cols)]
+        out = df[keep].copy()
+        out["__edge"] = _edge_mask(df, key_cols)[keep]
+        return out
 
-    def edge_top(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        keep = _rank_within_runs(df, key_cols) < k
-        return df[keep & _edge_mask(df, key_cols)]
+    # ONE pass over the sorted stream (batch_size=None → one call per
+    # block, so "block edge" is well-defined); only the O(groups×k +
+    # 2k×blocks) capped result is materialized — the full sorted table
+    # streams through and is never pinned in the object store.
+    capped = sorted_ds.map_batches(
+        block_top, batch_format="pandas", batch_size=None).materialize()
 
-    # batch_size=None → one call per block, so "block edge" is well-defined
-    interior = sorted_ds.map_batches(
-        interior_top, batch_format="pandas", batch_size=None)
-    edge_rows = sorted_ds.map_batches(
-        edge_top, batch_format="pandas", batch_size=None).to_pandas()
+    interior = capped.map_batches(
+        lambda df: df[~df["__edge"]].drop(columns="__edge"),
+        batch_format="pandas")
+    edge_rows = capped.map_batches(
+        lambda df: df[df["__edge"]].drop(columns="__edge"),
+        batch_format="pandas").to_pandas()
 
     if len(edge_rows):
         # Rows arrive in arbitrary block order; re-establish global sort

@@ -104,3 +104,23 @@ def test_packed_sequence_spans_keep_cols(ray_session):
     # 7 tokens/doc, 10/seq: doc 1 occupies tokens 7..13 -> seqs 0..1
     assert got["seq_first"].tolist()[:3] == [0, 0, 1]
     assert got["seq_last"].tolist()[:3] == [0, 1, 2]
+
+
+def test_global_shuffle_is_permutation(ray_session):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    out = m.queries()["global_shuffle"]("/root/testdata/sf0.001")
+    import pandas as pd
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    # positions are exactly 0..n-1, each once
+    assert sorted(out["pos"].tolist()) == list(range(len(out)))
+    # deterministic across runs
+    out2 = m.queries()["global_shuffle"]("/root/testdata/sf0.001")
+    if not isinstance(out2, pd.DataFrame):
+        out2 = out2.to_pandas()
+    assert out["pos"].tolist() == out2["pos"].tolist()
