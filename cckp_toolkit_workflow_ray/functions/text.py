@@ -217,3 +217,16 @@ def word_repetition_metrics(texts: pd.Series) -> pd.DataFrame:
         out.loc[per.index, "total_words"] = per["sum"].astype(np.int64)
         out.loc[per.index, "distinct_words"] = per["count"].astype(np.int64)
     return out
+
+
+def word_count_partial(texts: np.ndarray) -> pd.DataFrame:
+    """Per-batch word-count combiner shared by ``word_frequencies`` and
+    ``train_unigram_model``: split on single spaces, drop empty tokens,
+    return the (word, n) counts as an explicitly-typed frame (stable
+    schema for empty batches)."""
+    words = [w for x in texts for w in (x or "").split(" ") if w]
+    if not words:
+        return pd.DataFrame({"word": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    u, c = np.unique(np.array(words, dtype=object), return_counts=True)
+    return pd.DataFrame({"word": u, "n": c.astype(np.int64)})

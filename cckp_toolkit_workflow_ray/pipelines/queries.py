@@ -40,11 +40,7 @@ def _int_or_float64(s: pd.Series) -> pd.Series:
     return s.astype("int64" if s.notna().all() else "float64")
 
 
-def _round_half_away(x: np.ndarray) -> np.ndarray:
-    """round() with SQL semantics (half away from zero).  ``np.round`` is
-    half-to-even; a value landing exactly on .5 would diverge from the
-    DuckDB oracles' ``round()``."""
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+from ..functions.numeric import round_half_away as _round_half_away
 
 
 def _sum_by_key(partials, keys: list[str], cols: list[str]):
@@ -1361,14 +1357,11 @@ def word_frequencies(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["text"])
 
+    from ..functions.text import word_count_partial
+
     def partial(t: pa.Table) -> pd.DataFrame:
-        texts = t.column("text").to_numpy(zero_copy_only=False)
-        words = [w for x in texts for w in (x or "").split(" ") if w]
-        if not words:
-            return pd.DataFrame({"word": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
-        u, c = np.unique(np.array(words, dtype=object), return_counts=True)
-        return pd.DataFrame({"word": u, "n": c.astype(np.int64)})
+        return word_count_partial(
+            t.column("text").to_numpy(zero_copy_only=False))
 
     counts = sorted_sum_by_key(
         ds.map_batches(partial, batch_format="pyarrow"), ["word"], ["n"])
@@ -1446,6 +1439,14 @@ def media_features(sf_dir: str) -> pa.Table:
         DecodeImage, batch_size=512, batch_format="pyarrow",
         concurrency=(1, 4))
 
+    # empty batches must still carry string/bool/int dtypes: from_pandas
+    # would infer a null-typed `kind` for a 0-row frame, and the groupby
+    # exchange cannot unify null-typed and string-typed blocks
+    _partial_schema = pa.schema([("kind", pa.string()),
+                                 ("decode_ok", pa.bool_()),
+                                 ("n", pa.int64()),
+                                 ("sum_pixels", pa.int64())])
+
     def img_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         kind = np.where(df["image_id"] % 3 == 0, "ppm",
@@ -1454,7 +1455,8 @@ def media_features(sf_dir: str) -> pa.Table:
             "kind": kind, "decode_ok": df["decode_ok"], "n": 1,
             "sum_pixels": (df["width"] * df["height"]).astype("int64"),
         }).groupby(["kind", "decode_ok"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_partial_schema)
 
     img = _sum_by_key(feats.map_batches(img_partial, batch_format="pyarrow"),
                       ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()
@@ -1474,10 +1476,12 @@ def media_features(sf_dir: str) -> pa.Table:
     def au_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = pd.DataFrame({
-            "kind": "wav", "decode_ok": df["decode_ok"], "n": 1,
+            "kind": pd.Series(["wav"] * len(df), dtype="object"),
+            "decode_ok": df["decode_ok"], "n": 1,
             "sum_pixels": df["n_samples"].astype("int64"),
         }).groupby(["kind", "decode_ok"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_partial_schema)
 
     au = _sum_by_key(afeats.map_batches(au_partial, batch_format="pyarrow"),
                      ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()

@@ -23,13 +23,14 @@ exact int64 arithmetic — no float summation order anywhere (the
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _round_half_away(x: np.ndarray) -> np.ndarray:
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+from ..functions.numeric import round_half_away as _round_half_away
+from ..functions.text import word_count_partial
 
 
 def train_unigram_model(ds, text_col: str = "text",
@@ -47,13 +48,8 @@ def train_unigram_model(ds, text_col: str = "text",
     from .groupagg import sorted_sum_by_key
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        texts = t.column(text_col).to_numpy(zero_copy_only=False)
-        words = [w for x in texts for w in (x or "").split(" ") if w]
-        if not words:
-            return pd.DataFrame({"word": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
-        u, c = np.unique(np.array(words, dtype=object), return_counts=True)
-        return pd.DataFrame({"word": u, "n": c.astype(np.int64)})
+        return word_count_partial(
+            t.column(text_col).to_numpy(zero_copy_only=False))
 
     counts = sorted_sum_by_key(
         ds.select_columns([text_col]).map_batches(
@@ -68,10 +64,17 @@ def train_unigram_model(ds, text_col: str = "text",
     vocab = counts["word"].to_numpy(dtype=object)
     if total == 0:
         return vocab, np.empty(0, dtype=np.int64), np.int64(0), 0
-    lp = _round_half_away(
-        1e6 * np.log(counts["n"].to_numpy(dtype=np.float64) / total)
+    # libm math.log, not np.log: DuckDB's ln() calls libm's log, while
+    # numpy's vectorized log can differ by an ulp (SIMD path) — enough to
+    # flip the once-per-word-type rounding for a value near a .5e-6
+    # boundary and break the hash-exact oracle.  One scalar call per
+    # vocabulary TYPE at model build (vocab is top_k-bounded at scale).
+    ratios = counts["n"].to_numpy(dtype=np.float64) / total
+    lp = _round_half_away(np.array(
+        [1e6 * math.log(r) for r in ratios], dtype=np.float64)
     ).astype(np.int64)
-    oov = np.int64(_round_half_away(np.array([1e6 * np.log(0.5 / total)]))[0])
+    oov = np.int64(_round_half_away(
+        np.array([1e6 * math.log(0.5 / total)]))[0])
     return vocab, lp, oov, total
 
 

@@ -111,6 +111,10 @@ def _decode_ppm(payload: bytes):
         return None
     if w <= 0 or h <= 0 or not 0 < maxval <= 255:
         return None
+    # a payload truncated right after the maxval token leaves pos past the
+    # end; np.frombuffer would raise instead of returning a decode failure
+    if pos > n:
+        return None
     pix = np.frombuffer(payload, dtype=np.uint8, offset=pos)
     if pix.size != w * h * 3:
         return None

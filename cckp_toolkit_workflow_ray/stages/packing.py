@@ -44,6 +44,10 @@ def packed_sequence_spans(ds, id_col: str, tokens_col: str,
     import ray
 
     keep_cols = keep_cols or []
+    # Consumed twice (bucket-sum pass, then span assignment): materialize
+    # the slim (id, tokens, keep_cols) projection once so the upstream
+    # derivation — at scale, a full corpus read — does not re-execute.
+    ds = ds.materialize()
 
     def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
         b = df[id_col].to_numpy() // bucket_size

@@ -124,3 +124,14 @@ def test_global_shuffle_is_permutation(ray_session):
     if not isinstance(out2, pd.DataFrame):
         out2 = out2.to_pandas()
     assert out["pos"].tolist() == out2["pos"].tolist()
+
+
+def test_truncated_ppm_header_is_decode_failure():
+    """A P6 payload ending exactly at the maxval token (no trailing
+    whitespace byte) must yield decode failure, not a ValueError from
+    np.frombuffer (review r3 finding)."""
+    from cckp_toolkit_workflow_ray.stages.multimodal import DecodeImage
+
+    dec = DecodeImage()
+    assert dec._decode(b"P6\n13 5\n255") is None
+    assert dec._decode(b"P6\n13 5\n255\n") is None  # header ok, no pixels
