@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         "knn_embeddings": q.knn_embeddings,
         "ivf_knn_embeddings": q.ivf_knn_embeddings,
+        "ivf_knn_exhaustive": q.ivf_knn_exhaustive,
         "embedding_neardup": q.embedding_neardup,
         "cosine_threshold_pairs": q.cosine_threshold_pairs,
         "minhash_verify_jaccard": q.minhash_verify_jaccard,
@@ -481,6 +482,23 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY text
         """,
         "knn_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 10
+            )
+            SELECT query_id, neighbor_id, rk FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                    e.vec_id ASC
+                       ) AS rk
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rk <= 10
+        """,
+        # IVF in its exhaustive limit (n_probe == n_lists) must equal the
+        # brute-force top-10 — identical oracle to knn_embeddings
+        "ivf_knn_exhaustive": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe
                 FROM embeddings WHERE vec_id < 10

@@ -896,6 +896,21 @@ def ivf_knn_embeddings(sf_dir: str) -> pa.Table:
     return ivf_knn(ds, queries, qids, cent, k=10, n_probe=10)
 
 
+def ivf_knn_exhaustive(sf_dir: str) -> pa.Table:
+    """IVF correctness limit, SQL-oracled: with ``n_probe == n_lists``
+    every list is probed, so the IVF machinery (centroid training, list
+    assignment, pruned per-batch matmul, partial top-k merge) must
+    reproduce the exact brute-force top-10 — the same row_number oracle
+    as ``knn_embeddings``.  The pruned variant stays rows-only with a
+    pytest recall bound."""
+    from ..stages.similarity import ivf_knn, train_ivf_centroids
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = train_ivf_centroids(ds, n_lists=16, sample_mod=5)
+    return ivf_knn(ds, queries, qids, cent, k=10, n_probe=16)
+
+
 def cosine_threshold_pairs(sf_dir: str) -> pa.Table:
     """All natural embedding pairs with cosine ≥ 0.45 — exact all-pairs
     near-dup with a DuckDB ``list_cosine_similarity`` oracle (the seeded
