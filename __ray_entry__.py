@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q.domain_cap,
         "sequence_pack": q.sequence_pack,
         "global_shuffle": q.global_shuffle,
+        "quality_deciles": q.quality_deciles,
         "curate_corpus": q.curate_corpus,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
@@ -1168,6 +1169,19 @@ def oracle_sql() -> dict[str, str]:
                              ELSE (off + n_tokens - 1) // 512
                         END AS BIGINT) AS seq_last
             FROM o ORDER BY doc_id
+        """,
+        # global quality stratification: ntile(10) by (n_chars, doc_id)
+        # via the distributed prefix-sum rank, per-(lang, decile) rollup
+        "quality_deciles": """
+            WITH ranked AS (
+                SELECT lang, n_chars,
+                       ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+                FROM documents)
+            SELECT lang, CAST(decile AS BIGINT) AS decile,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM ranked GROUP BY lang, decile
+            ORDER BY lang, decile
         """,
         # deterministic global shuffle: 0-based rank under the bijective
         # Knuth multiplicative hash (doc_id * 2654435761) % 2^32

@@ -1696,6 +1696,60 @@ def sequence_pack(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def quality_deciles(sf_dir: str) -> pa.Table:
+    """Global quality stratification WITHOUT a full sort: every doc's
+    0-based global rank under (n_chars ASC, doc_id ASC) comes from the
+    distributed prefix-sum machinery over the composite integer key
+    ``n_chars * 2^33 + doc_id`` (order-preserving and unique while
+    n_chars < 2^30 and doc_id < 2^33 — both asserted), then SQL
+    ``ntile(10)`` semantics (first n%10 buckets one larger) are applied
+    vectorized.  Returns per-(lang, decile) doc counts and n_chars sums
+    — the stratification table a quality-aware sampler consumes."""
+    from ..stages.packing import packed_sequence_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        assert (nc < 2**30).all() and (ids < 2**33).all() and \
+            (nc >= 0).all(), "composite rank key would overflow"
+        return pa.table({
+            "rank_key": pa.array(nc.astype(np.int64) * 2**33
+                                 + ids.astype(np.int64)),
+            "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            "lang": t.column("lang"),
+            "n_chars": t.column("n_chars"),
+        })
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    ranked = packed_sequence_spans(keyed, "rank_key", "one", seq_tokens=1,
+                                   bucket_size=2**24,
+                                   keep_cols=["lang", "n_chars"])
+    import pyarrow.parquet as _pq
+    n_total = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    q, r = divmod(n_total, 10)
+
+    def to_decile(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["seq_first"].to_numpy()          # 0-based global rank
+        cut = r * (q + 1)
+        dec = np.where(i < cut, i // max(q + 1, 1),
+                       r + (i - cut) // max(q, 1)).astype(np.int64) + 1
+        out = pd.DataFrame({
+            "lang": _sentinel_nulls(df["lang"]),
+            "decile": dec,
+            "n_docs": 1,
+            "sum_n_chars": df["n_chars"].to_numpy().astype(np.int64),
+        })
+        return out.groupby(["lang", "decile"], as_index=False).sum()
+
+    return _restore_null_keys(
+        _sum_by_key(ranked.map_batches(to_decile, batch_format="pandas"),
+                    ["lang", "decile"], ["n_docs", "sum_n_chars"]
+                    ).to_pandas(), ["lang"]) \
+        .sort_values(["lang", "decile"]).reset_index(drop=True)
+
+
 def global_shuffle(sf_dir: str) -> pa.Table:
     """Deterministic global shuffle (training-data op): assign every doc
     its 0-based position in the corpus order shuffled by a Knuth
