@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "decontaminate",
     "domain_cap",
     "sequence_pack",
+    # r3: end-to-end curation chain and global decile stratification
+    "curate_corpus",
+    "quality_deciles",
 ]
 
 
