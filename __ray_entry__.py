@@ -307,6 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": q.global_shuffle,
         "quality_deciles": q.quality_deciles,
         "curate_corpus": q.curate_corpus,
+        "dup_ngram_flag": q.dup_ngram_flag,
+        "mixture_sample": q.mixture_sample,
+        "rollup_lang_source": q.rollup_lang_source,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1238,6 +1241,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(seq_last - seq_first + 1) AS BIGINT)
                        AS n_spanned_seqs
             FROM spans GROUP BY lang
+        """,
+        # duplicated-5-gram fraction per doc (RefinedWeb/Gopher signal):
+        # a doc is flagged when >= 20% of its DISTINCT word 5-grams occur
+        # in another document (integer rule 5*n_dup >= n_grams).  The
+        # engine decides on 128-bit gram hashes; the SQL on exact strings
+        # — they agree unless a hash collision occurs (~3e-15)
+        "dup_ngram_flag": """
+            WITH words AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(coalesce(text, ''),
+                                                      '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, lang,
+                       array_to_string(ws[i:i+4], ' ') AS g
+                FROM (SELECT doc_id, lang, ws,
+                             unnest(generate_series(
+                                 1, greatest(len(ws) - 4, 0))) AS i
+                      FROM words WHERE len(ws) >= 5)),
+            gc AS (SELECT g, count(*) AS nd FROM grams GROUP BY g),
+            per_doc AS (
+                SELECT gr.doc_id, any_value(gr.lang) AS lang,
+                       count(*) AS n_grams,
+                       count(*) FILTER (WHERE gc.nd > 1) AS n_dup
+                FROM grams gr JOIN gc ON gc.g = gr.g
+                GROUP BY gr.doc_id)
+            SELECT lang, count(*) AS n_docs,
+                   count(*) FILTER (WHERE 5 * n_dup >= n_grams)
+                       AS n_flagged,
+                   CAST(sum(n_dup) AS BIGINT) AS n_dup_grams
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        # balanced source-mixture sampling: every source downsampled to
+        # the smallest source's size, keeping the k docs with the
+        # smallest deterministic shuffle key (global_shuffle order)
+        "mixture_sample": """
+            WITH k AS (
+                SELECT min(cnt) AS k FROM (
+                    SELECT count(*) AS cnt FROM documents GROUP BY source)),
+            ranked AS (
+                SELECT source, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents)
+            SELECT source, lang, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM ranked, k WHERE rn <= k.k
+            GROUP BY source, lang ORDER BY source, lang
+        """,
+        # GROUP BY ROLLUP (lang, source): grp is the GROUPING() bit
+        # vector (leaf 0, lang subtotal 1, grand total 3); aggregated-out
+        # dimensions surface as '__all__'
+        "rollup_lang_source": """
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN '__all__'
+                        ELSE lang END AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN '__all__'
+                        ELSE source END AS source,
+                   CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+                       AS grp,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY grp, lang, source
         """,
         # the CheckSuite's violation counts over documents mapped into the
         # pages schema (lang groups use the raw lang value; the engine's

@@ -1868,3 +1868,114 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
                     ["lang"],
                     ["n_docs", "sum_logprob_e6", "total_tokens"]
                     ).to_pandas(), ["lang"])
+
+
+def dup_ngram_flag(sf_dir: str) -> pa.Table:
+    """Duplicated-5-gram fraction per doc (RefinedWeb/Gopher quality
+    signal), rolled up per lang: a doc is flagged when >= 20% of its
+    DISTINCT word 5-grams occur in another document (integer rule
+    5*n_dup >= n_grams).  Two-regime corpus-global analysis — see
+    stages/dupgrams.py; at honest dup rates the duplicated-gram set
+    broadcasts and the whole query is two streaming passes."""
+    from ..stages.dupgrams import dup_ngram_rollup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return dup_ngram_rollup(ds, n=5, flag_mult=5)
+
+
+def mixture_sample(sf_dir: str) -> pa.Table:
+    """Balanced source-mixture sampling (data-mixing op): downsample
+    every source to the size of the SMALLEST source, keeping each
+    source's k docs with the smallest deterministic shuffle key
+    ``(doc_id * 2654435761) % 2^32`` (the global_shuffle order, doc_id
+    tiebreak) — i.e. a deterministic uniform subsample per source.
+    Per-source counts are a tiny aggregate; the cap itself is the
+    distributed grouped top-k, so no full sort and no driver row set.
+    Returns the per-(source, lang) composition of the balanced corpus."""
+    from ..stages.ranking import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": _sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False))),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(df.groupby("source", as_index=False).sum(),
+                                    preserve_index=False)
+
+    counts = _sum_by_key(ds.map_batches(cpart, batch_format="pyarrow"),
+                         ["source"], ["n"]).to_pandas()
+    k = int(counts["n"].min()) if len(counts) else 0
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+               .astype(np.uint64)
+        sk = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return t.append_column("__h", pa.array(sk.astype(np.int64)))
+
+    kept = grouped_top_k(ds.map_batches(key, batch_format="pyarrow"),
+                         ["source"], ["__h", "doc_id"], k=k)
+
+    def rpart(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": _sentinel_nulls(df["source"]),
+            "lang": _sentinel_nulls(df["lang"]),
+            "n_kept": 1,
+            "sum_n_chars": df["n_chars"].to_numpy(),
+        })
+        return df.groupby(["source", "lang"], as_index=False).sum()
+
+    out = _sum_by_key(kept.map_batches(rpart, batch_format="pandas"),
+                      ["source", "lang"], ["n_kept", "sum_n_chars"]
+                      ).to_pandas()
+    out = _restore_null_keys(out, ["source", "lang"])
+    for c in ("n_kept", "sum_n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def rollup_lang_source(sf_dir: str) -> pa.Table:
+    """GROUPING SETS rollup — SQL ``GROUP BY ROLLUP (lang, source)`` —
+    computed as ONE corpus pass: the finest (lang, source) level is the
+    usual combiner-then-keyed-sum; the lang subtotals and grand total
+    re-aggregate the finest RESULT (O(|langs| x |sources|) rows — the
+    same driver-bounded table every verdict rollup already returns), so
+    coarser grouping sets never rescan the corpus.  ``grp`` carries the
+    SQL GROUPING() bit vector (leaf 0, lang subtotal 1, grand total 3);
+    aggregated-out dimensions surface as the literal '__all__'."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "source": _sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False))),
+            "n_docs": 1,
+            "total_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False)
+
+    leaf = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "source"], ["n_docs", "total_chars"]
+                       ).to_pandas()
+    leaf = _restore_null_keys(leaf, ["lang", "source"])
+    leaf["grp"] = 0
+    lang_lvl = leaf.groupby("lang", as_index=False, dropna=False)[
+        ["n_docs", "total_chars"]].sum()
+    lang_lvl["source"] = "__all__"
+    lang_lvl["grp"] = 1
+    total = pd.DataFrame({
+        "lang": ["__all__"], "source": ["__all__"], "grp": [3],
+        "n_docs": [leaf["n_docs"].sum()],
+        "total_chars": [leaf["total_chars"].sum()],
+    })
+    out = pd.concat([leaf, lang_lvl, total], ignore_index=True)
+    out = out[["lang", "source", "grp", "n_docs", "total_chars"]]
+    for c in ("grp", "n_docs", "total_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["grp", "lang", "source"]).reset_index(drop=True)

@@ -1,0 +1,237 @@
+"""Duplicated-n-gram fraction analysis (RefinedWeb/Gopher-style).
+
+A standard web-corpus quality signal: for each document, the fraction of
+its DISTINCT word n-grams that also occur in at least one OTHER document
+corpus-wide.  Documents whose duplicated fraction crosses a threshold are
+flagged as boilerplate/template-heavy.  Extends the reference's
+per-record quality checks (`/root/reference/main.nf:49-81` presence /
+format predicates) to a corpus-global predicate, which is what makes it
+an engine problem: the decision for one row needs an aggregate over all
+rows.
+
+Scale shape (two regimes, decided by the observed duplicate volume — the
+same contract as ``dedup.find_duplicate_int_keys_two_regime``):
+
+* grams are hashed with the 128-bit two-independent-hashes motif
+  (decides on hash equality → collision odds ~3e-15), per-doc DISTINCT,
+  per-batch combined — the exchange carries ints only, never gram text;
+* duplicated grams are found with the sorted-candidate motif
+  (``groupagg.candidate_duplicates``): duplicates are the rare case for
+  honest web text, so the candidate stream is tiny;
+* **broadcast regime** (duplicated-gram set fits one object): one more
+  streaming pass over the corpus probes the sorted set per batch
+  (vectorized ``_pair_isin`` + ``reduceat`` per doc) and folds straight
+  into per-lang partial rollups — no second exchange at all;
+* **join regime** (duplicate-heavy corpus): the per-doc gram pairs join
+  the duplicated-key Dataset through the bucketed 128-bit hash join,
+  and per-doc duplicate counts come off a doc-sorted run (block-interior
+  docs final in place, ≤2 edge docs per block merged on the driver) —
+  no O(dup_rate × N) driver structure anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.nulls import restore_null_keys, sentinel_nulls
+from .decontaminate import _gram_hash_pairs, word_ngrams_strict
+from .dedup import _pair_isin, find_duplicate_int_keys_two_regime
+
+ROLLUP_COLS = ["n_docs", "n_flagged", "n_dup_grams"]
+
+
+def _doc_distinct_grams(texts, n: int) -> tuple[list, np.ndarray]:
+    """Per-doc DISTINCT n-gram arrays + per-doc counts (0 for short docs)."""
+    per_doc = [np.unique(word_ngrams_strict(txt, n)) for txt in texts]
+    lens = np.array([g.size for g in per_doc], dtype=np.int64)
+    return per_doc, lens
+
+
+def _sum_rollup(parts):
+    from ray.data.aggregate import Sum
+
+    return parts.groupby("lang").aggregate(
+        *[Sum(c, alias_name=c) for c in ROLLUP_COLS])
+
+
+def dup_ngram_rollup(ds, text_col: str = "text", lang_col: str = "lang",
+                     id_col: str = "doc_id", n: int = 5, flag_mult: int = 5,
+                     batch_size: int = 8192,
+                     broadcast_limit: int = 2_000_000) -> pd.DataFrame:
+    """Per-lang rollup of the duplicated-n-gram analysis.
+
+    Returns a DataFrame (lang, n_docs, n_flagged, n_dup_grams) where
+    ``n_docs`` counts documents with at least one n-gram (≥ n words),
+    ``n_flagged`` those with ``flag_mult * n_dup >= n_grams`` (an integer
+    threshold — no float boundary can flip a doc; ``flag_mult=5`` is the
+    20 % rule), and ``n_dup_grams`` the per-doc duplicated-distinct-gram
+    total.  NULL langs form their own group (SQL GROUP BY semantics).
+    """
+    import ray
+
+    def gram_count_partial(t: pa.Table) -> pa.Table:
+        """batch → per-batch (h1, h2, n) where n = #docs in the batch
+        containing the gram (per-doc distinct first)."""
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        per_doc, lens = _doc_distinct_grams(texts, n)
+        flat = (np.concatenate([g for g in per_doc if g.size])
+                if lens.any() else np.empty(0, dtype=object))
+        h1, h2 = _gram_hash_pairs(flat)
+        df = pd.DataFrame({"h1": h1, "h2": h2})
+        g = df.groupby(["h1", "h2"], as_index=False).size() \
+              .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regime, dup = find_duplicate_int_keys_two_regime(
+        ds.select_columns([text_col]), gram_count_partial,
+        batch_size=batch_size, key_cols=["h1", "h2"],
+        broadcast_limit=broadcast_limit)
+
+    if regime == "broadcast":
+        bh = dup.sort_values(["h1", "h2"])
+        ref = ray.put((np.ascontiguousarray(bh["h1"].to_numpy(np.int64)),
+                       np.ascontiguousarray(bh["h2"].to_numpy(np.int64))))
+
+        def probe(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            per_doc, lens = _doc_distinct_grams(texts, n)
+            n_dup = np.zeros(len(texts), dtype=np.int64)
+            nz = np.flatnonzero(lens > 0)
+            if nz.size:
+                bh1, bh2 = ray.get(ref)
+                flat = np.concatenate([per_doc[i] for i in nz])
+                h1, h2 = _gram_hash_pairs(flat)
+                hits = _pair_isin(bh1, bh2, h1, h2).astype(np.int64)
+                starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+                n_dup[nz] = np.add.reduceat(hits, starts)
+            has = lens > 0
+            df = pd.DataFrame({
+                "lang": sentinel_nulls(pd.Series(
+                    t.column(lang_col).to_numpy(zero_copy_only=False))),
+                "n_docs": has.astype(np.int64),
+                "n_flagged": (has & (flag_mult * n_dup >= lens)
+                              ).astype(np.int64),
+                "n_dup_grams": n_dup,
+            })
+            out = df.groupby("lang", as_index=False).sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = ds.select_columns([text_col, lang_col]).map_batches(
+            probe, batch_format="pyarrow", batch_size=batch_size)
+        out = _sum_rollup(parts).to_pandas()
+    else:
+        out = _dup_rollup_join(ds, dup, text_col, lang_col, id_col, n,
+                               flag_mult, batch_size)
+    out = restore_null_keys(out, ["lang"])
+    for c in ROLLUP_COLS:
+        out[c] = out[c].astype(np.int64)
+    # SQL's per_doc CTE only admits docs with >= n words, so a lang whose
+    # docs are all short has NO row — drop the engine's zero rows to match
+    out = out[out["n_docs"] > 0]
+    return out.sort_values("lang", na_position="last").reset_index(drop=True)
+
+
+def _dup_rollup_join(ds, dup_ds, text_col: str, lang_col: str, id_col: str,
+                     n: int, flag_mult: int, batch_size: int) -> pd.DataFrame:
+    """Duplicate-heavy regime: per-doc duplicate counts via the bucketed
+    128-bit hash join + a doc-sorted run; per-lang totals from the
+    explode pass.  Only the joined (duplicated) gram stream re-exchanges;
+    a doc with zero duplicated grams never leaves its explode block."""
+    from .joins import hash_join
+    from .ranking import _edge_mask
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        langs = sentinel_nulls(pd.Series(
+            t.column(lang_col).to_numpy(zero_copy_only=False))).to_numpy()
+        per_doc, lens = _doc_distinct_grams(texts, n)
+        nz = np.flatnonzero(lens > 0)
+        flat = (np.concatenate([per_doc[i] for i in nz])
+                if nz.size else np.empty(0, dtype=object))
+        h1, h2 = _gram_hash_pairs(flat)
+        reps = lens[nz]
+        return pa.Table.from_pandas(pd.DataFrame({
+            "h1": h1, "h2": h2,
+            "doc_id": np.repeat(ids[nz], reps),
+            "lang": np.repeat(langs[nz], reps),
+            "n_grams": np.repeat(reps, reps),
+        }), preserve_index=False)
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        _, lens = _doc_distinct_grams(texts, n)
+        df = pd.DataFrame({
+            "lang": sentinel_nulls(pd.Series(
+                t.column(lang_col).to_numpy(zero_copy_only=False))),
+            "n_docs": (lens > 0).astype(np.int64),
+            "n_flagged": 0, "n_dup_grams": 0,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    base = ds.select_columns([text_col, lang_col]).map_batches(
+        base_partial, batch_format="pyarrow", batch_size=batch_size)
+
+    pairs = ds.select_columns([id_col, text_col, lang_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size)
+    dup_keys = dup_ds.map_batches(lambda df: df[["h1", "h2"]],
+                                  batch_format="pandas")
+    hits = hash_join(pairs, dup_keys, on=["h1", "h2"], how="inner")
+
+    # doc-sorted run over the hit stream: interior docs rolled up in
+    # place; the ≤2 edge docs per block merge on the driver.
+    sorted_hits = hits.sort(["doc_id"]).materialize()
+
+    _empty = pa.table({"lang": pa.array([], type=pa.string()),
+                       **{c: pa.array([], type=pa.int64())
+                          for c in ROLLUP_COLS}})
+
+    def interior_rollup(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _empty
+        inner = df[~_edge_mask(df, ["doc_id"])]
+        if inner.empty:
+            return _empty
+        g = inner.groupby("doc_id", as_index=False).agg(
+            lang=("lang", "first"), n_grams=("n_grams", "first"),
+            n_dup=("h1", "size"))
+        g["n_flagged"] = (flag_mult * g["n_dup"] >= g["n_grams"]
+                          ).astype(np.int64)
+        out = g.groupby("lang", as_index=False).agg(
+            n_flagged=("n_flagged", "sum"), n_dup_grams=("n_dup", "sum"))
+        out["n_docs"] = 0  # doc totals come from the explode pass
+        out = out[["lang"] + ROLLUP_COLS]
+        for c in ROLLUP_COLS:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df[_edge_mask(df, ["doc_id"])]
+
+    interior = sorted_hits.map_batches(interior_rollup,
+                                       batch_format="pandas",
+                                       batch_size=None)
+    edges = sorted_hits.map_batches(edge_rows, batch_format="pandas",
+                                    batch_size=None).to_pandas()
+    rollup = _sum_rollup(base.union(interior)).to_pandas()
+    if len(edges):
+        g = edges.groupby("doc_id", as_index=False).agg(
+            lang=("lang", "first"), n_grams=("n_grams", "first"),
+            n_dup=("h1", "size"))
+        g["n_flagged"] = (flag_mult * g["n_dup"] >= g["n_grams"]
+                          ).astype(np.int64)
+        extra = g.groupby("lang", as_index=False).agg(
+            n_flagged=("n_flagged", "sum"), n_dup_grams=("n_dup", "sum"))
+        rollup = rollup.merge(extra, on="lang", how="outer",
+                              suffixes=("", "_e"))
+        for c in ("n_flagged", "n_dup_grams"):
+            rollup[c] = (rollup[c].fillna(0)
+                         + rollup[f"{c}_e"].fillna(0)).astype(np.int64)
+            rollup = rollup.drop(columns=f"{c}_e")
+        rollup["n_docs"] = rollup["n_docs"].fillna(0).astype(np.int64)
+    return rollup

@@ -1,0 +1,82 @@
+"""Duplicated-n-gram analysis: regime equivalence and edge cases.
+
+The driver-style oracle comparison lives in test_queries_oracle.py
+(dup_ngram_flag is SQL-oracled); these tests cover what SQL cannot see —
+the forced join regime, short/empty inputs, and NULL langs.
+"""
+
+import numpy as np
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _rollup(ray_session, ds, **kw):
+    from cckp_toolkit_workflow_ray.stages.dupgrams import dup_ngram_rollup
+
+    return dup_ngram_rollup(ds, **kw).reset_index(drop=True)
+
+
+def test_join_regime_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(SF_DOCS, columns=["doc_id", "lang", "text"])
+    fast = _rollup(ray_session, ds)
+    # broadcast_limit=0 forces the duplicate-heavy path: bucketed 128-bit
+    # hash join + doc-sorted-run rollup.  Same answer, different exchange.
+    slow = _rollup(ray_session, ds, broadcast_limit=0)
+    pdt.assert_frame_equal(fast, slow)
+    assert fast["n_flagged"].sum() > 0  # the fixture has template dups
+
+
+def test_short_docs_produce_no_rows(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "lang": ["en", "en", "de", "de"],
+        "text": ["one two three four", "a b", "", None],
+    })
+    out = _rollup(ray_session, rd.from_pandas(df))
+    assert out.empty  # no doc reaches 5 words -> SQL per_doc is empty
+
+
+def test_flag_rule_and_null_lang(ray_session):
+    import ray.data as rd
+
+    # doc 0 and 1 share their full 6-word text (every 5-gram duplicated,
+    # flagged); doc 2 is unique (0 dup grams); doc 3 has a NULL lang and
+    # shares the same text as 0/1 so the NULL group is flagged too.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "lang": ["en", "en", "en", None],
+        "text": [shared, shared, "one two three four five six seven",
+                 shared],
+    })
+    out = _rollup(ray_session, rd.from_pandas(df))
+    en = out[out["lang"] == "en"].iloc[0]
+    assert en["n_docs"] == 3 and en["n_flagged"] == 2
+    assert en["n_dup_grams"] == 4  # 2 docs x 2 distinct duplicated 5-grams
+    null_row = out[out["lang"].isna()].iloc[0]
+    assert null_row["n_docs"] == 1 and null_row["n_flagged"] == 1
+
+
+def test_join_regime_handles_edge_docs(ray_session):
+    """Many single-row blocks force every doc onto a block edge in the
+    doc-sorted run — the driver-side edge merge must still be exact."""
+    import ray.data as rd
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lang": ["en"] * 6,
+        "text": [shared] * 6,
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    out = _rollup(ray_session, ds, broadcast_limit=0)
+    en = out.iloc[0]
+    assert en["n_docs"] == 6 and en["n_flagged"] == 6
+    assert en["n_dup_grams"] == 6 * 4  # 4 distinct 5-grams per doc
