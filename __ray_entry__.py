@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_validate": _pages_validate,
         # training-data ops (dedup / similarity / text analysis)
         "exact_dedup_full": q.exact_dedup_full,
+        "incremental_dedup": q.incremental_dedup,
+        "normalized_dedup": q.normalized_dedup,
         "minhash_dedup": q.minhash_dedup,
         "minhash_dedup_filtered": q.minhash_dedup_filtered,
         "simhash_dedup": q.simhash_dedup,
@@ -309,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q.curate_corpus,
         "dup_ngram_flag": q.dup_ngram_flag,
         "mixture_sample": q.mixture_sample,
+        "temperature_mixture": q.temperature_mixture,
         "rollup_lang_source": q.rollup_lang_source,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
@@ -320,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_bucketed": q.asof_bucketed,
         "interval_event_windows": q.interval_event_windows,
         "distinct_users_events": q.distinct_users_events,
+        "window_distinct_users": q.window_distinct_users,
         "embedding_norm_stats": q.embedding_norm_stats,
         "top_orders": q.top_orders,
         "json_props_stats": q.json_props_stats,
@@ -485,6 +489,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
             FROM corpus GROUP BY text
         """,
+        # cross-corpus anti-join (NULL text == NULL text, matching the
+        # engine's hash-key decision rule)
+        "incremental_dedup": """
+            SELECT n.doc_id, n.lang
+            FROM documents n
+            WHERE n.doc_id % 3 <> 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents e
+                  WHERE e.doc_id % 3 = 0
+                    AND e.text IS NOT DISTINCT FROM n.text)
+            ORDER BY n.doc_id
+        """,
+        # both sides normalize with RE2 ('g' = replace all, like Arrow's
+        # replace_substring_regex default)
+        "normalized_dedup": """
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(lower(text),
+                                           '[^a-z0-9]+', ' ', 'g')) AS nt
+                FROM documents)
+            SELECT doc_id, lang FROM norm
+            QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1
+            ORDER BY doc_id
+        """,
         "knn_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe
@@ -611,6 +639,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "window_distinct_users": """
+            SELECT date_trunc('day', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "embedding_norm_stats": """
             SELECT CAST(label AS BIGINT) AS label,
@@ -1292,6 +1325,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
             FROM ranked, k WHERE rn <= k.k
             GROUP BY source, lang ORDER BY source, lang
+        """,
+        # temperature-based mixture (alpha=0.5): integer quota arithmetic
+        # (isqrt + floor division) so engine and oracle agree exactly
+        "temperature_mixture": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            tot AS (
+                SELECT (sum(n) // 2) AS t,
+                       sum(CAST(floor(sqrt(n)) AS BIGINT)) AS sum_w
+                FROM counts),
+            quota AS (
+                SELECT lang,
+                       least(n, (t * CAST(floor(sqrt(n)) AS BIGINT)) // sum_w)
+                           AS ks
+                FROM counts, tot),
+            ranked AS (
+                SELECT lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents)
+            SELECT r.lang, r.source, count(*) AS n_kept,
+                   CAST(sum(r.n_chars) AS BIGINT) AS sum_n_chars
+            FROM ranked r JOIN quota qu
+                 ON r.lang IS NOT DISTINCT FROM qu.lang
+            WHERE r.rn <= qu.ks
+            GROUP BY r.lang, r.source ORDER BY r.lang, r.source
         """,
         # GROUP BY ROLLUP (lang, source): grp is the GROUPING() bit
         # vector (leaf 0, lang subtotal 1, grand total 3); aggregated-out

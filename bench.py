@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     # r3: end-to-end curation chain and global decile stratification
     "curate_corpus",
     "quality_deciles",
+    # r3 late additions: cross-corpus anti-join, temperature mixing,
+    # normalized-text dedup, windowed exact distinct
+    "incremental_dedup",
+    "temperature_mixture",
+    "normalized_dedup",
+    "window_distinct_users",
 ]
 
 

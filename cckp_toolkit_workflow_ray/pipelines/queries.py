@@ -573,6 +573,56 @@ def exact_dedup_full(sf_dir: str) -> pa.Table:
     return kept.select_columns(["doc_id"]).to_pandas()
 
 
+def incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental-crawl dedup (cross-corpus anti-join): docs with
+    ``doc_id % 3 == 0`` play the already-ingested snapshot; the rest are
+    the new crawl, kept only if their exact text appears nowhere in the
+    snapshot (stages.dedup.anti_join_texts — distinct 128-bit content
+    keys of the snapshot via one keyed exchange, then a broadcast probe
+    or bucketed LEFT anti-join by regime).  Returns surviving new doc
+    ids with their lang."""
+    from ..stages.dedup import anti_join_texts
+
+    def split(rem_ok):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[rem_ok(df["doc_id"].to_numpy() % 3)]
+        return fn
+
+    docs = lambda: _read(sf_dir, "documents", ["doc_id", "text", "lang"])  # noqa: E731
+    existing = docs().map_batches(split(lambda r: r == 0),
+                                  batch_format="pandas")
+    new = docs().map_batches(split(lambda r: r != 0), batch_format="pandas")
+    kept = anti_join_texts(new, existing, text_col="text")
+    out = kept.select_columns(["doc_id", "lang"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def normalized_dedup(sf_dir: str) -> pa.Table:
+    """Near-exact dedup on NORMALIZED text (the standard 'fuzzy-exact'
+    pass run before MinHash in web-corpus pipelines): lowercase, collapse
+    every non-alphanumeric run to one space, trim — then exact dedup on
+    the normalized form keeping the min doc_id.  Normalization runs as
+    zero-copy Arrow kernels (utf8_lower + RE2 replace, the same regex
+    engine DuckDB's oracle uses); the dedup is the two-regime 128-bit
+    exchange of ``exact_dedup_dataset``.  Returns surviving doc ids with
+    lang."""
+    from ..stages.dedup import exact_dedup_dataset
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        nt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t.column("text")), r"[^a-z0-9]+", " "))
+        return t.append_column("__norm", nt)
+
+    kept = exact_dedup_dataset(
+        ds.map_batches(norm, batch_format="pyarrow"), text_col="__norm")
+    out = kept.select_columns(["doc_id", "lang"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 MINHASH_ORACLE_DIR = "/tmp/cckp_minhash_oracle"
 MINHASH_FILT_ORACLE_DIR = "/tmp/cckp_minhash_filt_oracle"
 
@@ -1207,6 +1257,32 @@ def distinct_users_events(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     out = salted_distinct_count(ds, "event_type", "user_id", n_salts=32)
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def window_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact count(DISTINCT user_id) per tumbling 1-DAY window — the
+    windowed-distinct streaming motif (daily active users).  The window
+    is a derived int64 key (floor to day in microseconds); the distinct
+    count is the hot-key-safe salted exchange, so one viral day cannot
+    funnel all its users into a single group task."""
+    from ..stages.groupagg import salted_distinct_count
+
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def win(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start_us": pa.array((us // _DAY_US) * _DAY_US),
+            "user_id": t.column("user_id"),
+        })
+
+    out = salted_distinct_count(
+        ds.map_batches(win, batch_format="pyarrow"),
+        "window_start_us", "user_id", n_salts=32).to_pandas()
+    out["window_start"] = pd.to_datetime(out.pop("window_start_us"), unit="us")
+    return out[["window_start", "n_distinct"]].sort_values(
+        "window_start").reset_index(drop=True)
 
 
 def embedding_norm_stats(sf_dir: str) -> pa.Table:
@@ -1934,6 +2010,73 @@ def mixture_sample(sf_dir: str) -> pa.Table:
     for c in ("n_kept", "sum_n_chars"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def temperature_mixture(sf_dir: str) -> pa.Table:
+    """Temperature-based source-mixture sampling (the multilingual-LM
+    data-mixing op, alpha = 0.5): language l with n_l docs gets quota
+    k_l = min(n_l, T * isqrt(n_l) // sum_l isqrt(n_l)) of a total budget
+    T = floor(N/2) — low-resource languages keep a larger SHARE of their
+    docs than high-resource ones.  All quota arithmetic is integer
+    (isqrt, floor division) so the engine and the SQL oracle agree
+    bit-for-bit with no float-summation-order hazard.  The per-language
+    cap is the distributed grouped top-k with a per-group quota table
+    (O(|langs|) rows — broadcastable by construction); doc preference
+    within a language is the deterministic global-shuffle key.  Returns
+    the per-(lang, source) composition of the sampled corpus."""
+    import math
+
+    from ..stages.ranking import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "__g": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(df.groupby("__g", as_index=False).sum(),
+                                    preserve_index=False)
+
+    counts = _sum_by_key(ds.map_batches(cpart, batch_format="pyarrow"),
+                         ["__g"], ["n"]).to_pandas()
+    total = int(counts["n"].sum())
+    budget = total // 2
+    w = np.array([math.isqrt(int(x)) for x in counts["n"]], dtype=np.int64)
+    sum_w = max(int(w.sum()), 1)
+    counts["k"] = np.minimum(counts["n"].to_numpy(dtype=np.int64),
+                             (budget * w) // sum_w).astype(np.int64)
+    k_table = counts[["__g", "k"]]
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+               .astype(np.uint64)
+        sk = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        g = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False)))
+        t = t.append_column("__h", pa.array(sk.astype(np.int64)))
+        return t.append_column("__g", pa.array(g))
+
+    kept = grouped_top_k(ds.map_batches(key, batch_format="pyarrow"),
+                         ["__g"], ["__h", "doc_id"], k_table=k_table)
+
+    def rpart(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "lang": df["__g"],
+            "source": _sentinel_nulls(df["source"]),
+            "n_kept": 1,
+            "sum_n_chars": df["n_chars"].to_numpy(),
+        })
+        return out.groupby(["lang", "source"], as_index=False).sum()
+
+    out = _sum_by_key(kept.map_batches(rpart, batch_format="pandas"),
+                      ["lang", "source"], ["n_kept", "sum_n_chars"]
+                      ).to_pandas()
+    out = _restore_null_keys(out, ["lang", "source"])
+    for c in ("n_kept", "sum_n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
 def rollup_lang_source(sf_dir: str) -> pa.Table:

@@ -469,6 +469,83 @@ def _pair_isin(dh1_sorted: np.ndarray, dh2_sorted: np.ndarray,
     return out
 
 
+def anti_join_texts(new_ds, existing_ds, text_col: str = "text",
+                    batch_size: int = 65536,
+                    broadcast_limit: int = 2_000_000,
+                    n_buckets: int = 64):
+    """Incremental-crawl dedup: keep rows of ``new_ds`` whose exact text
+    content appears nowhere in ``existing_ds`` — the "don't re-ingest
+    what a prior snapshot already holds" curation step, i.e. a
+    distributed anti-semi-join on 128-bit content keys.  NULL contents
+    compare equal (``IS NOT DISTINCT FROM`` semantics), matching the
+    hash-key decision rule.
+
+    The existing corpus is reduced to its DISTINCT content keys first:
+    per-batch drop_duplicates bounds each batch's partial, then ONE keyed
+    exchange (vectorized ``Count`` aggregate — no per-group Python)
+    produces the distinct-key Dataset, ints only.
+
+    * Broadcast regime (≤ ``broadcast_limit`` distinct keys): the sorted
+      key arrays ship once per task inside the filter closure; each new
+      batch probes by binary search.  Right-sized for the common case of
+      deduping a daily crawl against a bounded URL/content frontier.
+    * Join regime: bucketed hash LEFT join of the keyed new side against
+      the distinct-key Dataset; unmatched rows survive.  Two all-to-all
+      exchanges of int keys — the honest cost when the frontier itself is
+      corpus-sized.
+    """
+    from ray.data.aggregate import Count
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
+        g = pd.DataFrame({"k1": k1, "k2": k2}).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    distinct = (
+        existing_ds.select_columns([text_col])
+        .map_batches(key_partial, batch_format="pyarrow",
+                     batch_size=batch_size)
+        .groupby(["k1", "k2"]).aggregate(Count())
+        .select_columns(["k1", "k2"])
+        .materialize()
+    )
+
+    if distinct.count() <= broadcast_limit:
+        dk = distinct.to_pandas()
+        order = np.lexsort((dk["k2"].to_numpy(), dk["k1"].to_numpy()))
+        dh1 = dk["k1"].to_numpy()[order]
+        dh2 = dk["k2"].to_numpy()[order]
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            h1, h2 = _pair_keys(df[text_col].to_numpy())
+            return df[~_pair_isin(dh1, dh2, h1, h2)]
+
+        return new_ds.map_batches(keep, batch_format="pandas",
+                                  batch_size=batch_size)
+
+    from .joins import hash_join, restore_plain_ints
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = _pair_keys(df[text_col].to_numpy())
+        df = df.copy()
+        df["k1"], df["k2"] = h1, h2
+        return df
+
+    flagged = distinct.map_batches(
+        lambda df: df.assign(__hit=np.int64(1)), batch_format="pandas")
+    keyed = new_ds.map_batches(add_keys, batch_format="pandas",
+                               batch_size=batch_size)
+    j = hash_join(keyed, flagged, on=["k1", "k2"], how="left",
+                  n_buckets=n_buckets)
+
+    def keep_joined(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df["__hit"].isna().to_numpy()
+        return restore_plain_ints(
+            df[mask].drop(columns=["k1", "k2", "__hit"]))
+
+    return j.map_batches(keep_joined, batch_format="pandas")
+
+
 def drop_duplicate_paragraphs(ds, text_col: str = "text",
                               id_col: str = "doc_id",
                               batch_size: int = 8192):

@@ -66,11 +66,21 @@ def _rank_within_runs(df: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
 
 
 def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
-                  k: int, descending: list[bool] | None = None):
+                  k: int | None = None,
+                  descending: list[bool] | None = None,
+                  k_table: pd.DataFrame | None = None):
     """Keep the first ``k`` rows per key under ``ORDER BY order_cols``
     (SQL ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k``
     semantics — make ``order_cols`` end in a tiebreaker column for a
     deterministic result).  Returns a Dataset.
+
+    ``k_table``: optional per-group cap — a SMALL driver-side frame with
+    ``key_cols`` + a ``k`` column (O(|groups|) rows; it is shipped inside
+    the map closure, so use it only when the group count is broadcastable
+    — e.g. corpus sources/languages, not web domains).  Groups absent
+    from ``k_table`` fall back to ``k`` (or 0 when ``k`` is None, i.e.
+    dropped).  Used by temperature-based mixture sampling where every
+    source gets its own quota.
     """
     import ray.data as rd
 
@@ -79,11 +89,18 @@ def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
     sort_cols = list(key_cols) + list(order_cols)
     desc = [False] * len(key_cols) + list(descending)
     sorted_ds = ds.sort(sort_cols, descending=desc)
+    default_k = 0 if k is None else int(k)
+
+    def _row_caps(df: pd.DataFrame) -> np.ndarray:
+        if k_table is None:
+            return np.full(len(df), default_k, dtype=np.int64)
+        m = df[key_cols].merge(k_table, on=key_cols, how="left")
+        return m["k"].fillna(default_k).to_numpy(dtype=np.int64)
 
     def block_top(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df.assign(__edge=pd.Series([], dtype=bool))
-        keep = _rank_within_runs(df, key_cols) < k
+        keep = _rank_within_runs(df, key_cols) < _row_caps(df)
         out = df[keep].copy()
         out["__edge"] = _edge_mask(df, key_cols)[keep]
         return out
@@ -110,7 +127,7 @@ def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
             sort_cols, ascending=[not d for d in desc],
             kind="mergesort", na_position="last").reset_index(drop=True)
         final_edge = edge_sorted[
-            _rank_within_runs(edge_sorted, key_cols) < k]
+            _rank_within_runs(edge_sorted, key_cols) < _row_caps(edge_sorted)]
         if len(final_edge):
             interior = interior.union(rd.from_pandas(
                 final_edge.reset_index(drop=True)))

@@ -608,3 +608,38 @@ def test_drop_near_dups_task_cc_matches_distributed_cc(ray_session):
     pd.testing.assert_frame_equal(small, big)
     # min-id reps + untouched ids survive
     assert set(small["doc_id"]) == {100, 200, 300, 400, 999, 1000}
+
+
+def test_anti_join_texts_regimes_match(ray_session):
+    """Incremental-crawl dedup: the broadcast and bucketed-join regimes
+    must keep exactly the same new-side rows, and both must match a
+    pandas set-membership oracle (NULL text == NULL text)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import anti_join_texts
+
+    rng = np.random.default_rng(5)
+    n = 1200
+    content = rng.integers(0, 400, n)
+    texts = np.array([f"crawl page body {c}" for c in content], dtype=object)
+    texts[::97] = None  # NULL contents on both sides
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts,
+                       "lang": np.where(content % 2 == 0, "en", "de")})
+    exist_mask = df["doc_id"] % 3 == 0
+    existing = rd.from_pandas(df[exist_mask]).repartition(6)
+    new = rd.from_pandas(df[~exist_mask]).repartition(6)
+
+    # membership oracle including None (None == None on both sides)
+    want_keys = set(df.loc[exist_mask, "text"])
+    oracle_ids = {int(r.doc_id) for r in df[~exist_mask].itertuples()
+                  if r.text not in want_keys}
+
+    bc = anti_join_texts(new, existing, broadcast_limit=10**9) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    jn = anti_join_texts(new, existing, broadcast_limit=0, n_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc[sorted(bc.columns)],
+                                  jn[sorted(jn.columns)])
+    assert set(bc["doc_id"]) == oracle_ids
+    assert str(bc["doc_id"].dtype) == "int64"

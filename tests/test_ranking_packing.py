@@ -135,3 +135,41 @@ def test_truncated_ppm_header_is_decode_failure():
     dec = DecodeImage()
     assert dec._decode(b"P6\n13 5\n255") is None
     assert dec._decode(b"P6\n13 5\n255\n") is None  # header ok, no pixels
+
+
+def test_grouped_top_k_per_group_quota(ray_session):
+    """k_table gives each group its own cap; groups absent from the
+    table fall back to the scalar k (0 when k is None → dropped)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.ranking import grouped_top_k
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame({
+        "grp": rng.integers(0, 8, n).astype(np.int64),
+        "val": rng.integers(0, 30, n),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    # quota only for groups 0-5; 6 and 7 are absent from k_table
+    k_table = pd.DataFrame({"grp": np.arange(6, dtype=np.int64),
+                            "k": np.array([1, 2, 4, 8, 16, 0])})
+    ds = rd.from_pandas(df).repartition(16)
+
+    got = grouped_top_k(ds, ["grp"], ["val", "rid"],
+                        k_table=k_table).to_pandas()
+    got = got.sort_values("rid").reset_index(drop=True)[df.columns.tolist()]
+    quota = dict(zip(k_table["grp"], k_table["k"]))
+    want = (df.sort_values(["val", "rid"], kind="mergesort")
+              .groupby("grp", sort=False, group_keys=False)
+              .apply(lambda g: g.head(quota.get(g.name, 0)),
+                     include_groups=True)
+              .sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[df.columns.tolist()])
+    assert not (got["grp"] >= 6).any()  # absent groups dropped
+
+    # fallback: absent groups get scalar k
+    got2 = grouped_top_k(ds, ["grp"], ["val", "rid"], k=3,
+                         k_table=k_table).to_pandas()
+    counts = got2.groupby("grp").size()
+    assert counts.get(6, 0) == 3 and counts.get(7, 0) == 3
