@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q.mixture_sample,
         "temperature_mixture": q.temperature_mixture,
         "rollup_lang_source": q.rollup_lang_source,
+        "tfidf_top_terms": q.tfidf_top_terms,
+        "label_centroids": q.label_centroids,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1353,6 +1355,55 @@ def oracle_sql() -> dict[str, str]:
                  ON r.lang IS NOT DISTINCT FROM qu.lang
             WHERE r.rn <= qu.ks
             GROUP BY r.lang, r.source ORDER BY r.lang, r.source
+        """,
+        # TF-IDF: idf pre-rounded to integer micro-nats per word type
+        # (same half-away rounding CASE as unigram_logprob), scores are
+        # exact integer products
+        "tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(
+                           string_split(coalesce(text, ''), ' '),
+                           w -> w <> '')) AS w
+                FROM documents),
+            tf AS (SELECT lang, w, count(*) AS tf
+                   FROM words GROUP BY lang, w),
+            dfq AS (SELECT w, count(DISTINCT doc_id) AS df
+                    FROM words GROUP BY w),
+            nd AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                    ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS idf_e6
+                FROM (SELECT w, 1e6 * ln(n / df) AS x FROM dfq, nd)),
+            scored AS (
+                SELECT t.lang, t.w AS word,
+                       t.tf * i.idf_e6 AS score_e6,
+                       row_number() OVER (
+                           PARTITION BY t.lang
+                           ORDER BY t.tf * i.idf_e6 DESC, t.w ASC) AS rk
+                FROM tf t JOIN idf i ON t.w = i.w)
+            SELECT lang, word, CAST(score_e6 AS BIGINT) AS score_e6,
+                   CAST(rk AS BIGINT) AS rk
+            FROM scored WHERE rk <= 10 ORDER BY lang, rk
+        """,
+        # per-label centroid sums: elements pre-rounded to e6 ints so the
+        # sums are order-independent exact integers; embedding[i] is
+        # 1-based in DuckDB, matching the engine's 1-based pos
+        "label_centroids": """
+            WITH flat AS (
+                SELECT label,
+                       unnest(embedding) AS v,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   count(*) AS n_vecs,
+                   CAST(sum(CAST(CASE WHEN 1e6 * v >= 0
+                                 THEN floor(1e6 * v + 0.5)
+                                 ELSE -floor(-1e6 * v + 0.5)
+                                 END AS BIGINT)) AS BIGINT) AS sum_e6
+            FROM flat GROUP BY label, pos ORDER BY label, pos
         """,
         # GROUP BY ROLLUP (lang, source): grp is the GROUPING() bit
         # vector (leaf 0, lang subtotal 1, grand total 3); aggregated-out

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "temperature_mixture",
     "normalized_dedup",
     "window_distinct_users",
+    "tfidf_top_terms",
+    "label_centroids",
 ]
 
 

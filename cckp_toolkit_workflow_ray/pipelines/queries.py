@@ -1463,6 +1463,102 @@ def word_frequencies(sf_dir: str) -> pa.Table:
     return top
 
 
+def tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """Per-language top-10 TF-IDF terms — the corpus-characterization op
+    (what vocabulary distinguishes each language slice).  ONE corpus
+    pass computes BOTH per-(lang, word) term frequencies and per-doc
+    document frequencies (a doc lives wholly in one batch, so per-batch
+    dfs sum exactly); the exchange is the sorted-run keyed sum at
+    vocabulary cardinality.  IDF is pre-rounded to integer micro-nats
+    per word TYPE with libm ``math.log`` (the ``lm_score`` ulp
+    discipline), so scores are exact int64 products and the top-k order
+    cannot be flipped by float summation."""
+    import math
+
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_docs = ds.count()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        langs = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False))).to_numpy()
+        per_doc = [[w for w in (x or "").split(" ") if w] for x in texts]
+        lens = np.array([len(p) for p in per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"lang": [], "word": [],
+                                 "tf": np.array([], dtype=np.int64),
+                                 "dfp": np.array([], dtype=np.int64)})
+        flat = pd.DataFrame({
+            "lang": np.repeat(langs, lens),
+            "word": np.concatenate(
+                [np.array(p, dtype=object) for p in per_doc if p]),
+            "doc": np.repeat(np.arange(len(texts)), lens),
+        })
+        tf = flat.groupby(["lang", "word"], as_index=False).size() \
+                 .rename(columns={"size": "tf"})
+        dfp = flat.drop_duplicates(["doc", "word"]) \
+                  .groupby(["lang", "word"], as_index=False).size() \
+                  .rename(columns={"size": "dfp"})
+        return tf.merge(dfp, on=["lang", "word"])
+
+    agg = sorted_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "word"], ["tf", "dfp"])
+
+    # a doc has exactly one lang, so df(word) = sum over langs of dfp
+    df_word = agg.groupby("word", as_index=False)["dfp"].sum() \
+                 .rename(columns={"dfp": "df"})
+    df_word["idf_e6"] = _round_half_away(np.array(
+        [1e6 * math.log(n_docs / d) for d in
+         df_word["df"].to_numpy(dtype=np.float64)],
+        dtype=np.float64)).astype(np.int64)
+    agg = agg.merge(df_word[["word", "idf_e6"]], on="word")
+    agg["score_e6"] = agg["tf"].astype(np.int64) * agg["idf_e6"]
+    agg = agg.sort_values(["lang", "score_e6", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+    agg["rk"] = (agg.groupby("lang").cumcount() + 1).astype(np.int64)
+    out = agg[agg["rk"] <= 10][["lang", "word", "score_e6", "rk"]]
+    return _restore_null_keys(out.reset_index(drop=True), ["lang"])
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid sums — the aggregate that builds
+    cluster centroids for semantic dedup / IVF training at corpus scale.
+    Each element is pre-rounded to an integer micro-unit (e6) so the
+    per-label sums are exact int64 arithmetic in any order; the partial
+    per batch is a (|labels| × dim) wide frame, the exchange is a tiny
+    keyed sum, and the (label, pos) long format melts only the final
+    O(labels × dim) result on the driver."""
+    from ..stages.similarity import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    dim = len(ds.take(1)[0]["embedding"])
+    sum_cols = [f"s{i}" for i in range(dim)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t.column("embedding"))
+        e6 = _round_half_away(1e6 * m).astype(np.int64)
+        df = pd.DataFrame(e6, columns=sum_cols)
+        df["label"] = t.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df["n_vecs"] = np.int64(1)
+        return pa.Table.from_pandas(
+            df.groupby("label", as_index=False).sum(), preserve_index=False)
+
+    wide = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["label"], sum_cols + ["n_vecs"]).to_pandas()
+    long = wide.melt(id_vars=["label", "n_vecs"], value_vars=sum_cols,
+                     var_name="pos", value_name="sum_e6")
+    long["pos"] = long["pos"].str.slice(1).astype(np.int64) + 1  # 1-based
+    for c in ("label", "n_vecs", "sum_e6"):
+        long[c] = long[c].astype(np.int64)
+    return long[["label", "pos", "n_vecs", "sum_e6"]].sort_values(
+        ["label", "pos"]).reset_index(drop=True)
+
+
 def paragraph_dedup(sf_dir: str) -> pa.Table:
     """Corpus-wide paragraph dedup (CCNet/RefinedWeb boilerplate
     removal), SQL-oracled exactly: the corpus is documents ∪ exact
