@@ -703,6 +703,11 @@ def oracle_sql() -> dict[str, str]:
         # per-doc simhash table the query wrote to parquet; DuckDB's
         # BIGINT bit_count counts the 64-bit two's-complement pattern,
         # identical to the engine's uint64 popcount
+        # NOTE: the engine caps LSH band buckets at max_bucket members
+        # (logged warning, recall-for-boundedness trade at corpus scale);
+        # a capped bucket would make the engine a strict SUBSET of this
+        # exact-equality oracle.  The conformance corpora are sized far
+        # under the cap, so no bucket is ever skipped here.
         "simhash_dedup": """
             WITH sims AS (
                 SELECT * FROM read_parquet('/tmp/cckp_simhash_oracle/sims/*.parquet')

@@ -85,3 +85,15 @@ def isin_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
         return np.zeros(len(values), dtype=bool)
     pos = np.clip(np.searchsorted(sorted_arr, values), 0, sorted_arr.size - 1)
     return sorted_arr[pos] == values
+
+
+def shuffle_key(ids: np.ndarray) -> np.ndarray:
+    """The deterministic global-shuffle ordering key: Knuth
+    multiplicative hash ``(id * 2654435761) % 2^32`` as int64.  ONE
+    definition shared by global_shuffle / mixture_sample /
+    temperature_mixture and spelled out verbatim in their SQL oracles —
+    changing it here without changing the oracles breaks the documented
+    "same shuffle order" relationship between the sampling queries."""
+    u = np.asarray(ids).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return ((u * _U64(2654435761)) % _U64(2**32)).astype(np.int64)

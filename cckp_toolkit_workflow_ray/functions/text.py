@@ -21,6 +21,21 @@ from .hashing import hash_strings, splitmix64
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
+# DuckDB's string_split_regex / regexp_replace use RE2, whose \s is
+# EXACTLY [\t\n\f\r ] — no \x0b, no Unicode whitespace.  Every engine
+# tokenizer that feeds a '\s+' SQL oracle must split on THIS class:
+# python str.split() (all Unicode whitespace + \x0b) and even
+# re.split(r"\s+", ..., re.ASCII) (includes \x0b) silently diverge on
+# vertical-tab / NBSP / line-separator bytes in real web text.
+RE2_WS = re.compile(r"[\t\n\f\r ]+")
+
+
+def re2_words(text) -> list[str]:
+    """RE2-``\\s+`` word split with empty tokens dropped — the shared
+    tokenization of every word-gram operator whose oracle splits with
+    ``string_split_regex(text, '\\s+')``."""
+    return [w for w in RE2_WS.split(text or "") if w]
+
 STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that with for on".split()
 )
@@ -197,12 +212,15 @@ def word_repetition_metrics(texts: pd.Series) -> pd.DataFrame:
     """Per-doc repetition metrics (the Gopher / MassiveText quality-filter
     family): ``max_word_count`` (count of the most frequent word),
     ``total_words``, ``distinct_words`` — all int64, 0 for empty/null
-    text.  Tokenization = python ``str.split()`` (whitespace runs).
+    text.  Tokenization = the RE2-``\\s+`` split shared with the SQL
+    oracle (``RE2_WS``; python ``str.split()`` would also split \\x0b
+    and Unicode whitespace and silently diverge from the oracle).
 
     Vectorized: one pandas split/explode + two C-level groupbys per
     batch — no Python per row."""
     s = texts.fillna("").reset_index(drop=True)
-    w = s.str.split().explode().dropna()
+    w = s.str.split(RE2_WS, regex=True).explode().dropna()
+    w = w[w != ""]  # regex split keeps empty edge tokens; the oracle drops them
     n = len(s)
     out = pd.DataFrame({
         "max_word_count": np.zeros(n, dtype=np.int64),

@@ -41,6 +41,7 @@ def _int_or_float64(s: pd.Series) -> pd.Series:
 
 
 from ..functions.numeric import round_half_away as _round_half_away
+from ..functions.hashing import shuffle_key as _shuffle_key
 
 
 def _sum_by_key(partials, keys: list[str], cols: list[str]):
@@ -796,13 +797,13 @@ def _char5_grams_sql(t: str) -> np.ndarray:
 
 def _word3_grams_sql(t: str) -> np.ndarray:
     """Distinct hashed word 3-grams with the SQL oracle's semantics: split
-    on ASCII whitespace runs (RE2 '\\s+' — python str.split() would also
-    split unicode whitespace), <3 words → the single joined gram."""
-    import re
-
+    on RE2 '\\s+' = [\\t\\n\\f\\r ] exactly (python str.split() would
+    also split \\x0b and unicode whitespace), <3 words → the single
+    joined gram."""
     from ..functions.hashing import hash_strings
+    from ..functions.text import re2_words
 
-    words = [w for w in re.split(r"\s+", t, flags=re.ASCII) if w]
+    words = re2_words(t)
     if not words:
         return np.empty(0, dtype=np.uint64)
     if len(words) < 3:
@@ -1487,7 +1488,8 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
         per_doc = [[w for w in (x or "").split(" ") if w] for x in texts]
         lens = np.array([len(p) for p in per_doc], dtype=np.int64)
         if lens.sum() == 0:
-            return pd.DataFrame({"lang": [], "word": [],
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
                                  "tf": np.array([], dtype=np.int64),
                                  "dfp": np.array([], dtype=np.int64)})
         flat = pd.DataFrame({
@@ -1764,9 +1766,12 @@ def decontaminate(sf_dir: str) -> pa.Table:
     def first13(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(ids % 97 == 0))
+        from ..functions.text import re2_words
+
         texts = t.column("text").to_numpy(zero_copy_only=False)
-        snips = [" ".join((txt or "").split()[:13]) for txt in texts]
-        keep = [len((txt or "").split()) >= 13 for txt in texts]
+        words = [re2_words(txt) for txt in texts]
+        snips = [" ".join(ws[:13]) for ws in words]
+        keep = [len(ws) >= 13 for ws in words]
         return pa.table({"text": pa.array(
             [s for s, k in zip(snips, keep) if k], type=pa.string())})
 
@@ -1935,11 +1940,10 @@ def global_shuffle(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-               .astype(np.uint64)
-        sk = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sk = _shuffle_key(ids)
         return pa.table({"doc_id": t.column("doc_id"),
-                         "shuffle_key": pa.array(sk.astype(np.int64)),
+                         "shuffle_key": pa.array(sk),
                          "one": pa.array(np.ones(len(ids), dtype=np.int64))})
 
     keyed = ds.map_batches(key, batch_format="pyarrow")
@@ -2082,10 +2086,8 @@ def mixture_sample(sf_dir: str) -> pa.Table:
     k = int(counts["n"].min()) if len(counts) else 0
 
     def key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-               .astype(np.uint64)
-        sk = (ids * np.uint64(2654435761)) % np.uint64(2**32)
-        return t.append_column("__h", pa.array(sk.astype(np.int64)))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__h", pa.array(_shuffle_key(ids)))
 
     kept = grouped_top_k(ds.map_batches(key, batch_format="pyarrow"),
                          ["source"], ["__h", "doc_id"], k=k)
@@ -2146,12 +2148,10 @@ def temperature_mixture(sf_dir: str) -> pa.Table:
     k_table = counts[["__g", "k"]]
 
     def key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
-               .astype(np.uint64)
-        sk = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         g = _sentinel_nulls(pd.Series(
             t.column("lang").to_numpy(zero_copy_only=False)))
-        t = t.append_column("__h", pa.array(sk.astype(np.int64)))
+        t = t.append_column("__h", pa.array(_shuffle_key(ids)))
         return t.append_column("__g", pa.array(g))
 
     kept = grouped_top_k(ds.map_batches(key, batch_format="pyarrow"),

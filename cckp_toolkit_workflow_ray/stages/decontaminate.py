@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash_strings
+from ..functions.text import re2_words
 from .dedup import _pair_isin
 
 
@@ -32,8 +33,9 @@ def word_ngrams_strict(text: str, n: int) -> np.ndarray:
     """All n-word grams (joined by single space) — STRICT: a doc with
     fewer than n words has none (unlike the shingling fallback in
     ``dedup.word_ngram_hashes``, which would let a short doc alias a
-    benchmark prefix)."""
-    words = (text or "").split()
+    benchmark prefix).  Tokenization is the RE2-``\\s+`` split shared
+    with the SQL oracles (``functions.text.re2_words``)."""
+    words = re2_words(text)
     if len(words) < n:
         return np.empty(0, dtype=object)
     return np.array([" ".join(words[i:i + n])

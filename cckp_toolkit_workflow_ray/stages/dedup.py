@@ -481,9 +481,11 @@ def anti_join_texts(new_ds, existing_ds, text_col: str = "text",
     hash-key decision rule.
 
     The existing corpus is reduced to its DISTINCT content keys first:
-    per-batch drop_duplicates bounds each batch's partial, then ONE keyed
-    exchange (vectorized ``Count`` aggregate — no per-group Python)
-    produces the distinct-key Dataset, ints only.
+    per-batch drop_duplicates bounds each batch's partial, then the
+    sorted-run distinct (``groupagg.sorted_distinct_keys`` — one range
+    sort, per-block vectorized dedup, no per-group aggregate overhead at
+    corpus-sized key cardinality) produces the distinct-key Dataset,
+    ints only, still distributed.
 
     * Broadcast regime (≤ ``broadcast_limit`` distinct keys): the sorted
       key arrays ship once per task inside the filter closure; each new
@@ -494,21 +496,19 @@ def anti_join_texts(new_ds, existing_ds, text_col: str = "text",
       exchanges of int keys — the honest cost when the frontier itself is
       corpus-sized.
     """
-    from ray.data.aggregate import Count
+    from .groupagg import sorted_distinct_keys
 
     def key_partial(t: pa.Table) -> pa.Table:
         k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
         g = pd.DataFrame({"k1": k1, "k2": k2}).drop_duplicates()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    distinct = (
+    distinct = sorted_distinct_keys(
         existing_ds.select_columns([text_col])
         .map_batches(key_partial, batch_format="pyarrow",
-                     batch_size=batch_size)
-        .groupby(["k1", "k2"]).aggregate(Count())
-        .select_columns(["k1", "k2"])
-        .materialize()
-    )
+                     batch_size=batch_size),
+        ["k1", "k2"],
+    ).materialize()
 
     if distinct.count() <= broadcast_limit:
         dk = distinct.to_pandas()
@@ -613,8 +613,12 @@ def drop_duplicate_paragraphs(ds, text_col: str = "text",
 
 
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Distinct hashed word n-grams of one document (uint64)."""
-    words = (text or "").split()
+    """Distinct hashed word n-grams of one document (uint64).
+    Tokenization is the RE2-``\\s+`` split shared with the SQL oracles
+    (``functions.text.re2_words``)."""
+    from ..functions.text import re2_words
+
+    words = re2_words(text)
     if not words:
         return np.empty(0, dtype=np.uint64)
     if len(words) < n:

@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.nulls import restore_null_keys, sentinel_nulls
+from ..functions.text import re2_words
 from .decontaminate import _gram_hash_pairs, word_ngrams_strict
 from .dedup import _pair_isin, find_duplicate_int_keys_two_regime
 
@@ -162,11 +163,15 @@ def _dup_rollup_join(ds, dup_ds, text_col: str, lang_col: str, id_col: str,
 
     def base_partial(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_numpy(zero_copy_only=False)
-        _, lens = _doc_distinct_grams(texts, n)
+        # a doc has >=1 distinct n-gram iff it has >= n words — the cheap
+        # word-count test; building/hashing every gram here paid a whole
+        # extra corpus pass of gram construction (review r3 finding)
+        has_grams = np.array([len(re2_words(x)) >= n for x in texts],
+                             dtype=np.int64)
         df = pd.DataFrame({
             "lang": sentinel_nulls(pd.Series(
                 t.column(lang_col).to_numpy(zero_copy_only=False))),
-            "n_docs": (lens > 0).astype(np.int64),
+            "n_docs": has_grams,
             "n_flagged": 0, "n_dup_grams": 0,
         })
         return pa.Table.from_pandas(

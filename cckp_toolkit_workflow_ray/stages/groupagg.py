@@ -63,10 +63,18 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
     vectorized pandas groupby-sum per block for block-INTERIOR keys
     (after a global sort a key interior to a block cannot appear in any
     other block) → the ≤2 block-EDGE keys per block (the only keys that
-    can span blocks) merge exactly in a tiny driver groupby bounded by
-    2 × n_blocks rows.  Returns the O(groups) result as a DataFrame —
-    the same driver-bound output every keyed-sum query already returns.
+    can span blocks) are COMBINED per block before shipping, so the
+    driver merge is genuinely bounded by 2 × n_blocks rows even when one
+    hot key's partials fill many blocks (a raw-row edge pass would ship
+    every partial row of that key — review r3 finding).  Returns the
+    O(groups) result as a DataFrame — the same driver-bound output every
+    keyed-sum query already returns.
     """
+    # NaN-safe edge detection shared with the grouped top-k (same
+    # sorted-run contract); see ranking._edge_mask for the NULL-group
+    # rationale
+    from .ranking import _edge_mask
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(key_cols, as_index=False, dropna=False)[sum_cols].sum()
 
@@ -74,29 +82,10 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
         combine, batch_format="pandas", batch_size=batch_size
     ).sort(key_cols).materialize()
 
-    def _edge_mask(df: pd.DataFrame) -> np.ndarray:
-        """Rows whose key equals the block's FIRST or LAST row's key,
-        NaN-safely (plain `==` is always False for NaN, which silently
-        dropped the NULL-key group — review r3 finding).  Positional
-        first/last is what defines a block edge under Ray's sort order,
-        whatever that order puts NaN at."""
-        mask = np.zeros(len(df), dtype=bool)
-        for pos in (0, -1):
-            m = np.ones(len(df), dtype=bool)
-            for c in key_cols:
-                col = df[c]
-                ref = col.iloc[pos]
-                if pd.isna(ref):
-                    m &= col.isna().to_numpy()
-                else:
-                    m &= (col == ref).to_numpy()
-            mask |= m
-        return mask
-
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        inner = df[~_edge_mask(df)]
+        inner = df[~_edge_mask(df, key_cols)]
         if inner.empty:
             return inner
         return inner.groupby(key_cols, as_index=False, dropna=False)[
@@ -105,7 +94,11 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
     def edges(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        return df[_edge_mask(df)]
+        e = df[_edge_mask(df, key_cols)]
+        if e.empty:
+            return e
+        return e.groupby(key_cols, as_index=False, dropna=False)[
+            sum_cols].sum()
 
     # batch_size=None → one call per block, so "block edge" is well-defined
     interior_df = sorted_ds.map_batches(
@@ -116,6 +109,45 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
         sum_cols].sum() if len(edge_rows) else edge_rows
     out = pd.concat([interior_df, edge_sum], ignore_index=True)
     return out.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+
+
+def sorted_distinct_keys(partials, key_cols: list[str]):
+    """DISTINCT key rows at ANY cardinality as a DATASET — the sorted-run
+    motif applied to set-dedup: a ``groupby(keys).aggregate`` pays Ray's
+    per-group overhead (~1.5 ms/group — hours at corpus-sized key
+    cardinality), while this shape pays ONE range sort, then per block
+    (``batch_size=None`` → one call per block) a vectorized
+    ``drop_duplicates``: keys interior to a block are final in place and
+    stay distributed; the ≤2 block-EDGE keys per block contribute one
+    deduped row each, so the driver reconciliation is bounded by
+    2 × n_blocks rows.  Callers should pre-dedup per batch so the sort
+    moves each batch's distinct keys, not raw rows."""
+    import ray.data as rd
+
+    from .ranking import _edge_mask
+
+    sorted_ds = partials.sort(key_cols)
+
+    def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(__edge=pd.Series([], dtype=bool))
+        d = df.drop_duplicates(key_cols).copy()
+        d["__edge"] = _edge_mask(d, key_cols)
+        return d
+
+    capped = sorted_ds.map_batches(
+        block_distinct, batch_format="pandas", batch_size=None).materialize()
+    interior = capped.map_batches(
+        lambda df: df[~df["__edge"]].drop(columns="__edge"),
+        batch_format="pandas")
+    edge_rows = capped.map_batches(
+        lambda df: df[df["__edge"]].drop(columns="__edge"),
+        batch_format="pandas").to_pandas()
+    if len(edge_rows):
+        edge_rows = edge_rows.drop_duplicates(key_cols)
+        interior = interior.union(
+            rd.from_pandas(edge_rows.reset_index(drop=True)))
+    return interior
 
 
 def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,

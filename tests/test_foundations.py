@@ -348,3 +348,66 @@ def test_unigram_model_train_score_hand_values(ray_session):
     scored2 = {r["doc_id"]: r for r in
                score_documents(ds, vocab2, lp2, oov2).take_all()}
     assert scored2[2]["logprob_e6"] == exp["b"] + oov2
+
+
+def test_re2_whitespace_tokenizer_matches_duckdb():
+    """Engine word tokenization must match DuckDB's RE2 '\\s+' exactly —
+    including the corner bytes where python diverges: \\x0b (RE2 \\s
+    excludes it, python str.split()/re.ASCII include it) and Unicode
+    whitespace (NBSP, line separator)."""
+    import duckdb
+
+    from cckp_toolkit_workflow_ray.functions.text import re2_words
+
+    fixtures = [
+        "plain ascii words",
+        "tab\tand\nnewline\rand\fformfeed",
+        "vertical\x0btab stays glued",      # \x0b is NOT RE2 whitespace
+        "nbsp\xa0stays line sep stays",  # Unicode ws is NOT RE2 ws
+        "  leading and trailing  ",
+        "", "\x0b", "\t\t",
+    ]
+    con = duckdb.connect()
+    for t in fixtures:
+        want = [w for w in con.execute(
+            "SELECT string_split_regex(?, '\\s+')", [t]).fetchone()[0]
+            if w != ""]
+        assert re2_words(t) == want, repr(t)
+
+
+def test_word_repetition_metrics_re2_semantics():
+    """word_repetition_metrics tokenizes like the '\\s+' oracle: \\x0b
+    and NBSP glue words together instead of splitting them."""
+    import pandas as pd
+
+    from cckp_toolkit_workflow_ray.functions.text import word_repetition_metrics
+
+    out = word_repetition_metrics(pd.Series([
+        "a a a",                 # 3 words, 1 distinct
+        "a\x0ba a\xa0a",         # \x0b / NBSP glue -> 2 words, 2 distinct
+        None,
+    ]))
+    assert out["total_words"].tolist() == [3, 2, 0]
+    assert out["distinct_words"].tolist() == [1, 2, 0]
+    assert out["max_word_count"].tolist() == [3, 1, 0]
+
+
+def test_sorted_distinct_keys_matches_pandas(ray_session):
+    """sorted_distinct_keys returns exactly the distinct key rows,
+    including a NULL-key group, across many blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.groupagg import sorted_distinct_keys
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    k1 = rng.integers(0, 80, n).astype(float)
+    k1[rng.random(n) < 0.03] = np.nan
+    df = pd.DataFrame({"k1": k1, "k2": rng.integers(0, 7, n)})
+    ds = rd.from_pandas(df).repartition(16)
+    got = sorted_distinct_keys(ds, ["k1", "k2"]).to_pandas()
+    want = df.drop_duplicates(["k1", "k2"])
+    key = lambda d: sorted(map(tuple, d.fillna(-1).to_numpy().tolist()))
+    assert key(got) == key(want)
