@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lang_source": q.rollup_lang_source,
         "tfidf_top_terms": q.tfidf_top_terms,
         "label_centroids": q.label_centroids,
+        "budget_sample": q.budget_sample,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1409,6 +1410,23 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE -floor(-1e6 * v + 0.5)
                                  END AS BIGINT)) AS BIGINT) AS sum_e6
             FROM flat GROUP BY label, pos ORDER BY label, pos
+        """,
+        # per-lang budget fill: running INCLUSIVE window sum in shuffle
+        # order, all-integer, budget = corpus total // 10
+        "budget_sample": """
+            WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+                FROM documents),
+            b AS (SELECT (sum(n_chars) // 10) AS budget FROM documents)
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM r, b WHERE run <= budget
+            GROUP BY lang ORDER BY lang
         """,
         # GROUP BY ROLLUP (lang, source): grp is the GROUPING() bit
         # vector (leaf 0, lang subtotal 1, grand total 3); aggregated-out

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "window_distinct_users",
     "tfidf_top_terms",
     "label_centroids",
+    "budget_sample",
 ]
 
 

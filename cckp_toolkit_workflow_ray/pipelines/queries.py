@@ -2175,6 +2175,46 @@ def temperature_mixture(sf_dir: str) -> pa.Table:
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
+def budget_sample(sf_dir: str) -> pa.Table:
+    """Per-language corpus-budget sampling: pour documents into each
+    language's bucket in deterministic shuffle order until a fixed char
+    budget (a tenth of the corpus total) is full — the 'fill a 10B-token
+    budget per language' curation step.  SQL semantics: running
+    inclusive ``sum(n_chars) OVER (PARTITION BY lang ORDER BY
+    shuffle_key, doc_id) <= budget``.  Distributed as the order-range-
+    bucketed grouped prefix sum (``stages.packing.grouped_budget_fill``)
+    — no full sort, no driver row set, buckets past the budget pruned
+    before their rows are touched.  Returns the per-lang composition of
+    the filled budget."""
+    from ..stages.packing import grouped_budget_fill
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        g = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False)))
+        t = t.append_column("__h", pa.array(_shuffle_key(ids)))
+        return t.append_column("__g", pa.array(g))
+
+    kept = grouped_budget_fill(
+        ds.map_batches(key, batch_format="pyarrow"),
+        group_col="__g", cost_col="n_chars", order_col="__h",
+        tiebreak_col="doc_id", budget=lambda total: total // 10)
+
+    def rpart(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"lang": df["__g"], "n_kept": 1,
+                            "sum_chars": df["n_chars"].to_numpy()})
+        return out.groupby("lang", as_index=False).sum()
+
+    out = _sum_by_key(kept.map_batches(rpart, batch_format="pandas"),
+                      ["lang"], ["n_kept", "sum_chars"]).to_pandas()
+    out = _restore_null_keys(out, ["lang"])
+    for c in ("n_kept", "sum_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def rollup_lang_source(sf_dir: str) -> pa.Table:
     """GROUPING SETS rollup — SQL ``GROUP BY ROLLUP (lang, source)`` —
     computed as ONE corpus pass: the finest (lang, source) level is the

@@ -88,3 +88,86 @@ def packed_sequence_spans(ds, id_col: str, tokens_col: str,
         batch_format="pandas")
     return ds.groupby("__bucket").map_groups(
         assign_spans, batch_format="pandas")
+
+
+def grouped_budget_fill(ds, group_col: str, cost_col: str,
+                        order_col: str, tiebreak_col: str,
+                        budget, n_buckets: int = 64):
+    """Keep each group's PREFIX, in a deterministic global order, whose
+    running inclusive cost stays within ``budget`` — SQL's
+
+        sum(cost) OVER (PARTITION BY group
+                        ORDER BY order, tiebreak
+                        ROWS UNBOUNDED PRECEDING) <= budget
+
+    i.e. per-language token/char budget filling: pour documents in
+    shuffle order into each language's bucket until the budget is hit.
+
+    Distributed as an ORDER-RANGE-bucketed prefix sum (the sequence-
+    packing motif, grouped): ``order_col`` must be uniform in
+    [0, 2^32) (the shuffle key), so ``bucket = order * n_buckets >> 32``
+    partitions the global order into n_buckets contiguous ranges with no
+    block-identity dependence.  Pass 1: per-(group, bucket) cost sums via
+    a per-batch combiner — O(groups × n_buckets) rows to the driver,
+    whose per-group exclusive scan over ordered buckets yields each
+    (group, bucket)'s base offset.  Pass 2: one ``map_groups`` per
+    (group, bucket) — vectorized within-range cumsum + base, filter to
+    ``run <= budget``.  No full-table driver structure; the broadcast is
+    the O(groups × n_buckets) offset table.
+
+    ``budget``: an int, or a callable receiving the grand-total cost
+    (computed for free from the pass-1 partials) and returning the int
+    budget — e.g. ``lambda total: total // 10``.
+    """
+    import ray
+
+    ds = ds.materialize()
+    nb = np.uint64(n_buckets)
+
+    def _bucket(order_vals: np.ndarray) -> np.ndarray:
+        return ((order_vals.astype(np.uint64) * nb) >> np.uint64(32)) \
+            .astype(np.int64)
+
+    def bsums(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            group_col: df[group_col],
+            "__b": _bucket(df[order_col].to_numpy()),
+            "__c": df[cost_col].to_numpy().astype(np.int64),
+        })
+        return g.groupby([group_col, "__b"], as_index=False,
+                         dropna=False)["__c"].sum()
+
+    sums = ds.map_batches(bsums, batch_format="pandas").to_pandas()
+    sums = sums.groupby([group_col, "__b"], as_index=False,
+                        dropna=False)["__c"].sum() \
+               .sort_values([group_col, "__b"], kind="mergesort",
+                            na_position="last") \
+               .reset_index(drop=True)
+    total = int(sums["__c"].sum())
+    budget_n = int(budget(total)) if callable(budget) else int(budget)
+    sums["__off"] = (sums.groupby(group_col, dropna=False)["__c"].cumsum()
+                     - sums["__c"]).astype(np.int64)
+    # groups whose bucket starts at or past the budget can be pruned
+    # before the second pass ever touches their rows
+    live = sums[sums["__off"] < budget_n]
+    handle = ray.put(live[[group_col, "__b", "__off"]])
+
+    keyed = ds.map_batches(
+        lambda df: df.assign(__b=_bucket(df[order_col].to_numpy())),
+        batch_format="pandas")
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(handle)
+        grp, b = g[group_col].iloc[0], g["__b"].iloc[0]
+        grp_mask = (offs[group_col].isna() if pd.isna(grp)
+                    else offs[group_col] == grp)
+        row = offs[grp_mask & (offs["__b"] == b)]
+        if row.empty:  # bucket pruned: base offset already past budget
+            return g.iloc[0:0].drop(columns="__b")
+        base = int(row["__off"].iloc[0])
+        g = g.sort_values([order_col, tiebreak_col], kind="mergesort")
+        run = base + np.cumsum(g[cost_col].to_numpy().astype(np.int64))
+        return g[run <= budget_n].drop(columns="__b")
+
+    return keyed.groupby([group_col, "__b"]).map_groups(
+        fill, batch_format="pandas")

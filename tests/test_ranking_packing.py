@@ -173,3 +173,41 @@ def test_grouped_top_k_per_group_quota(ray_session):
                          k_table=k_table).to_pandas()
     counts = got2.groupby("grp").size()
     assert counts.get(6, 0) == 3 and counts.get(7, 0) == 3
+
+
+def test_grouped_budget_fill_matches_window_oracle(ray_session):
+    """grouped_budget_fill == SQL running-inclusive-sum <= budget, with
+    NaN groups, budget-boundary rows, and pruned buckets."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.packing import grouped_budget_fill
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    grp = rng.integers(0, 5, n).astype(float)
+    grp[rng.random(n) < 0.04] = np.nan
+    df = pd.DataFrame({
+        "g": grp,
+        "cost": rng.integers(1, 50, n).astype(np.int64),
+        "h": rng.integers(0, 2**32, n).astype(np.int64),  # uniform order key
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    budget = int(df["cost"].sum()) // 20  # small budget -> buckets pruned
+
+    got = grouped_budget_fill(
+        rd.from_pandas(df).repartition(16), "g", "cost", "h", "rid",
+        budget=budget, n_buckets=16).to_pandas()
+
+    s = df.sort_values(["h", "rid"], kind="mergesort")
+    s["run"] = s.groupby("g", dropna=False)["cost"].cumsum()
+    want = s[s["run"] <= budget]
+    key = lambda d: sorted(map(tuple,
+                               d[["g", "rid"]].fillna(-1).to_numpy().tolist()))
+    assert key(got) == key(want)
+    assert len(got)  # budget > max single cost, so something survives
+
+    # callable budget receives the grand total
+    got2 = grouped_budget_fill(
+        rd.from_pandas(df).repartition(16), "g", "cost", "h", "rid",
+        budget=lambda total: total // 20, n_buckets=16).to_pandas()
+    assert key(got2) == key(want)
