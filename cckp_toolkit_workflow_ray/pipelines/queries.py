@@ -44,6 +44,13 @@ from ..functions.numeric import round_half_away as _round_half_away
 from ..functions.hashing import shuffle_key as _shuffle_key
 
 
+def _empty_result(**cols) -> pd.DataFrame:
+    """Typed empty result frame: Ray loses the schema of an EMPTY
+    aggregate stream, so driver-side column access on a fully-empty
+    corpus would KeyError; queries early-return this instead."""
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+
 def _sum_by_key(partials, keys: list[str], cols: list[str]):
     """groupby(keys).sum(cols) over an already-combined partial stream."""
     from ray.data.aggregate import Sum
@@ -595,6 +602,8 @@ def incremental_dedup(sf_dir: str) -> pa.Table:
     new = docs().map_batches(split(lambda r: r != 0), batch_format="pandas")
     kept = anti_join_texts(new, existing, text_col="text")
     out = kept.select_columns(["doc_id", "lang"]).to_pandas()
+    if out.empty and "doc_id" not in out:
+        return _empty_result(doc_id="int64", lang=object)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -620,6 +629,8 @@ def normalized_dedup(sf_dir: str) -> pa.Table:
     kept = exact_dedup_dataset(
         ds.map_batches(norm, batch_format="pyarrow"), text_col="__norm")
     out = kept.select_columns(["doc_id", "lang"]).to_pandas()
+    if out.empty and "doc_id" not in out:
+        return _empty_result(doc_id="int64", lang=object)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1281,6 +1292,9 @@ def window_distinct_users(sf_dir: str) -> pa.Table:
     out = salted_distinct_count(
         ds.map_batches(win, batch_format="pyarrow"),
         "window_start_us", "user_id", n_salts=32).to_pandas()
+    if out.empty and "window_start_us" not in out:
+        return _empty_result(window_start="datetime64[ns]",
+                             n_distinct="int64")
     out["window_start"] = pd.to_datetime(out.pop("window_start_us"), unit="us")
     return out[["window_start", "n_distinct"]].sort_values(
         "window_start").reset_index(drop=True)
@@ -1508,6 +1522,9 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
     agg = sorted_sum_by_key(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["lang", "word"], ["tf", "dfp"])
+    if agg.empty or "word" not in agg:
+        return _empty_result(lang=object, word=object,
+                             score_e6="int64", rk="int64")
 
     # a doc has exactly one lang, so df(word) = sum over langs of dfp
     df_word = agg.groupby("word", as_index=False)["dfp"].sum() \
@@ -1537,7 +1554,11 @@ def label_centroids(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
-    dim = len(ds.take(1)[0]["embedding"])
+    head = ds.take(1)
+    if not head:
+        return _empty_result(label="int64", pos="int64",
+                             n_vecs="int64", sum_e6="int64")
+    dim = len(head[0]["embedding"])
     sum_cols = [f"s{i}" for i in range(dim)]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2083,7 +2104,10 @@ def mixture_sample(sf_dir: str) -> pa.Table:
 
     counts = _sum_by_key(ds.map_batches(cpart, batch_format="pyarrow"),
                          ["source"], ["n"]).to_pandas()
-    k = int(counts["n"].min()) if len(counts) else 0
+    if counts.empty or "n" not in counts:
+        return _empty_result(source=object, lang=object,
+                             n_kept="int64", sum_n_chars="int64")
+    k = int(counts["n"].min())
 
     def key(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2139,6 +2163,9 @@ def temperature_mixture(sf_dir: str) -> pa.Table:
 
     counts = _sum_by_key(ds.map_batches(cpart, batch_format="pyarrow"),
                          ["__g"], ["n"]).to_pandas()
+    if counts.empty or "n" not in counts:
+        return _empty_result(lang=object, source=object,
+                             n_kept="int64", sum_n_chars="int64")
     total = int(counts["n"].sum())
     budget = total // 2
     w = np.array([math.isqrt(int(x)) for x in counts["n"]], dtype=np.int64)
@@ -2209,6 +2236,9 @@ def budget_sample(sf_dir: str) -> pa.Table:
 
     out = _sum_by_key(kept.map_batches(rpart, batch_format="pandas"),
                       ["lang"], ["n_kept", "sum_chars"]).to_pandas()
+    if out.empty and "lang" not in out:
+        return _empty_result(lang=object, n_kept="int64",
+                             sum_chars="int64")
     out = _restore_null_keys(out, ["lang"])
     for c in ("n_kept", "sum_chars"):
         out[c] = out[c].astype(np.int64)

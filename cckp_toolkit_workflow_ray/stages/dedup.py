@@ -510,6 +510,9 @@ def anti_join_texts(new_ds, existing_ds, text_col: str = "text",
         ["k1", "k2"],
     ).materialize()
 
+    if distinct.count() == 0:
+        return new_ds  # empty frontier: nothing to subtract
+
     if distinct.count() <= broadcast_limit:
         dk = distinct.to_pandas()
         order = np.lexsort((dk["k2"].to_numpy(), dk["k1"].to_numpy()))

@@ -108,6 +108,8 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
     edge_sum = edge_rows.groupby(key_cols, as_index=False, dropna=False)[
         sum_cols].sum() if len(edge_rows) else edge_rows
     out = pd.concat([interior_df, edge_sum], ignore_index=True)
+    if out.empty:  # empty corpus: concat of schemaless empties loses cols
+        return pd.DataFrame(columns=key_cols + sum_cols)
     return out.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
 
 
@@ -173,6 +175,13 @@ def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
     # dtype-dependent branch would salt the same entity differently in
     # different batches, double-counting it (review finding r2).
     schema = ds.schema()
+    if schema is None:  # empty upstream: Ray has no schema to probe
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            key: pd.Series([], dtype=object),
+            "n_distinct": pd.Series([], dtype="int64"),
+        }))
     ent_type = dict(zip(schema.names, schema.types)).get(entity)
     ent_is_int = (pa.types.is_integer(ent_type)
                   if isinstance(ent_type, pa.DataType)

@@ -138,6 +138,8 @@ def grouped_budget_fill(ds, group_col: str, cost_col: str,
                          dropna=False)["__c"].sum()
 
     sums = ds.map_batches(bsums, batch_format="pandas").to_pandas()
+    if sums.empty:  # empty corpus: nothing to fill (and no schema to key)
+        return ds
     sums = sums.groupby([group_col, "__b"], as_index=False,
                         dropna=False)["__c"].sum() \
                .sort_values([group_col, "__b"], kind="mergesort",

@@ -215,3 +215,41 @@ def test_quantiles_null_key_holds_all_values(ray_session, tmp_path):
     nk = gq[gq["lang"].isna()]
     # quantile_disc rank for q=0.5 over [3,5] is ceil(0.5*2)=1 -> 3
     assert len(nk) == 1 and nk["q50"].iloc[0] == 3 and nk["q90"].iloc[0] == 5
+
+
+def test_queries_survive_empty_corpus(ray_session, tmp_path):
+    """A fully EMPTY corpus (0-row tables, real schemas) must yield
+    typed empty results, not KeyErrors — Ray loses the schema of empty
+    aggregate streams, so every driver-side column access needs the
+    typed-empty guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "empty_sf")
+    import os
+    os.makedirs(d)
+    for t in TABLES:
+        src = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(
+            pa.table({n: pa.array([], type=src.field(n).type)
+                      for n in src.names}),
+            f"{d}/{t}.parquet")
+
+    qs = entrymod.queries()
+    expect = {
+        "temperature_mixture": ["lang", "source", "n_kept", "sum_n_chars"],
+        "mixture_sample": ["source", "lang", "n_kept", "sum_n_chars"],
+        "incremental_dedup": ["doc_id", "lang"],
+        "normalized_dedup": ["doc_id", "lang"],
+        "window_distinct_users": ["window_start", "n_distinct"],
+        "tfidf_top_terms": ["lang", "word", "score_e6", "rk"],
+        "label_centroids": ["label", "pos", "n_vecs", "sum_e6"],
+        "budget_sample": ["lang", "n_kept", "sum_chars"],
+        "word_frequencies": ["word", "n", "rk"],
+    }
+    for name, cols in expect.items():
+        out = qs[name](d)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert len(out) == 0, name
+        assert list(out.columns) == cols, (name, list(out.columns))
