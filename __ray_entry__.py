@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q.tfidf_top_terms,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
+        "cluster_composition": q.cluster_composition,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         # window + join operators
@@ -1410,6 +1411,13 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE -floor(-1e6 * v + 0.5)
                                  END AS BIGINT)) AS BIGINT) AS sum_e6
             FROM flat GROUP BY label, pos ORDER BY label, pos
+        """,
+        "cluster_composition": """
+            SELECT d.lang, CAST(e.label AS BIGINT) AS label,
+                   count(*) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY d.lang, e.label ORDER BY d.lang, label
         """,
         # per-lang budget fill: running INCLUSIVE window sum in shuffle
         # order, all-integer, budget = corpus total // 10

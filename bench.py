@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "label_centroids",
     "budget_sample",
+    "cluster_composition",
 ]
 
 

@@ -2202,6 +2202,43 @@ def temperature_mixture(sf_dir: str) -> pa.Table:
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
+def cluster_composition(sf_dir: str) -> pa.Table:
+    """Cross-table curation report: join every document to its embedding
+    row (doc_id = vec_id, bucketed hash join — the large-large path, no
+    broadcast assumption) and roll up corpus composition per
+    (lang, semantic-cluster label) — the report that drives
+    cluster-balanced mixture decisions.  The rollup is a per-batch
+    combiner + tiny keyed sum; only join keys and the two small columns
+    ever shuffle."""
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        lambda df: df.rename(columns={"vec_id": "doc_id"}),
+        batch_format="pandas")
+    j = hash_join(docs, emb, on="doc_id")
+
+    def rpart(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "lang": _sentinel_nulls(df["lang"]),
+            "label": df["label"].to_numpy(dtype=np.int64),
+            "n_docs": 1,
+            "sum_chars": df["n_chars"].to_numpy(dtype=np.int64),
+        })
+        return out.groupby(["lang", "label"], as_index=False).sum()
+
+    out = _sum_by_key(j.map_batches(rpart, batch_format="pandas"),
+                      ["lang", "label"], ["n_docs", "sum_chars"]
+                      ).to_pandas()
+    if out.empty and "lang" not in out:
+        return _empty_result(lang=object, label="int64",
+                             n_docs="int64", sum_chars="int64")
+    out = _restore_null_keys(out, ["lang"])
+    for c in ("label", "n_docs", "sum_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["lang", "label"]).reset_index(drop=True)
+
+
 def budget_sample(sf_dir: str) -> pa.Table:
     """Per-language corpus-budget sampling: pour documents into each
     language's bucket in deterministic shuffle order until a fixed char
