@@ -438,7 +438,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT lang,
                    count(*) AS n_docs,
-                   CAST(sum(CASE WHEN length(text) = 0 THEN 0
+                   CAST(sum(CASE WHEN text IS NULL THEN 0
+                                 WHEN length(text) = 0 THEN 0
                                  ELSE length(text) - length(replace(text, ' ', '')) + 1
                             END) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
@@ -519,14 +520,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_embeddings": """
             WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
                 FROM embeddings WHERE vec_id < 10
             )
             SELECT query_id, neighbor_id, rk FROM (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        row_number() OVER (
                            PARTITION BY q.query_id
-                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                           ORDER BY list_cosine_similarity(
+                               q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
                                     e.vec_id ASC
                        ) AS rk
                 FROM q CROSS JOIN embeddings e
@@ -536,14 +539,16 @@ def oracle_sql() -> dict[str, str]:
         # brute-force top-10 — identical oracle to knn_embeddings
         "ivf_knn_exhaustive": """
             WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
                 FROM embeddings WHERE vec_id < 10
             )
             SELECT query_id, neighbor_id, rk FROM (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        row_number() OVER (
                            PARTITION BY q.query_id
-                           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                           ORDER BY list_cosine_similarity(
+                               q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
                                     e.vec_id ASC
                        ) AS rk
                 FROM q CROSS JOIN embeddings e
@@ -585,7 +590,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "session_windows": """
-            WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                       FROM events WHERE user_id IS NOT NULL),
             marked AS (
                 SELECT user_id, us, event_id,
                        CASE WHEN lag(us) OVER w IS NULL
@@ -710,9 +716,9 @@ def oracle_sql() -> dict[str, str]:
         # a capped bucket would make the engine a strict SUBSET of this
         # exact-equality oracle.  The conformance corpora are sized far
         # under the cap, so no bucket is ever skipped here.
-        "simhash_dedup": """
+        "simhash_dedup": f"""
             WITH sims AS (
-                SELECT * FROM read_parquet('/tmp/cckp_simhash_oracle/sims/*.parquet')
+                SELECT * FROM read_parquet('{q.SIMHASH_ORACLE_DIR}/*.parquet')
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
@@ -723,13 +729,13 @@ def oracle_sql() -> dict[str, str]:
         # exact cosine near-dup pairs over embeddings + the deterministic
         # noisy copies the query wrote to parquet (threshold 0.995 sits
         # far from both populations, so summation ulps cannot flip a row)
-        "embedding_neardup": """
+        "embedding_neardup": f"""
             WITH corpus AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                 FROM embeddings
                 UNION ALL
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                FROM read_parquet('/tmp/cckp_emb_oracle/noisy/*.parquet')
+                FROM read_parquet('{q.EMB_ORACLE_DIR}/*.parquet')
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -744,9 +750,9 @@ def oracle_sql() -> dict[str, str]:
         # read.  Lang attribution: NULL lang -> '__missing__' (empty
         # string stays its own group); uniqueness counts one violation
         # per duplicated url, attributed to min(lang).
-        "pages_validate": """
+        "pages_validate": f"""
             WITH pages AS (
-                SELECT * FROM read_parquet('/tmp/cckp_pages_oracle/pages/*.parquet')
+                SELECT * FROM read_parquet('{PAGES_ORACLE_DIR}/*.parquet')
             ),
             base AS (
                 SELECT coalesce(lang, '__missing__') AS g,
@@ -893,12 +899,12 @@ def oracle_sql() -> dict[str, str]:
         # identical to the engine), eps-clipped PSI with natural log, and
         # per-column null-or-empty-rate deltas, all thresholded exactly
         # like config.py (ks 0.05/0.15, psi 0.10/0.25, null 0.02/0.10)
-        "drift_check": """
+        "drift_check": f"""
             WITH live AS (
-                SELECT * FROM read_parquet('/tmp/cckp_drift_oracle/live/*.parquet')
+                SELECT * FROM read_parquet('{q.DRIFT_ORACLE_LIVE}/*.parquet')
             ),
             refp AS (
-                SELECT * FROM read_parquet('/tmp/cckp_drift_oracle/ref/*.parquet')
+                SELECT * FROM read_parquet('{q.DRIFT_ORACLE_REF}/*.parquet')
             ),
             nrows AS (SELECT lang, count(*) AS n_rows FROM live GROUP BY lang),
             binned AS (

@@ -52,7 +52,10 @@ def whitespace_token_counts(texts: pd.Series) -> np.ndarray:
     return np.where(s.str.len() > 0, s.str.count(" ") + 1, 0).astype(np.int64)
 
 
-_BPE_PIECE_RE = re.compile(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]")
+# spelled-out RE2 semantics: the oracle's \d is [0-9] and \s is
+# [\t\n\f\r ] under RE2, while python-re's Unicode \d/\s would swallow
+# \x0b / NBSP / non-ASCII digits and diverge (same rule as RE2_WS above)
+_BPE_PIECE_RE = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^\t\n\f\r A-Za-z0-9]")
 
 
 def bpe_ish_token_count(text: str) -> int:

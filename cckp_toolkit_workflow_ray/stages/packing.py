@@ -149,9 +149,12 @@ def grouped_budget_fill(ds, group_col: str, cost_col: str,
     budget_n = int(budget(total)) if callable(budget) else int(budget)
     sums["__off"] = (sums.groupby(group_col, dropna=False)["__c"].cumsum()
                      - sums["__c"]).astype(np.int64)
-    # groups whose bucket starts at or past the budget can be pruned
-    # before the second pass ever touches their rows
-    live = sums[sums["__off"] < budget_n]
+    # groups whose bucket starts PAST the budget can be pruned before the
+    # second pass ever touches their rows.  <= not <: a bucket whose base
+    # offset equals the budget exactly can still contribute zero-cost
+    # rows, whose inclusive running sum equals the budget and which the
+    # SQL window (run <= budget) keeps.
+    live = sums[sums["__off"] <= budget_n]
     handle = ray.put(live[[group_col, "__b", "__off"]])
 
     keyed = ds.map_batches(

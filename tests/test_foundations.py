@@ -411,3 +411,20 @@ def test_sorted_distinct_keys_matches_pandas(ray_session):
     want = df.drop_duplicates(["k1", "k2"])
     key = lambda d: sorted(map(tuple, d.fillna(-1).to_numpy().tolist()))
     assert key(got) == key(want)
+
+
+def test_bpe_regex_matches_duckdb_re2():
+    """The BPE-ish piece regex must count like the oracle's RE2 pattern
+    on \\x0b / NBSP / non-ASCII-digit text (python-re Unicode \\s and \\d
+    would swallow them)."""
+    import duckdb
+
+    from cckp_toolkit_workflow_ray.functions.text import bpe_ish_token_count
+
+    con = duckdb.connect()
+    for t in ["plain words here", "ab\x0bcd", "ab\xa0cd", "x٣y",
+              "mixed 12 punct!? \x0b\xa0"]:
+        want = con.execute(
+            r"SELECT len(regexp_extract_all(?,"
+            r" '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]'))", [t]).fetchone()[0]
+        assert bpe_ish_token_count(t) == want, repr(t)

@@ -211,3 +211,24 @@ def test_grouped_budget_fill_matches_window_oracle(ray_session):
         rd.from_pandas(df).repartition(16), "g", "cost", "h", "rid",
         budget=lambda total: total // 20, n_buckets=16).to_pandas()
     assert key(got2) == key(want)
+
+
+def test_grouped_budget_fill_zero_cost_at_budget_boundary(ray_session):
+    """A zero-cost row whose bucket's base offset EQUALS the budget has
+    an inclusive running sum equal to the budget — SQL keeps it, so the
+    bucket prune must be <=, not <."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.packing import grouped_budget_fill
+
+    width = 2**28  # bucket width at n_buckets=16
+    df = pd.DataFrame({
+        "g": ["a", "a", "a"],
+        "cost": np.array([7, 3, 0], dtype=np.int64),
+        "h": np.array([1, 2, width + 1], dtype=np.int64),
+        "rid": np.array([0, 1, 2], dtype=np.int64),
+    })
+    got = grouped_budget_fill(rd.from_pandas(df), "g", "cost", "h", "rid",
+                              budget=10, n_buckets=16).to_pandas()
+    # runs: 7, 10, 10 -> all three rows satisfy run <= 10
+    assert sorted(got["rid"].tolist()) == [0, 1, 2]
