@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_composition": q.cluster_composition,
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
+        "winnow_verify": q.winnow_verify,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1417,6 +1418,36 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE -floor(-1e6 * v + 0.5)
                                  END AS BIGINT)) AS BIGINT) AS sum_e6
             FROM flat GROUP BY label, pos ORDER BY label, pos
+        """,
+        # winnowing selection recomputed in SQL over engine-exported
+        # k-gram hash sequences (UBIGINT so min orders in uint64 space);
+        # window = 16, complete windows only, single global min for
+        # short docs — exactly functions.text.winnow_fingerprint
+        "winnow_verify": f"""
+            WITH g AS (
+                SELECT * FROM read_parquet('{q.WINNOW_ORACLE_DIR}/*.parquet')
+            ),
+            cnt AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id),
+            wins AS (
+                SELECT g.doc_id, g.pos, c.m,
+                       min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                                      ROWS BETWEEN 15 PRECEDING
+                                      AND CURRENT ROW) AS mn
+                FROM g JOIN cnt c USING (doc_id)),
+            sel AS (
+                SELECT doc_id, mn FROM wins WHERE m > 16 AND pos >= 15
+                UNION ALL
+                SELECT g.doc_id, min(g.h) AS mn
+                FROM g JOIN cnt c USING (doc_id) WHERE c.m <= 16
+                GROUP BY g.doc_id
+            ),
+            dd AS (SELECT DISTINCT doc_id, mn FROM sel)
+            SELECT doc_id,
+                   CAST(mn::HUGEINT
+                        - CASE WHEN mn >= 9223372036854775808::UBIGINT
+                               THEN 18446744073709551616::HUGEINT
+                               ELSE 0::HUGEINT END AS BIGINT) AS fp
+            FROM dd ORDER BY doc_id, fp
         """,
         "cluster_composition": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

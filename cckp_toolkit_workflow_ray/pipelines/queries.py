@@ -1131,6 +1131,73 @@ def langid_confusion(sf_dir: str) -> pa.Table:
         ["lang", "predicted"], ["n"]).to_pandas()
 
 
+WINNOW_ORACLE_DIR = "/tmp/cckp_winnow_oracle/grams"
+
+
+def winnow_verify(sf_dir: str) -> pa.Table:
+    """SQL-oracled verification of the winnowing SELECTION (Schleimer et
+    al.): for every 17th document the engine exports its raw k-gram hash
+    sequence (doc_id, pos, h — the shared rolling-hash primitive, pinned
+    separately by the fingerprint64 pytest goldens) and returns its
+    winnowed set; the oracle recomputes the window-min selection in SQL
+    (``min(h) OVER (... ROWS 15 PRECEDING)`` on complete windows, or the
+    single global min for short docs) over the exported grams.  This
+    flips the selection logic of the fingerprint family — everything
+    beyond the rolling hash itself — under the hash-exact oracle gate.
+    uint64 hashes export as UBIGINT so SQL min orders correctly; output
+    converts to two's-complement int64 on both sides."""
+    import os
+    import shutil
+
+    from ..functions.hashing import byte_kgram_hashes
+    from ..functions.text import winnow_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    shutil.rmtree(os.path.dirname(WINNOW_ORACLE_DIR), ignore_errors=True)
+    os.makedirs(WINNOW_ORACLE_DIR, exist_ok=True)
+
+    def export_and_winnow(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids % 17 == 0
+        t = t.filter(pa.array(sel))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        gram_frames, out_id, out_fp = [], [], []
+        for i, txt in enumerate(texts):
+            b = (txt or "").encode("utf-8", "ignore")
+            if len(b) < 8:
+                continue
+            h = byte_kgram_hashes(b, 8)
+            gram_frames.append(pd.DataFrame({
+                "doc_id": np.full(h.size, ids[i], dtype=np.int64),
+                "pos": np.arange(h.size, dtype=np.int64),
+                "h": h,  # uint64 -> parquet UBIGINT
+            }))
+            fp = winnow_fingerprint(txt, k=8, window=16)
+            out_id.append(np.full(fp.size, ids[i], dtype=np.int64))
+            out_fp.append(fp.view(np.int64))
+        if gram_frames:
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.Table.from_pandas(pd.concat(gram_frames,
+                                               ignore_index=True),
+                                     preserve_index=False),
+                f"{WINNOW_ORACLE_DIR}/{uuid.uuid4().hex}.parquet")
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "fp": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_id)),
+                         "fp": pa.array(np.concatenate(out_fp))})
+
+    out = ds.map_batches(export_and_winnow,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
 def fingerprint_docs(sf_dir: str) -> pa.Table:
     """Winnowing document fingerprints (rows-only, deterministic)."""
     from ..functions.text import fingerprint64
