@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": q.langid_confusion,
         "fingerprint_docs": q.fingerprint_docs,
         "winnow_verify": q.winnow_verify,
+        "ivf_knn_oracled": q.ivf_knn_oracled,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1418,6 +1419,39 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE -floor(-1e6 * v + 0.5)
                                  END AS BIGINT)) AS BIGINT) AS sum_e6
             FROM flat GROUP BY label, pos ORDER BY label, pos
+        """,
+        # pruned IVF: exact cosine top-10 RESTRICTED to the engine's
+        # exported probed lists (assignment is unique per vector, so the
+        # join yields each candidate once); float64 ranking like the
+        # brute-force oracle
+        "ivf_knn_oracled": f"""
+            WITH a AS (
+                SELECT * FROM read_parquet('{q.IVF_ORACLE_DIR}/assign/*.parquet')
+            ),
+            p AS (
+                SELECT * FROM read_parquet('{q.IVF_ORACLE_DIR}/probes/*.parquet')
+            ),
+            qv AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10
+            ),
+            cand AS (
+                SELECT p.query_id, a.vec_id FROM p JOIN a USING (list_id)
+            ),
+            ranked AS (
+                SELECT c.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY list_cosine_similarity(
+                               qv.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                    c.vec_id ASC) AS rk
+                FROM cand c
+                JOIN qv ON qv.query_id = c.query_id
+                JOIN embeddings e ON e.vec_id = c.vec_id
+            )
+            SELECT query_id, neighbor_id, rk
+            FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
         """,
         # winnowing selection recomputed in SQL over engine-exported
         # k-gram hash sequences (UBIGINT so min orders in uint64 space);

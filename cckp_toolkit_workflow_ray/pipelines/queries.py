@@ -973,6 +973,27 @@ def ivf_knn_exhaustive(sf_dir: str) -> pa.Table:
     return ivf_knn(ds, queries, qids, cent, k=10, n_probe=16)
 
 
+IVF_ORACLE_DIR = "/tmp/cckp_ivf_oracle"
+
+
+def ivf_knn_oracled(sf_dir: str) -> pa.Table:
+    """GENUINELY PRUNED IVF (n_probe=4 of 16 lists), SQL-oracled via the
+    export pattern: the engine writes its per-vector list assignments
+    and each query's probed lists; the oracle recomputes the exact
+    cosine top-10 RESTRICTED to vectors in probed lists.  This puts the
+    pruned-search logic — candidate restriction, ranking, tie-break —
+    under the hash-exact gate; centroid training stays pytest-pinned
+    (recall bound), and the exhaustive limit is separately oracled by
+    ``ivf_knn_exhaustive``."""
+    from ..stages.similarity import ivf_knn, train_ivf_centroids
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = train_ivf_centroids(ds, n_lists=16, sample_mod=5)
+    return ivf_knn(ds, queries, qids, cent, k=10, n_probe=4,
+                   export_oracle_dir=IVF_ORACLE_DIR)
+
+
 def cosine_threshold_pairs(sf_dir: str) -> pa.Table:
     """All natural embedding pairs with cosine ≥ 0.45 — exact all-pairs
     near-dup with a DuckDB ``list_cosine_similarity`` oracle (the seeded

@@ -294,7 +294,8 @@ def train_ivf_centroids(ds, n_lists: int = 16, sample_mod: int = 1,
 
 def ivf_knn(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarray,
             k: int = 10, n_probe: int = 4, vec_col: str = "embedding",
-            id_col: str = "vec_id", batch_size: int = 4096) -> pd.DataFrame:
+            id_col: str = "vec_id", batch_size: int = 4096,
+            export_oracle_dir: str | None = None) -> pd.DataFrame:
     """IVF-pruned cosine top-k: each query probes its ``n_probe`` nearest
     lists; every batch assigns its rows to lists vectorized and computes
     similarities only for (query, row) pairs whose lists collide —
@@ -303,11 +304,34 @@ def ivf_knn(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarra
     Approximate (a true neighbour assigned to an unprobed list is
     missed); same output schema and deterministic tie-break as
     :func:`knn_cosine`.
+
+    ``export_oracle_dir``: when set, every batch writes its (vec_id,
+    list_id) assignments and the driver writes the (query_id, list_id)
+    probe table — the SQL oracle recomputes the pruned top-k restricted
+    to the probed lists, so the pruned-search logic (not just the
+    exhaustive limit) runs under the hash-exact oracle gate.  Centroid
+    training itself stays pytest-pinned (recall bound).
     """
     import ray
 
+    if export_oracle_dir is not None:
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(export_oracle_dir, ignore_errors=True)
+        os.makedirs(f"{export_oracle_dir}/assign", exist_ok=True)
+        os.makedirs(f"{export_oracle_dir}/probes", exist_ok=True)
+
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    if export_oracle_dir is not None:
+        pq.write_table(pa.table({
+            "query_id": pa.array(np.repeat(np.asarray(query_ids, dtype=np.int64),
+                                           n_probe)),
+            "list_id": pa.array(probes.ravel().astype(np.int64)),
+        }), f"{export_oracle_dir}/probes/probes.parquet")
     ref = ray.put((q, centroids, probes))
 
     def partial_topk(t: pa.Table) -> pa.Table:
@@ -320,6 +344,15 @@ def ivf_knn(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarra
         if m.shape[0] == 0:
             return empty
         assign = np.argmax(m @ cent.T, axis=1)          # list per row
+        if export_oracle_dir is not None:
+            import uuid
+
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(pa.table({
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "list_id": pa.array(assign.astype(np.int64)),
+            }), f"{export_oracle_dir}/assign/{uuid.uuid4().hex}.parquet")
         out_q, out_n, out_s = [], [], []
         for qi in range(qm.shape[0]):
             sel = np.isin(assign, prb[qi])
