@@ -945,11 +945,18 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     withp = attach_pair_payload(pairs, shingle_payload, "shingles", n_pairs)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # per-pair numpy set intersection with assume_unique=True: each
+        # side is np.unique'd at shingling (sorted, duplicate-free), so
+        # intersect1d can skip its internal re-unique — measured ~2x
+        # faster than the default; a whole-batch lexsort "vectorization"
+        # was measured 20x SLOWER here (one 2-key sort over all pairs'
+        # concatenated shingles loses badly to many cache-resident
+        # per-pair merges at ~2k shingles/doc)
         out_a, out_b, out_j = [], [], []
         for r in df.itertuples():
             sa = np.frombuffer(r.shingles_a, dtype=np.uint64)
             sb = np.frombuffer(r.shingles_b, dtype=np.uint64)
-            inter = np.intersect1d(sa, sb).size
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             j = inter / union if union else 0.0
             if j >= jaccard_threshold:
