@@ -178,6 +178,20 @@ class LangIdModel:
 # ---------------------------------------------------------------------------
 
 
+def winnow_from_hashes(h: np.ndarray, window: int = 16) -> np.ndarray:
+    """The winnowing SELECTION over an already-computed k-gram hash
+    sequence: min per complete sliding window (or the single global min
+    for short sequences), deduplicated.  Split out so callers that
+    already hold the hash sequence (the winnow_verify oracle export)
+    don't recompute it."""
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if h.size <= window:
+        return np.unique(h.min(keepdims=True))
+    return np.unique(
+        np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+
+
 def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     """Winnowing fingerprint (Schleimer et al.): rolling k-gram hashes,
     minimum per sliding window, deduplicated.  Deterministic; two
@@ -187,11 +201,7 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     from .hashing import byte_kgram_hashes
 
-    h = byte_kgram_hashes(b, k)
-    if h.size <= window:
-        return np.unique(h.min(keepdims=True))
-    mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
-    return np.unique(mins)
+    return winnow_from_hashes(byte_kgram_hashes(b, k), window)
 
 
 def fingerprint64(text: str) -> int:

@@ -775,7 +775,9 @@ def _seeded_pair_jaccard(sf_dir: str, shingle_fn) -> pa.Table:
         for r in df.itertuples():
             sa = np.frombuffer(r.shingles_a, dtype=np.uint64)
             sb = np.frombuffer(r.shingles_b, dtype=np.uint64)
-            inter = np.intersect1d(sa, sb).size
+            # sides are np.unique'd at shingling — same 2x win as the
+            # LSH verify loop in stages/dedup.py
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             # (1e6 * inter) / union — same operation order as the SQL
             # oracle so the single float64 rounding agrees bit-exactly
@@ -1171,7 +1173,7 @@ def winnow_verify(sf_dir: str) -> pa.Table:
     import shutil
 
     from ..functions.hashing import byte_kgram_hashes
-    from ..functions.text import winnow_fingerprint
+    from ..functions.text import winnow_from_hashes
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1195,7 +1197,9 @@ def winnow_verify(sf_dir: str) -> pa.Table:
                 "pos": np.arange(h.size, dtype=np.int64),
                 "h": h,  # uint64 -> parquet UBIGINT
             }))
-            fp = winnow_fingerprint(txt, k=8, window=16)
+            # selection from the already-built hash sequence — no second
+            # byte_kgram_hashes pass per doc (review finding)
+            fp = winnow_from_hashes(h, window=16)
             out_id.append(np.full(fp.size, ids[i], dtype=np.int64))
             out_fp.append(fp.view(np.int64))
         if gram_frames:
@@ -1216,6 +1220,19 @@ def winnow_verify(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(export_and_winnow,
                          batch_format="pyarrow").to_pandas()
+    if not os.listdir(WINNOW_ORACLE_DIR):
+        # no document qualified for export — write a typed empty table so
+        # the oracle's read_parquet compares empty-to-empty instead of
+        # erroring on a fileless glob
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "h": pa.array([], type=pa.uint64())}),
+            f"{WINNOW_ORACLE_DIR}/empty.parquet")
+    if out.empty and "doc_id" not in out:
+        return _empty_result(doc_id="int64", fp="int64")
     return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
 
 
@@ -2304,6 +2321,12 @@ def cluster_composition(sf_dir: str) -> pa.Table:
     emb = _read(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
         lambda df: df.rename(columns={"vec_id": "doc_id"}),
         batch_format="pandas")
+    # guard BEFORE the join: hash_join probes both schemas, and an empty
+    # mapped side has none (review finding — the post-join guard below is
+    # unreachable for this input class)
+    if docs.count() == 0 or emb.count() == 0:
+        return _empty_result(lang=object, label="int64",
+                             n_docs="int64", sum_chars="int64")
     j = hash_join(docs, emb, on="doc_id")
 
     def rpart(df: pd.DataFrame) -> pd.DataFrame:

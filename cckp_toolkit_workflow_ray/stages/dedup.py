@@ -771,6 +771,11 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       export_oracle_dir: str | None = None):
     """Near-duplicate pairs via shingle→MinHash→band→bucket→verify.
 
+    ``shingle_fn(text) -> np.ndarray[uint64]`` MUST return a SORTED,
+    DUPLICATE-FREE array (``np.unique`` output — both built-ins do):
+    the exact-Jaccard verify intersects with ``assume_unique=True``, and
+    a duplicated value would silently inflate the intersection count.
+
     Pipeline: ONE signature pass materializes an exploded ints-only
     ``(doc, key)`` band-key Dataset (16 bytes × bands per doc) — VERDICT
     r2 #2: the previous shape recomputed shingles+signatures in both the

@@ -246,6 +246,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "label_centroids": ["label", "pos", "n_vecs", "sum_e6"],
         "budget_sample": ["lang", "n_kept", "sum_chars"],
         "word_frequencies": ["word", "n", "rk"],
+        "cluster_composition": ["lang", "label", "n_docs", "sum_chars"],
+        "winnow_verify": ["doc_id", "fp"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
