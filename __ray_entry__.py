@@ -1526,30 +1526,38 @@ def oracle_sql() -> dict[str, str]:
         # pages schema (lang groups use the raw lang value; the engine's
         # __missing__ attribution only differs when lang is NULL, which the
         # shared testdata never contains)
+        # NULL lang attributes to the engine's '__missing__' label (the
+        # reference's missing-attribution semantics; same as the
+        # pages_validate oracle) — exposed by the adversarial NULL-lang
+        # corpus, invisible on the fixture tables which have no NULL lang
         "docs_validate": """
+            WITH documents_attr AS (
+                SELECT coalesce(lang, '__missing__') AS g, *
+                FROM documents
+            )
             SELECT lang, check_name, n_violations FROM (
-                SELECT lang, 'referential_lang' AS check_name,
+                SELECT g AS lang, 'referential_lang' AS check_name,
                        count(*) FILTER (WHERE lang IS NOT NULL AND lang <> ''
                                         AND lang NOT IN ('en','de','fr'))
                            AS n_violations
-                FROM documents GROUP BY lang
+                FROM documents_attr GROUP BY g
                 UNION ALL
-                SELECT lang, 'text_min_len',
+                SELECT g AS lang, 'text_min_len',
                        count(*) FILTER (WHERE text IS NOT NULL AND text <> ''
                                         AND length(text) < 200)
-                FROM documents GROUP BY lang
+                FROM documents_attr GROUP BY g
                 UNION ALL
-                SELECT lang, 'presence_text',
+                SELECT g AS lang, 'presence_text',
                        count(*) FILTER (WHERE text IS NULL OR text = '')
-                FROM documents GROUP BY lang
+                FROM documents_attr GROUP BY g
                 UNION ALL
-                SELECT lang, 'presence_lang',
+                SELECT g AS lang, 'presence_lang',
                        count(*) FILTER (WHERE lang IS NULL OR lang = '')
-                FROM documents GROUP BY lang
+                FROM documents_attr GROUP BY g
                 UNION ALL
-                SELECT lang, 'presence_url',
+                SELECT g AS lang, 'presence_url',
                        count(*) FILTER (WHERE source IS NULL OR source = '')
-                FROM documents GROUP BY lang
+                FROM documents_attr GROUP BY g
             ) WHERE n_violations > 0
         """,
     }

@@ -9,6 +9,7 @@ keys — they are dropped, documented per operator.)
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 NULL_KEY = "\x00__null__"
@@ -20,7 +21,15 @@ def sentinel_nulls(series: pd.Series) -> pd.Series:
 
 
 def restore_null_keys(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    # NOT Series.where(cond, None): pandas coerces the None fill to float
+    # NaN on object dtype, which hash-diverges from the oracle's real
+    # None for a NULL group key.  Also normalize NaN -> None: a pandas
+    # groupby(dropna=False) downstream of a restore reintroduces NaN
+    # group keys (adversarial-corpus finding).
     for k in keys:
         if k in df.columns and df[k].dtype == object:
-            df[k] = df[k].where(df[k] != NULL_KEY, None)
+            vals = df[k].to_numpy(dtype=object, copy=True)
+            mask = pd.isna(pd.Series(vals)) | (vals == NULL_KEY)
+            vals[mask.to_numpy()] = None
+            df[k] = vals
     return df

@@ -316,6 +316,7 @@ def nchars_quantiles(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     out = exact_grouped_quantiles(ds, "lang", "n_chars", [0.25, 0.5, 0.9])
+    out = _restore_null_keys(out, ["lang"])
     for c in ("q25", "q50", "q90"):
         # float64 (like the oracle df) when an all-NULL group produced
         # NULL quantiles
@@ -337,8 +338,9 @@ def nchars_mode(sf_dir: str) -> pa.Table:
                                 na_position="last")
     out = counts.groupby("lang", dropna=False).head(1).rename(
         columns={"n_chars": "mode_nchars", "n": "mode_count"})
+    out = _restore_null_keys(out, ["lang"])
     out["mode_nchars"] = _int_or_float64(out["mode_nchars"])
-    return out.sort_values("lang").reset_index(drop=True)
+    return out.sort_values("lang", na_position="last").reset_index(drop=True)
 
 
 def normalized_prefixes(sf_dir: str) -> pa.Table:
@@ -517,12 +519,28 @@ def asof_last_order(sf_dir: str) -> pa.Table:
             df = df.copy()
             df["ts"] = df["ts"].astype("datetime64[us]")
             df = df.sort_values("ts", kind="mergesort")
+            # SQL LEFT JOIN keeps NULL-user events (with a NULL
+            # last_order_date); merge_asof rejects null by-keys and a
+            # NaN-bearing float column would also dtype-mismatch the
+            # int64 orders side — route NULL keys around the merge
+            nullu = df["user_id"].isna()
+            base = df[~nullu]
+            if nullu.any():
+                base = base.assign(user_id=base["user_id"].astype("int64"))
             out = pd.merge_asof(
-                df, self.orders, left_on="ts", right_on="o_orderdate",
+                base, self.orders, left_on="ts", right_on="o_orderdate",
                 by="user_id", direction="backward",
             )
             out = out.rename(columns={"o_orderdate": "last_order_date"})
-            return out[["event_id", "last_order_date"]]
+            res = out[["event_id", "last_order_date"]]
+            if nullu.any():
+                res = pd.concat([res, pd.DataFrame({
+                    "event_id": df.loc[nullu, "event_id"].to_numpy(),
+                    "last_order_date": pd.Series(
+                        [pd.NaT] * int(nullu.sum()),
+                        dtype="datetime64[us]"),
+                })], ignore_index=True)
+            return res
 
     return ds.map_batches(
         AsOf, fn_constructor_kwargs={"ref": order_ref},
@@ -1964,11 +1982,25 @@ def domain_cap(sf_dir: str) -> pa.Table:
     from ..stages.ranking import grouped_top_k
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
-    kept = grouped_top_k(ds, ["source", "lang"], ["n_chars", "doc_id"],
+
+    def key(t: pa.Table) -> pa.Table:
+        # Ray's sort cannot order None keys; SQL PARTITION BY keeps a
+        # NULL group — sentinel in, restore out
+        return pa.table({
+            "doc_id": t.column("doc_id"), "n_chars": t.column("n_chars"),
+            "source": pa.array(_sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False)))),
+            "lang": pa.array(_sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False)))),
+        })
+
+    kept = grouped_top_k(ds.map_batches(key, batch_format="pyarrow"),
+                         ["source", "lang"], ["n_chars", "doc_id"],
                          k=20, descending=[True, False])
-    out = kept.to_pandas()[["source", "lang", "doc_id", "n_chars"]]
-    return out.sort_values(["source", "lang", "doc_id"]) \
-              .reset_index(drop=True)
+    out = _restore_null_keys(kept.to_pandas(), ["source", "lang"])
+    out = out[["source", "lang", "doc_id", "n_chars"]]
+    return out.sort_values(["source", "lang", "doc_id"],
+                           na_position="last").reset_index(drop=True)
 
 
 def sequence_pack(sf_dir: str) -> pa.Table:
@@ -2111,8 +2143,16 @@ def curate_corpus(sf_dir: str) -> pa.Table:
         txt = pc.fill_null(t.column("text"), "")
         n = pc.add(pc.count_substring(txt, " "),
                    pc.greater(pc.utf8_length(txt), 0).cast(pa.int64()))
-        return t.drop_columns(["text"]).append_column(
-            "n_tokens", n.cast(pa.int64()))
+        # sentinel the cap keys: Ray's sort cannot order None, SQL
+        # PARTITION BY keeps NULL groups; the final rollup restores
+        return pa.table({
+            "doc_id": t.column("doc_id"), "n_chars": t.column("n_chars"),
+            "source": pa.array(_sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False)))),
+            "lang": pa.array(_sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False)))),
+            "n_tokens": n.cast(pa.int64()),
+        })
 
     slim = deduped.map_batches(toks, batch_format="pyarrow")
     capped = grouped_top_k(slim, ["source", "lang"], ["n_chars", "doc_id"],
@@ -2216,6 +2256,9 @@ def mixture_sample(sf_dir: str) -> pa.Table:
 
     def key(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = _sentinel_nulls(pd.Series(
+            t.column("source").to_numpy(zero_copy_only=False)))
+        t = t.drop_columns(["source"]).append_column("source", pa.array(s))
         return t.append_column("__h", pa.array(_shuffle_key(ids)))
 
     kept = grouped_top_k(ds.map_batches(key, batch_format="pyarrow"),
@@ -2432,6 +2475,7 @@ def rollup_lang_source(sf_dir: str) -> pa.Table:
         "total_chars": [leaf["total_chars"].sum()],
     })
     out = pd.concat([leaf, lang_lvl, total], ignore_index=True)
+    out = _restore_null_keys(out, ["lang", "source"])
     out = out[["lang", "source", "grp", "n_docs", "total_chars"]]
     for c in ("grp", "n_docs", "total_chars"):
         out[c] = out[c].astype(np.int64)

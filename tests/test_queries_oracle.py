@@ -255,3 +255,86 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
             out = out.to_pandas()
         assert len(out) == 0, name
         assert list(out.columns) == cols, (name, list(out.columns))
+
+
+NASTY_QUERIES = [
+    # every query that groups, partitions, joins or windows on a nullable
+    # key, plus the whitespace-sensitive tokenizer family
+    "nchars_mode", "nchars_quantiles", "rollup_lang_source",
+    "docs_validate", "asof_last_order", "domain_cap", "mixture_sample",
+    "curate_corpus", "temperature_mixture", "budget_sample",
+    "repetition_check", "bpe_token_count", "token_count",
+    "window_distinct_users", "normalized_dedup", "incremental_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_sf(tmp_path_factory):
+    """Adversarial corpus: NULL lang/source/text/user_id, exotic
+    whitespace (\\x0b, NBSP), Unicode digits, empty strings, exact and
+    normalized duplicates — the input classes where engine-vs-RE2/SQL
+    semantics can silently diverge."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("nasty") / "sf")
+    import os
+    os.makedirs(d)
+    for t in TABLES:
+        if t not in ("documents", "events"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    base = int(docs["doc_id"].max()) + 1
+    texts = [None, "", " ", "\x0b", "ab\x0bcd ef", "nb\xa0sp words here",
+             "digits ٣٤ and 12", "tab\tsep\nnl\rcr\ffeed words",
+             "   pad   ", "dup dup dup dup dup", "dup dup dup dup dup",
+             "DUP dup DUP dup DUP", "short", ("w " * 600).strip()]
+    add = pd.DataFrame({
+        "doc_id": np.arange(base, base + len(texts),
+                            dtype=docs["doc_id"].dtype),
+        "text": texts,
+        "lang": ([None, "en", "de", "xx"] * 4)[:len(texts)],
+        "source": ([None, "src0", "srcN"] * 5)[:len(texts)],
+        "n_chars": [len(t) if t else 0 for t in texts],
+    })
+    out = pd.concat([docs, add], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False,
+                             schema=pq.read_schema(
+                                 f"{SF_DIR}/documents.parquet")),
+        f"{d}/documents.parquet")
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    eb = int(ev["event_id"].max()) + 1
+    nul = ev.head(5).copy()
+    nul["event_id"] = np.arange(eb, eb + 5, dtype=ev["event_id"].dtype)
+    nul["user_id"] = None
+    out_e = pd.concat([ev, nul], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out_e, preserve_index=False,
+                             schema=pq.read_schema(
+                                 f"{SF_DIR}/events.parquet")),
+        f"{d}/events.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def nasty_con(nasty_sf):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{nasty_sf}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", NASTY_QUERIES)
+def test_query_matches_oracle_on_adversarial_corpus(ray_session, nasty_sf,
+                                                    nasty_con, name):
+    fn = entrymod.queries()[name]
+    got = fn(nasty_sf)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    want = nasty_con.sql(entrymod.oracle_sql()[name]).df()
+    _compare(got, want, name)
