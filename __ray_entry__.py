@@ -459,12 +459,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents GROUP BY lang
             )
         """,
+        # event-time ops exclude NULL-ts rows (engine policy, matching
+        # filter below); NULL value contributes 0 (sum-skip == +0 for
+        # non-empty groups; the CASE makes all-NULL groups 0 like the
+        # engine rather than SQL-NULL)
         "windowed_events": """
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-            FROM events GROUP BY event_type, date_trunc('hour', ts)
+                   CAST(sum(CASE WHEN value IS NULL THEN 0
+                            ELSE CAST(round(value * 100) AS BIGINT)
+                            END) AS BIGINT) AS sum_value_cents
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY event_type, date_trunc('hour', ts)
         """,
         "asof_last_order": """
             SELECT e.event_id, max(o.o_orderdate) AS last_order_date
@@ -584,7 +591,8 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY lang
         """,
         "sliding_events": """
-            WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events)
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us
+                       FROM events WHERE ts IS NOT NULL)
             SELECT event_type,
                    (us // 1800000000) * 1800000000 - k * 1800000000 AS window_start_us,
                    count(*) AS n_events
@@ -593,7 +601,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
-                       FROM events WHERE user_id IS NOT NULL),
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
             marked AS (
                 SELECT user_id, us, event_id,
                        CASE WHEN lag(us) OVER w IS NULL

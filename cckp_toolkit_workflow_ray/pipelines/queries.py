@@ -151,7 +151,8 @@ def referential_events_check(sf_dir: str) -> pa.Table:
 
             orphan = ~isin_sorted(self.valid, uid)
             df = pd.DataFrame({
-                "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+                "event_type": _sentinel_nulls(pd.Series(
+                    t.column("event_type").to_numpy(zero_copy_only=False))),
                 "n_events": 1,
                 "n_orphans": orphan.astype(np.int64),
             })
@@ -162,7 +163,9 @@ def referential_events_check(sf_dir: str) -> pa.Table:
         Checker, fn_constructor_kwargs={"ref": key_ref},
         batch_format="pyarrow", concurrency=(1, 4),
     )
-    return _sum_by_key(partials, ["event_type"], ["n_events", "n_orphans"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(partials, ["event_type"],
+                    ["n_events", "n_orphans"]).to_pandas(), ["event_type"])
 
 
 def stats_profile(sf_dir: str) -> pa.Table:
@@ -470,11 +473,21 @@ def windowed_events(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        # event-time op: rows without an event time are excluded (the
+        # oracle filters ts IS NOT NULL); NULL event_type stays a group
+        # (SQL GROUP BY semantics, string sentinel); a NULL value
+        # contributes 0 to the sum (SQL sum skips NULLs)
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
         win = (us // _HOUR_US) * _HOUR_US
-        cents = _round_half_away(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vals = pd.Series(t.column("value").to_numpy(zero_copy_only=False))
+        cents = _round_half_away(
+            np.where(vals.isna(), 0.0, vals.to_numpy(dtype=np.float64))
+            * 100).astype(np.int64)
         df = pd.DataFrame({
-            "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
             "window_start_us": win,
             "n_events": 1,
             "sum_value_cents": cents,
@@ -487,6 +500,7 @@ def windowed_events(sf_dir: str) -> pa.Table:
     df = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
                      ["event_type", "window_start_us"],
                      ["n_events", "sum_value_cents"]).to_pandas()
+    df = _restore_null_keys(df, ["event_type"])
     df["window_start"] = pd.to_datetime(df.pop("window_start_us"), unit="us")
     return df[["event_type", "window_start", "n_events", "sum_value_cents"]]
 
@@ -523,7 +537,7 @@ def asof_last_order(sf_dir: str) -> pa.Table:
             # last_order_date); merge_asof rejects null by-keys and a
             # NaN-bearing float column would also dtype-mismatch the
             # int64 orders side — route NULL keys around the merge
-            nullu = df["user_id"].isna()
+            nullu = df["user_id"].isna() | df["ts"].isna()
             base = df[~nullu]
             if nullu.any():
                 base = base.assign(user_id=base["user_id"].astype("int64"))
@@ -1471,14 +1485,15 @@ def enrich_events_nation(sf_dir: str) -> pa.Table:
     joined = broadcast_join(ds, dim, on="user_id", how="inner")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(event_type=_sentinel_nulls(df["event_type"]))
         return df.groupby(["n_name", "event_type"], as_index=False).agg(
             n_events=("user_id", "size")
         )
 
-    return _sum_by_key(
+    return _restore_null_keys(_sum_by_key(
         joined.map_batches(partial, batch_format="pandas"),
         ["n_name", "event_type"], ["n_events"],
-    ).to_pandas()
+    ).to_pandas(), ["event_type"])
 
 
 def asof_bucketed(sf_dir: str) -> pa.Table:
@@ -1524,15 +1539,18 @@ def json_props_stats(sf_dir: str) -> pa.Table:
         k = pd.to_numeric(s.str.extract(r'"k":\s*(-?\d+)', expand=False),
                           errors="coerce").fillna(0).astype(np.int64)
         df = pd.DataFrame({
-            "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
             "n_events": 1,
             "sum_k": k,
         })
         return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(),
                                     preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["event_type"], ["n_events", "sum_k"]).to_pandas()
+    return _restore_null_keys(
+        _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["event_type"], ["n_events", "sum_k"]).to_pandas(),
+        ["event_type"])
 
 
 DRIFT_ORACLE_LIVE = "/tmp/cckp_drift_oracle/live"

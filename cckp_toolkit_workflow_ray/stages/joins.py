@@ -377,10 +377,14 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
             right_dtypes)
         if lg.empty:
             return lg
-        # NULL keys match nothing (as-of is left-join-shaped: keep them)
-        lg_null = lg[lg[key].isna()]
-        lg = lg[lg[key].notna()]
-        rg = rg[rg[key].notna()]
+        # NULL keys match nothing (as-of is left-join-shaped: keep them);
+        # a NULL left timestamp also matches nothing (right_ts <= NULL is
+        # never true) AND would break merge_asof's sorted-key check, so
+        # route it to the padded path too
+        null_mask = lg[key].isna() | lg[ts].isna()
+        lg_null = lg[null_mask]
+        lg = lg[~null_mask]
+        rg = rg[rg[key].notna() & rg[right_ts].notna()]
         lg = lg.sort_values([ts, key], kind="mergesort")
 
         def _pad(df):

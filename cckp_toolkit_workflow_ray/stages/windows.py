@@ -45,7 +45,12 @@ def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        # event-time op: rows without an event time are excluded (a NaN
+        # window key would also be silently dropped by the combiner and
+        # degrade the int64 window dtype)
+        t = t.filter(pc.is_valid(t.column(ts_col)))
+        us = pc.cast(t.column(ts_col), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
         keys = pd.Series(t.column(key_col).to_numpy(zero_copy_only=False))
         if keys.dtype == object:
             keys = sentinel_nulls(keys)  # SQL keeps a NULL group
@@ -80,7 +85,10 @@ def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        # event-time op: rows without an event time are excluded
+        t = t.filter(pc.is_valid(t.column(ts_col)))
+        us = pc.cast(t.column(ts_col), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
         keys = pd.Series(t.column(key_col).to_numpy(zero_copy_only=False))
         if keys.dtype == object:
             keys = sentinel_nulls(keys)
@@ -155,7 +163,11 @@ def session_window(ds, ts_col: str, key_col: str, gap_us: int,
             # row into its own run; review r3 finding), so enforce the
             # documented drop here rather than emit per-event sessions
             df = df[df[key_col].notna()]
+        # event-time op: rows without an event time are excluded (NaT
+        # would int-cast to INT64_MIN and sessionize as a real instant)
+        df = df[df[ts_col].notna()]
         # robust epoch-us regardless of pandas datetime unit (ns vs us)
+        df = df.copy()
         df["_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         return df[[key_col, "_us", *order_cols]]
 

@@ -265,6 +265,13 @@ NASTY_QUERIES = [
     "curate_corpus", "temperature_mixture", "budget_sample",
     "repetition_check", "bpe_token_count", "token_count",
     "window_distinct_users", "normalized_dedup", "incremental_dedup",
+    # event family: NULL ts (excluded by event-time ops), NULL
+    # event_type (kept as a group), NULL value (0 contribution), NULL
+    # user_id (as-of keeps the row with a NULL result)
+    "windowed_events", "sliding_events", "session_windows",
+    "json_props_stats", "asof_last_order", "asof_bucketed",
+    "enrich_events_nation", "distinct_users_events",
+    "referential_events_check",
 ]
 
 
@@ -309,9 +316,14 @@ def nasty_sf(tmp_path_factory):
 
     ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
     eb = int(ev["event_id"].max()) + 1
-    nul = ev.head(5).copy()
-    nul["event_id"] = np.arange(eb, eb + 5, dtype=ev["event_id"].dtype)
-    nul["user_id"] = None
+    nul = ev.head(12).copy()
+    nul["event_id"] = np.arange(eb, eb + 12, dtype=ev["event_id"].dtype)
+    idx = nul.index
+    nul.loc[idx[:3], "user_id"] = None
+    nul.loc[idx[3:6], "ts"] = pd.NaT
+    nul.loc[idx[6:8], "event_type"] = None
+    nul.loc[idx[8:10], "value"] = None
+    nul.loc[idx[10:], "props"] = None
     out_e = pd.concat([ev, nul], ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(out_e, preserve_index=False,
