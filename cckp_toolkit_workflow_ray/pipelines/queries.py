@@ -1456,15 +1456,22 @@ def embedding_norm_stats(sf_dir: str) -> pa.Table:
             acc += m[:, j] * m[:, j]
         norm_e6 = _round_half_away(1_000_000.0 * np.sqrt(acc)).astype(np.int64)
         df = pd.DataFrame({
-            "label": t.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
+            # float64 UNCONDITIONALLY: an int cast turns a NULL label
+            # into garbage, and a per-batch dtype branch would split one
+            # label across int/float group keys (SQL keeps a NULL group)
+            "label": t.column("label").to_numpy(
+                zero_copy_only=False).astype(np.float64),
             "n_vecs": 1,
             "sum_norm_e6": norm_e6,
         })
         return pa.Table.from_pandas(
-            df.groupby("label", as_index=False).sum(), preserve_index=False)
+            df.groupby("label", as_index=False, dropna=False).sum(),
+            preserve_index=False)
 
-    return _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
-                       ["label"], ["n_vecs", "sum_norm_e6"]).to_pandas()
+    out = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["label"], ["n_vecs", "sum_norm_e6"]).to_pandas()
+    out["label"] = _int_or_float64(out["label"])
+    return out
 
 
 def enrich_events_nation(sf_dir: str) -> pa.Table:
@@ -1706,21 +1713,24 @@ def label_centroids(sf_dir: str) -> pa.Table:
         m = _to_matrix(t.column("embedding"))
         e6 = _round_half_away(1e6 * m).astype(np.int64)
         df = pd.DataFrame(e6, columns=sum_cols)
+        # float64 unconditionally — see embedding_norm_stats
         df["label"] = t.column("label").to_numpy(
-            zero_copy_only=False).astype(np.int64)
+            zero_copy_only=False).astype(np.float64)
         df["n_vecs"] = np.int64(1)
         return pa.Table.from_pandas(
-            df.groupby("label", as_index=False).sum(), preserve_index=False)
+            df.groupby("label", as_index=False, dropna=False).sum(),
+            preserve_index=False)
 
     wide = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
                        ["label"], sum_cols + ["n_vecs"]).to_pandas()
     long = wide.melt(id_vars=["label", "n_vecs"], value_vars=sum_cols,
                      var_name="pos", value_name="sum_e6")
     long["pos"] = long["pos"].str.slice(1).astype(np.int64) + 1  # 1-based
-    for c in ("label", "n_vecs", "sum_e6"):
+    long["label"] = _int_or_float64(long["label"])
+    for c in ("n_vecs", "sum_e6"):
         long[c] = long[c].astype(np.int64)
     return long[["label", "pos", "n_vecs", "sum_e6"]].sort_values(
-        ["label", "pos"]).reset_index(drop=True)
+        ["label", "pos"], na_position="last").reset_index(drop=True)
 
 
 def paragraph_dedup(sf_dir: str) -> pa.Table:
@@ -2393,11 +2403,13 @@ def cluster_composition(sf_dir: str) -> pa.Table:
     def rpart(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
             "lang": _sentinel_nulls(df["lang"]),
-            "label": df["label"].to_numpy(dtype=np.int64),
+            # float64 unconditionally — see embedding_norm_stats
+            "label": df["label"].to_numpy(dtype=np.float64),
             "n_docs": 1,
             "sum_chars": df["n_chars"].to_numpy(dtype=np.int64),
         })
-        return out.groupby(["lang", "label"], as_index=False).sum()
+        return out.groupby(["lang", "label"], as_index=False,
+                           dropna=False).sum()
 
     out = _sum_by_key(j.map_batches(rpart, batch_format="pandas"),
                       ["lang", "label"], ["n_docs", "sum_chars"]
@@ -2406,9 +2418,11 @@ def cluster_composition(sf_dir: str) -> pa.Table:
         return _empty_result(lang=object, label="int64",
                              n_docs="int64", sum_chars="int64")
     out = _restore_null_keys(out, ["lang"])
-    for c in ("label", "n_docs", "sum_chars"):
+    out["label"] = _int_or_float64(out["label"])
+    for c in ("n_docs", "sum_chars"):
         out[c] = out[c].astype(np.int64)
-    return out.sort_values(["lang", "label"]).reset_index(drop=True)
+    return out.sort_values(["lang", "label"],
+                           na_position="last").reset_index(drop=True)
 
 
 def budget_sample(sf_dir: str) -> pa.Table:

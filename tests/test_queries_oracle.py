@@ -272,6 +272,9 @@ NASTY_QUERIES = [
     "json_props_stats", "asof_last_order", "asof_bucketed",
     "enrich_events_nation", "distinct_users_events",
     "referential_events_check",
+    # embedding family: zero vectors and NULL labels
+    "embedding_norm_stats", "label_centroids", "cluster_composition",
+    "knn_embeddings",
 ]
 
 
@@ -290,8 +293,25 @@ def nasty_sf(tmp_path_factory):
     import os
     os.makedirs(d)
     for t in TABLES:
-        if t not in ("documents", "events"):
+        if t not in ("documents", "events", "embeddings"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    vb = int(emb["vec_id"].max()) + 1
+    dim = len(emb["embedding"].iloc[0])
+    emb_add = pd.DataFrame({
+        "vec_id": np.arange(vb, vb + 3, dtype=emb["vec_id"].dtype),
+        "embedding": [np.zeros(dim, dtype=np.float32),
+                      np.ones(dim, dtype=np.float32) / np.sqrt(dim),
+                      np.zeros(dim, dtype=np.float32)],
+        "label": [None, 3, 7],
+    })
+    out_emb = pd.concat([emb, emb_add], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out_emb, preserve_index=False,
+                             schema=pq.read_schema(
+                                 f"{SF_DIR}/embeddings.parquet")),
+        f"{d}/embeddings.parquet")
 
     docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
     base = int(docs["doc_id"].max()) + 1
