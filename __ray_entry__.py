@@ -622,11 +622,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
+        # NULL price/discount contributes 0 (the CASE makes an all-NULL
+        # group read 0 like the engine rather than SQL-NULL; sum-skip
+        # == +0 otherwise)
         "hash_join_revenue": """
             SELECT o.o_orderstatus,
                    count(*) AS n_items,
-                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                                 AS BIGINT)) AS BIGINT) AS revenue_e4
+                   CAST(sum(CASE WHEN l.l_extendedprice IS NULL
+                                      OR l.l_discount IS NULL THEN 0
+                            ELSE CAST(round(l.l_extendedprice
+                                            * (1 - l.l_discount) * 10000)
+                                      AS BIGINT) END) AS BIGINT)
+                       AS revenue_e4
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderstatus
         """,

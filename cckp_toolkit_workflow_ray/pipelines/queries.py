@@ -518,6 +518,12 @@ def asof_last_order(sf_dir: str) -> pa.Table:
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     ).to_pandas()
     orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    # a NULL order date or custkey can never be the as-of match
+    # (o_orderdate <= ts is never true for NULL) and would break
+    # merge_asof's sorted-key / by-dtype checks
+    orders = orders[orders["o_orderdate"].notna()
+                    & orders["o_custkey"].notna()]
+    orders = orders.assign(o_custkey=orders["o_custkey"].astype("int64"))
     orders = orders.sort_values("o_orderdate", kind="mergesort").rename(
         columns={"o_custkey": "user_id"}
     )
@@ -1322,7 +1328,11 @@ def hash_join_revenue(sf_dir: str) -> pa.Table:
     def prep_li(t: pa.Table) -> pa.Table:
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = _round_half_away(price * (1.0 - disc) * 10_000).astype(np.int64)
+        # NULL price/discount contributes 0 (SQL sum skips the NULL
+        # term; an int cast of NaN would inject INT64_MIN garbage)
+        raw = price * (1.0 - disc) * 10_000
+        rev = _round_half_away(np.where(np.isnan(raw), 0.0, raw)) \
+            .astype(np.int64)
         return pa.table({
             "orderkey": t.column("l_orderkey"),
             "revenue_e4": pa.array(rev),

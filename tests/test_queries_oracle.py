@@ -275,6 +275,8 @@ NASTY_QUERIES = [
     # embedding family: zero vectors and NULL labels
     "embedding_norm_stats", "label_centroids", "cluster_composition",
     "knn_embeddings",
+    # join family: NULL order dates/custkeys/prices/discounts
+    "hash_join_revenue", "top_orders", "interval_event_windows",
 ]
 
 
@@ -293,8 +295,31 @@ def nasty_sf(tmp_path_factory):
     import os
     os.makedirs(d)
     for t in TABLES:
-        if t not in ("documents", "events", "embeddings"):
+        if t not in ("documents", "events", "embeddings",
+                     "orders", "lineitem"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{d}/{t}.parquet")
+
+    for t, idcol, nullcols in [
+        ("orders", "o_orderkey",
+         ["o_custkey", "o_orderdate", "o_totalprice"]),
+        ("lineitem", None,
+         ["l_quantity", "l_extendedprice", "l_returnflag"]),
+    ]:
+        df = pq.read_table(f"{SF_DIR}/{t}.parquet").to_pandas()
+        extra = df.head(len(nullcols) * 2).copy()
+        if idcol:
+            extra[idcol] = np.arange(
+                int(df[idcol].max()) + 1,
+                int(df[idcol].max()) + 1 + len(extra),
+                dtype=df[idcol].dtype)
+        for i, c in enumerate(nullcols):
+            extra.iloc[2 * i:2 * i + 2, extra.columns.get_loc(c)] = None
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat([df, extra], ignore_index=True),
+                                 preserve_index=False,
+                                 schema=pq.read_schema(
+                                     f"{SF_DIR}/{t}.parquet")),
+            f"{d}/{t}.parquet")
 
     emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
     vb = int(emb["vec_id"].max()) + 1
