@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (dedup / similarity / text analysis)
         "exact_dedup_full": q.exact_dedup_full,
         "incremental_dedup": q.incremental_dedup,
+        "incremental_near_dedup": q.incremental_near_dedup,
         "normalized_dedup": q.normalized_dedup,
         "minhash_dedup": q.minhash_dedup,
         "minhash_dedup_filtered": q.minhash_dedup_filtered,
@@ -717,6 +718,23 @@ def oracle_sql() -> dict[str, str]:
         # counts reproduce exact-Jaccard verification — checking the
         # distributed bucket/pair-dedup/payload-join/verify machinery
         "minhash_dedup": _lsh_pairs_sql(q.MINHASH_ORACLE_DIR),
+        # cross-corpus near-dup dedup: LSH pair set from the engine's
+        # band/shingle exports -> cross-side filter -> anti-join the
+        # new side (copies live at +10M, the side predicate is pure id
+        # arithmetic on both sides)
+        "incremental_near_dedup": (
+            "WITH " + _lsh_pair_ctes(q.INC_NEAR_ORACLE_DIR) + """,
+            flagged AS (
+                SELECT DISTINCT CASE WHEN id_a >= 10000000 THEN id_a
+                                     ELSE id_b END AS nid
+                FROM verified
+                WHERE (id_a >= 10000000) <> (id_b >= 10000000)),
+            new_side AS (
+                SELECT doc_id + 10000000 AS doc_id
+                FROM documents WHERE doc_id % 10 = 0)
+            SELECT n.doc_id FROM new_side n
+            WHERE n.doc_id NOT IN (SELECT nid FROM flagged)
+            ORDER BY n.doc_id"""),
         # same pair machinery + recursive-CTE connected components + the
         # min-id-representative keep rule: oracles LSH, verification,
         # distributed CC AND the two-regime loser filter end-to-end

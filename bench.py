@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "budget_sample",
     "cluster_composition",
+    "incremental_near_dedup",
 ]
 
 

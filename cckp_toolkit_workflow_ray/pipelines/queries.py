@@ -597,6 +597,46 @@ def _derived_text_corpus(sf_dir: str):
     return ds.union(ds.map_batches(perturb, batch_format="pyarrow"))
 
 
+INC_NEAR_ORACLE_DIR = "/tmp/cckp_inc_near_oracle"
+
+
+def incremental_near_dedup(sf_dir: str) -> pa.Table:
+    """Cross-corpus NEAR-dup dedup — the near-duplicate extension of
+    ``incremental_dedup``: the originals play the already-ingested
+    snapshot, the perturbed copies (+10M ids) play the new crawl, and a
+    new doc is dropped when it is a VERIFIED near-duplicate
+    (char-5-shingle Jaccard ≥ 0.5) of any snapshot doc.  Candidate
+    generation + verification is the full distributed MinHash-LSH
+    machinery (band-key dataset, bucketed pair emission, exact-Jaccard
+    verify); side membership is a pure id predicate, so the cross-side
+    filter is vectorized and shuffle-free, and the flagged-new set is
+    candidate-bounded.  Fully SQL-oracled via the exported band/shingle
+    tables.  Returns the surviving new doc ids."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    corpus = _derived_text_corpus(sf_dir)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5,
+                              export_oracle_dir=INC_NEAR_ORACLE_DIR)
+    _NEW = 10_000_000
+    cross = pairs[(pairs["id_a"].to_numpy() >= _NEW)
+                  != (pairs["id_b"].to_numpy() >= _NEW)]
+    flagged = np.unique(np.where(cross["id_a"].to_numpy() >= _NEW,
+                                 cross["id_a"].to_numpy(),
+                                 cross["id_b"].to_numpy())).astype(np.int64)
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids >= _NEW) & ~np.isin(ids, flagged)
+        return t.filter(pa.array(keep))
+
+    out = corpus.map_batches(new_side, batch_format="pyarrow") \
+        .select_columns(["doc_id"]).to_pandas()
+    if out.empty and "doc_id" not in out:
+        return _empty_result(doc_id="int64")
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def exact_dedup_full(sf_dir: str) -> pa.Table:
     """Engine-level exact dedup (stages.dedup.exact_dedup_dataset) over a
     corpus with seeded exact duplicates; returns surviving doc_ids."""
