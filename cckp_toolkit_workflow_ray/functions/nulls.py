@@ -1,10 +1,17 @@
 """Shared NULL-group-key handling.
 
-SQL GROUP BY keeps a NULL group; pandas groupby drops NaN keys and Ray's
-groupby cannot sort None keys.  Operators that must match SQL semantics
-map null string keys to a sentinel before grouping and restore None at
-the output surface.  (Null *numeric* keys remain unsupported as group
-keys — they are dropped, documented per operator.)
+SQL GROUP BY keeps a NULL group; pandas groupby drops NaN keys (unless
+dropna=False) and Ray's groupby cannot sort None keys.  Operators that
+must match SQL semantics map null STRING keys to a sentinel before
+grouping and restore None at the output surface.  Null NUMERIC group
+keys flow as float64 NaN end-to-end (cast the key column to float64
+UNCONDITIONALLY in the partial so one key never splits across int/float
+group identities, use dropna=False in every pandas groupby, and restore
+the int64 dtype at the driver via _int_or_float64) — the label rollups
+do this.  Two documented exceptions DROP null numeric keys instead:
+event-time operators (a NULL timestamp has no window) and
+sessionization (NaN defeats sorted-run detection; see
+stages/windows.py).
 """
 
 from __future__ import annotations

@@ -614,7 +614,10 @@ def incremental_near_dedup(sf_dir: str) -> pa.Table:
     tables.  Returns the surviving new doc ids."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    corpus = _derived_text_corpus(sf_dir)
+    # materialize once: the union re-executes the read+perturb python
+    # work for every downstream pass otherwise (same fix as
+    # minhash_dedup_filtered)
+    corpus = _derived_text_corpus(sf_dir).materialize()
     pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5,
                               export_oracle_dir=INC_NEAR_ORACLE_DIR)
     _NEW = 10_000_000

@@ -45,9 +45,8 @@ def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        # event-time op: rows without an event time are excluded (a NaN
-        # window key would also be silently dropped by the combiner and
-        # degrade the int64 window dtype)
+        # event-time op: rows without an event time are excluded (and a
+        # NaN window key would degrade the int64 window dtype)
         t = t.filter(pc.is_valid(t.column(ts_col)))
         us = pc.cast(t.column(ts_col), pa.int64()) \
                .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -154,20 +153,19 @@ def session_window(ds, ts_col: str, key_col: str, gap_us: int,
     cols = [key_col, ts_col, *order_cols]
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+        # filters FIRST (boolean masks already produce new frames), then
+        # one copy before the assignments:
+        # - numeric NULL keys are dropped (documented sessionization
+        #   exception in functions/nulls.py: a NaN key defeats sorted-run
+        #   detection — `NaN != NaN` splits every row into its own run)
+        # - NULL event times are excluded (event-time op; NaT would
+        #   int-cast to INT64_MIN and sessionize as a real instant)
+        if df[key_col].dtype != object:
+            df = df[df[key_col].notna()]
+        df = df[df[ts_col].notna()].copy()
         if df[key_col].dtype == object:
             df[key_col] = sentinel_nulls(df[key_col])
-        else:
-            # numeric NULL keys are dropped (functions/nulls.py policy) —
-            # a NaN key defeats run detection (`NaN != NaN` splits every
-            # row into its own run; review r3 finding), so enforce the
-            # documented drop here rather than emit per-event sessions
-            df = df[df[key_col].notna()]
-        # event-time op: rows without an event time are excluded (NaT
-        # would int-cast to INT64_MIN and sessionize as a real instant)
-        df = df[df[ts_col].notna()]
         # robust epoch-us regardless of pandas datetime unit (ns vs us)
-        df = df.copy()
         df["_us"] = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         return df[[key_col, "_us", *order_cols]]
 

@@ -304,7 +304,7 @@ def nasty_sf(tmp_path_factory):
         ("orders", "o_orderkey",
          ["o_custkey", "o_orderdate", "o_totalprice"]),
         ("lineitem", None,
-         ["l_quantity", "l_extendedprice", "l_returnflag"]),
+         ["l_quantity", "l_extendedprice", "l_returnflag", "l_discount"]),
     ]:
         df = pq.read_table(f"{SF_DIR}/{t}.parquet").to_pandas()
         extra = df.head(len(nullcols) * 2).copy()
