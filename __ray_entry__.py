@@ -591,13 +591,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY lang
         """,
+        # FLOOR division, not DuckDB's truncating // : a pre-1970
+        # timestamp has negative epoch-us, where // rounds toward zero
+        # but the engine's numpy floor (and date_trunc) round toward -inf
         "sliding_events": """
             WITH e AS (SELECT event_type, epoch_us(ts) AS us
-                       FROM events WHERE ts IS NOT NULL)
+                       FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT event_type,
+                         ((us // 1800000000)
+                          - CASE WHEN us < 0 AND us % 1800000000 <> 0
+                                 THEN 1 ELSE 0 END) * 1800000000 AS base
+                  FROM e)
             SELECT event_type,
-                   (us // 1800000000) * 1800000000 - k * 1800000000 AS window_start_us,
+                   base - k * 1800000000 AS window_start_us,
                    count(*) AS n_events
-            FROM e CROSS JOIN (VALUES (0), (1)) AS t(k)
+            FROM f CROSS JOIN (VALUES (0), (1)) AS t(k)
             GROUP BY 1, 2
         """,
         "session_windows": """

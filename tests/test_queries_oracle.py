@@ -362,14 +362,19 @@ def nasty_sf(tmp_path_factory):
 
     ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
     eb = int(ev["event_id"].max()) + 1
-    nul = ev.head(12).copy()
-    nul["event_id"] = np.arange(eb, eb + 12, dtype=ev["event_id"].dtype)
+    nul = ev.head(15).copy()
+    nul["event_id"] = np.arange(eb, eb + 15, dtype=ev["event_id"].dtype)
     idx = nul.index
     nul.loc[idx[:3], "user_id"] = None
     nul.loc[idx[3:6], "ts"] = pd.NaT
     nul.loc[idx[6:8], "event_type"] = None
     nul.loc[idx[8:10], "value"] = None
-    nul.loc[idx[10:], "props"] = None
+    nul.loc[idx[10:12], "props"] = None
+    # pre-1970 timestamps: negative epoch-us, where DuckDB's truncating
+    # // diverges from numpy's floor division (sliding-window finding)
+    nul.loc[idx[12:], "ts"] = pd.to_datetime(
+        ["1969-12-31 23:30:00", "1969-06-15 11:11:11",
+         "1969-12-31 00:00:00"])
     out_e = pd.concat([ev, nul], ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(out_e, preserve_index=False,
