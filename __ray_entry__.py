@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_event_windows": q.interval_event_windows,
         "distinct_users_events": q.distinct_users_events,
         "window_distinct_users": q.window_distinct_users,
+        "user_growth": q.user_growth,
         "embedding_norm_stats": q.embedding_norm_stats,
         "top_orders": q.top_orders,
         "json_props_stats": q.json_props_stats,
@@ -681,6 +682,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # growth curve: first-seen day per user, counted and cumulated;
+        # NULL users/timestamps excluded (engine policies)
+        "user_growth": """
+            WITH f AS (
+                SELECT user_id, min(date_trunc('day', ts)) AS day
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id),
+            c AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
+            SELECT day, CAST(n_new AS BIGINT) AS n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM c ORDER BY day
         """,
         "embedding_norm_stats": """
             SELECT CAST(label AS BIGINT) AS label,

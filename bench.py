@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "budget_sample",
     "cluster_composition",
     "incremental_near_dedup",
+    "user_growth",
 ]
 
 

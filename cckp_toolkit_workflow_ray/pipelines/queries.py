@@ -1490,6 +1490,73 @@ def window_distinct_users(sf_dir: str) -> pa.Table:
         "window_start").reset_index(drop=True)
 
 
+def user_growth(sf_dir: str) -> pa.Table:
+    """Cumulative distinct users by day (the growth-curve analytic):
+    each user's FIRST-seen day, counted per day, cumulatively summed.
+    The first-touch reduction runs at user cardinality but never
+    materializes a per-user frame on the driver: per-batch (user,
+    min day) combiners → ONE range sort → block-INTERIOR users reduce
+    to per-day new-user counts inside the block (a user interior to a
+    block cannot appear elsewhere), block-EDGE users' partials (≤2 users
+    per block) reconcile on the driver — O(days × blocks + edge rows),
+    independent of user count.  NULL users and NULL timestamps are
+    excluded (documented policies).  The final cumulative sum runs over
+    the O(days) day table."""
+    from ..stages.ranking import _edge_mask
+
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "first_us": (us // _DAY_US) * _DAY_US,
+        })
+        return df.groupby("user_id", as_index=False)["first_us"].min()
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow") \
+                  .sort("user_id").materialize()
+    _EMPTY = pd.DataFrame({"first_us": pd.Series([], dtype="int64"),
+                           "n_new": pd.Series([], dtype="int64")})
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        inner = df[~_edge_mask(df, ["user_id"])]
+        if inner.empty:
+            return _EMPTY
+        fm = inner.groupby("user_id", as_index=False)["first_us"].min()
+        return fm.groupby("first_us", as_index=False).size() \
+                 .rename(columns={"size": "n_new"})
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    counts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        em = edge_rows.groupby("user_id", as_index=False)["first_us"].min()
+        ec = em.groupby("first_us", as_index=False).size() \
+               .rename(columns={"size": "n_new"})
+        counts = pd.concat([counts, ec], ignore_index=True)
+    if counts.empty:
+        return _empty_result(day="datetime64[ns]", n_new="int64",
+                             cum_users="int64")
+    out = counts.groupby("first_us", as_index=False)["n_new"].sum() \
+                .sort_values("first_us").reset_index(drop=True)
+    out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
+    out["n_new"] = out["n_new"].astype(np.int64)
+    out["day"] = pd.to_datetime(out.pop("first_us"), unit="us")
+    return out[["day", "n_new", "cum_users"]]
+
+
 def embedding_norm_stats(sf_dir: str) -> pa.Table:
     """Per-label L2-norm statistics over the embedding column (exact-int
     e-6 scaling so the float sum is order-independent)."""

@@ -277,7 +277,7 @@ NASTY_QUERIES = [
     "knn_embeddings",
     # join family: NULL order dates/custkeys/prices/discounts
     "hash_join_revenue", "top_orders", "interval_event_windows",
-    "incremental_near_dedup",
+    "incremental_near_dedup", "user_growth",
 ]
 
 
