@@ -248,6 +248,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "word_frequencies": ["word", "n", "rk"],
         "cluster_composition": ["lang", "label", "n_docs", "sum_chars"],
         "winnow_verify": ["doc_id", "fp"],
+        "user_growth": ["day", "n_new", "cum_users"],
+        "incremental_near_dedup": ["doc_id"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
