@@ -678,10 +678,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
         """,
+        # NULL policy: rows with NULL ts or NULL user_id are excluded —
+        # an all-NULL-user day yields NO row (matches the engine, which
+        # filters both before the salted distinct exchange)
         "window_distinct_users": """
             SELECT date_trunc('day', ts) AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-            FROM events GROUP BY 1 ORDER BY 1
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         # growth curve: first-seen day per user, counted and cumulated;
         # NULL users/timestamps excluded (engine policies)

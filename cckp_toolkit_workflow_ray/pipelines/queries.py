@@ -1466,14 +1466,23 @@ def window_distinct_users(sf_dir: str) -> pa.Table:
     windowed-distinct streaming motif (daily active users).  The window
     is a derived int64 key (floor to day in microseconds); the distinct
     count is the hot-key-safe salted exchange, so one viral day cannot
-    funnel all its users into a single group task."""
+    funnel all its users into a single group task.
+
+    NULL policy (documented, matches the oracle): rows with NULL ts or
+    NULL user_id are excluded up front — a day whose events ALL have
+    NULL user_id produces no output row (not an n_distinct=0 row), and
+    the explicit filter keeps every block's window_start_us int64 (no
+    NaN-driven float upcast splitting one day key across identities)."""
     from ..stages.groupagg import salted_distinct_count
 
     _DAY_US = 86_400 * 10**6
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
     def win(t: pa.Table) -> pa.Table:
-        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "window_start_us": pa.array((us // _DAY_US) * _DAY_US),
             "user_id": t.column("user_id"),

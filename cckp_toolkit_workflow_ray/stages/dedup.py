@@ -1021,19 +1021,19 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     bucket_sorted = np.sort(dup_buckets["key"].to_numpy())
 
     def memberships(t: pa.Table) -> pa.Table:
+        # fully vectorized (mirrors the MinHash membership pass above):
+        # ravel the (n_docs, n_bands) key matrix, one sorted-membership
+        # probe, then repeat ids/simhash alongside and take the hits
         sh = doc_simhash(t.column(text_col).to_numpy(zero_copy_only=False))
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keys = band_keys(sh)
-        out_k, out_id, out_sh = [], [], []
-        for i in range(keys.shape[0]):
-            hit = isin_sorted(bucket_sorted, keys[i])
-            for kk in keys[i][hit]:
-                out_k.append(int(kk))
-                out_id.append(int(ids[i]))
-                out_sh.append(int(sh[i]))
-        return pa.table({"bucket": pa.array(out_k, type=pa.int64()),
-                         "doc": pa.array(out_id, type=pa.int64()),
-                         "simhash": pa.array(np.array(out_sh, dtype=np.uint64).astype(np.int64))})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = band_keys(sh).ravel()
+        hit = isin_sorted(bucket_sorted, flat)
+        return pa.table({
+            "bucket": pa.array(flat[hit], type=pa.int64()),
+            "doc": pa.array(np.repeat(ids, n_bands)[hit], type=pa.int64()),
+            "simhash": pa.array(
+                np.repeat(sh, n_bands)[hit].astype(np.int64)),
+        })
 
     mem = ds.select_columns([text_col, id_col]).map_batches(
         memberships, batch_format="pyarrow", batch_size=batch_size
