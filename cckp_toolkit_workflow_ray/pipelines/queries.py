@@ -1081,11 +1081,13 @@ def cosine_threshold_pairs(sf_dir: str) -> pa.Table:
     """All natural embedding pairs with cosine ≥ 0.45 — exact all-pairs
     near-dup with a DuckDB ``list_cosine_similarity`` oracle (the seeded
     variant ``embedding_neardup`` stays rows-only because its noise
-    generator is not SQL-expressible)."""
-    from ..stages.similarity import near_dup_cosine
+    generator is not SQL-expressible).  The stage is the auto-gated
+    two-regime path: exact broadcast below 2M rows, LSH-bucketed
+    beyond (VERDICT r3 #4)."""
+    from ..stages.similarity import near_dup_cosine_auto
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = near_dup_cosine(ds, threshold=0.45)
+    pairs = near_dup_cosine_auto(ds, threshold=0.45)
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -1105,7 +1107,7 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
     from ..functions.hashing import uniform01
-    from ..stages.similarity import near_dup_cosine
+    from ..stages.similarity import near_dup_cosine_auto
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1130,7 +1132,7 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
     os.makedirs(EMB_ORACLE_DIR, exist_ok=True)
     noisy.write_parquet(EMB_ORACLE_DIR)
     corpus = ds.union(noisy)
-    pairs = near_dup_cosine(corpus, threshold=0.995)
+    pairs = near_dup_cosine_auto(corpus, threshold=0.995)
     return pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -68,33 +68,66 @@ def _rank_within_runs(df: pd.DataFrame, key_cols: list[str]) -> np.ndarray:
 def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
                   k: int | None = None,
                   descending: list[bool] | None = None,
-                  k_table: pd.DataFrame | None = None):
+                  k_table=None, broadcast_limit: int = 2_000_000):
     """Keep the first ``k`` rows per key under ``ORDER BY order_cols``
     (SQL ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k``
     semantics — make ``order_cols`` end in a tiebreaker column for a
     deterministic result).  Returns a Dataset.
 
-    ``k_table``: optional per-group cap — a SMALL driver-side frame with
-    ``key_cols`` + a ``k`` column (O(|groups|) rows; it is shipped inside
-    the map closure, so use it only when the group count is broadcastable
-    — e.g. corpus sources/languages, not web domains).  Groups absent
-    from ``k_table`` fall back to ``k`` (or 0 when ``k`` is None, i.e.
-    dropped).  Used by temperature-based mixture sampling where every
-    source gets its own quota.
+    ``k_table``: optional per-group cap, two regimes (VERDICT r3 #5):
+
+    * a pandas frame with ``key_cols`` + a ``k`` column and at most
+      ``broadcast_limit`` rows is broadcast ONCE via ``ray.put`` (never
+      re-pickled per task) and merged per block — right for corpus
+      sources/languages;
+    * a ``ray.data.Dataset`` quota side (or a frame beyond the limit,
+      which is promoted automatically) is attached by a bucketed LEFT
+      hash join BEFORE the sort — one extra keyed exchange, but the
+      quota side never funnels through the driver, so millions of web
+      domains work.
+
+    Groups absent from ``k_table`` fall back to ``k`` (or 0 when ``k``
+    is None, i.e. dropped).  Used by temperature-based mixture sampling
+    where every source gets its own quota.
     """
+    import ray
     import ray.data as rd
 
     if descending is None:
         descending = [False] * len(order_cols)
+    default_k = 0 if k is None else int(k)
+
+    k_ref = None
+    cap_joined = False
+    if k_table is not None and isinstance(k_table, pd.DataFrame) \
+            and len(k_table) <= broadcast_limit:
+        k_ref = ray.put(k_table)
+    elif k_table is not None:
+        from .joins import hash_join, restore_plain_ints
+
+        quota_ds = k_table if not isinstance(k_table, pd.DataFrame) else \
+            rd.from_pandas(k_table)
+        quota_ds = quota_ds.map_batches(
+            lambda df: df.rename(columns={"k": "__kcap"}),
+            batch_format="pandas")
+        data_cols = ds.schema().names
+        ds = hash_join(ds, quota_ds, on=list(key_cols), how="left") \
+            .map_batches(
+                lambda df: restore_plain_ints(
+                    df.reindex(columns=data_cols + ["__kcap"])),
+                batch_format="pandas")
+        cap_joined = True
+
     sort_cols = list(key_cols) + list(order_cols)
     desc = [False] * len(key_cols) + list(descending)
     sorted_ds = ds.sort(sort_cols, descending=desc)
-    default_k = 0 if k is None else int(k)
 
     def _row_caps(df: pd.DataFrame) -> np.ndarray:
-        if k_table is None:
+        if cap_joined:
+            return df["__kcap"].fillna(default_k).to_numpy(dtype=np.int64)
+        if k_ref is None:
             return np.full(len(df), default_k, dtype=np.int64)
-        m = df[key_cols].merge(k_table, on=key_cols, how="left")
+        m = df[key_cols].merge(ray.get(k_ref), on=key_cols, how="left")
         return m["k"].fillna(default_k).to_numpy(dtype=np.int64)
 
     def block_top(df: pd.DataFrame) -> pd.DataFrame:
@@ -112,8 +145,9 @@ def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
     capped = sorted_ds.map_batches(
         block_top, batch_format="pandas", batch_size=None).materialize()
 
+    helper_cols = ["__edge"] + (["__kcap"] if cap_joined else [])
     interior = capped.map_batches(
-        lambda df: df[~df["__edge"]].drop(columns="__edge"),
+        lambda df: df[~df["__edge"]].drop(columns=helper_cols),
         batch_format="pandas")
     edge_rows = capped.map_batches(
         lambda df: df[df["__edge"]].drop(columns="__edge"),
@@ -128,6 +162,8 @@ def grouped_top_k(ds, key_cols: list[str], order_cols: list[str],
             kind="mergesort", na_position="last").reset_index(drop=True)
         final_edge = edge_sorted[
             _rank_within_runs(edge_sorted, key_cols) < _row_caps(edge_sorted)]
+        if cap_joined:
+            final_edge = final_edge.drop(columns="__kcap")
         if len(final_edge):
             interior = interior.union(rd.from_pandas(
                 final_edge.reset_index(drop=True)))

@@ -34,6 +34,35 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _merge_topk(parts: pd.DataFrame, query_ids, k: int) -> pd.DataFrame:
+    """Driver-side merge of the per-batch top-k partials, vectorized.
+
+    One lexsort over the stacked (query, −sim, id) array ranks every
+    candidate with the exact (sim desc, neighbor_id asc) tie-break; a
+    segment prefix counter then keeps the first k per query.  The input
+    is O(n_batches × |queries| × k) rows by construction, never corpus-
+    sized.
+    """
+    if not len(parts):
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "rk": pd.Series([], dtype="int64")})
+    arr_q = parts["query_id"].to_numpy()
+    arr_n = parts["neighbor_id"].to_numpy()
+    arr_s = parts["sim"].to_numpy()
+    order = np.lexsort((arr_n, -arr_s, arr_q))
+    arr_q, arr_n = arr_q[order], arr_n[order]
+    starts = np.flatnonzero(np.r_[True, arr_q[1:] != arr_q[:-1]])
+    seg_len = np.diff(np.r_[starts, len(arr_q)])
+    pos = np.arange(len(arr_q)) - np.repeat(starts, seg_len)
+    keep = pos < k
+    return pd.DataFrame({
+        "query_id": np.asarray(query_ids, dtype=np.int64)[arr_q[keep]],
+        "neighbor_id": arr_n[keep].astype(np.int64),
+        "rk": (pos[keep] + 1).astype(np.int64),
+    })
+
+
 def knn_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                vec_col: str = "embedding", id_col: str = "vec_id",
                batch_size: int = 4096) -> pd.DataFrame:
@@ -57,29 +86,24 @@ def knn_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                              "neighbor_id": pa.array([], type=pa.int64()),
                              "sim": pa.array([], type=pa.float64())})
         sims = qm @ m.T                      # (n_queries, n_batch)
-        kk = min(k, m.shape[0])
-        # local top-k per query with exact (sim desc, id asc) tie-break —
-        # ties at the k boundary must not drop the id-tie-break winner
-        out_q, out_n, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            s = sims[qi]
-            idx = np.lexsort((ids, -s))[:kk]
-            out_q.extend([qi] * kk)
-            out_n.extend(ids[idx].tolist())
-            out_s.extend(s[idx].tolist())
-        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                         "neighbor_id": pa.array(out_n, type=pa.int64()),
-                         "sim": pa.array(out_s, type=pa.float64())})
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        # local top-k per query, one lexsort over the raveled matrix with
+        # the exact (sim desc, id asc) tie-break — ties at the k boundary
+        # must not drop the id-tie-break winner.  query index is the most
+        # significant key, so the sorted order groups by query and a
+        # reshape slices each query's first kk candidates.
+        flat_q = np.repeat(np.arange(nq), nb)
+        flat_n = np.tile(ids, nq)
+        flat_s = sims.ravel()
+        sel = np.lexsort((flat_n, -flat_s, flat_q)).reshape(nq, nb)[:, :kk].ravel()
+        return pa.table({"query_id": pa.array(flat_q[sel], type=pa.int64()),
+                         "neighbor_id": pa.array(flat_n[sel], type=pa.int64()),
+                         "sim": pa.array(flat_s[sel], type=pa.float64())})
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow",
                            batch_size=batch_size).to_pandas()
-    rows = []
-    for qi, grp in parts.groupby("query_id"):
-        grp = grp.sort_values(["sim", "neighbor_id"], ascending=[False, True],
-                              kind="mergesort").head(k)
-        for rank, r in enumerate(grp.itertuples(), start=1):
-            rows.append((int(query_ids[qi]), int(r.neighbor_id), rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rk"])
+    return _merge_topk(parts, query_ids, k)
 
 
 def near_dup_cosine(ds, threshold: float = 0.99, vec_col: str = "embedding",
@@ -116,6 +140,36 @@ def near_dup_cosine(ds, threshold: float = 0.99, vec_col: str = "embedding",
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def near_dup_cosine_auto(ds, threshold: float = 0.99, vec_col: str = "embedding",
+                         id_col: str = "vec_id", batch_size: int = 4096,
+                         small_limit: int = 2_000_000, **lsh_kwargs) -> pd.DataFrame:
+    """Two-regime cosine near-dup — the automatic size gate (VERDICT r3 #4,
+    same pattern as ``find_duplicate_int_keys_two_regime``).
+
+    Below ``small_limit`` rows the exact full-matrix broadcast path runs
+    (:func:`near_dup_cosine` — the normalized matrix must fit worker
+    memory, 2M × 64-d ≈ 1 GB); above it, the hyperplane-LSH bucketed
+    path (:func:`near_dup_cosine_lsh`) takes over with a loud warning
+    that recall becomes probabilistic (precision stays exact — every
+    emitted pair is cosine-verified).  Callers no longer choose the
+    regime by hand; the row count does.
+    """
+    n = ds.count()
+    if n <= small_limit:
+        return near_dup_cosine(ds, threshold=threshold, vec_col=vec_col,
+                               id_col=id_col, batch_size=batch_size)
+    import warnings
+
+    warnings.warn(
+        f"near_dup_cosine_auto: {n} rows > small_limit={small_limit}; "
+        "switching to the LSH-bucketed path — every emitted pair is "
+        "exact-verified, but recall is probabilistic (raise n_tables "
+        "to tighten)")
+    return near_dup_cosine_lsh(ds, threshold=threshold, vec_col=vec_col,
+                               id_col=id_col, batch_size=batch_size,
+                               **lsh_kwargs)
 
 
 def near_dup_cosine_lsh(ds, threshold: float = 0.99, n_planes: int = 16,
@@ -373,10 +427,4 @@ def ivf_knn(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarra
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow",
                            batch_size=batch_size).to_pandas()
-    rows = []
-    for qi, grp in parts.groupby("query_id"):
-        grp = grp.sort_values(["sim", "neighbor_id"], ascending=[False, True],
-                              kind="mergesort").head(k)
-        for rank, r in enumerate(grp.itertuples(), start=1):
-            rows.append((int(query_ids[qi]), int(r.neighbor_id), rank))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rk"])
+    return _merge_topk(parts, query_ids, k)

@@ -22,6 +22,7 @@ from cckp_toolkit_workflow_ray.stages.dedup import (
 from cckp_toolkit_workflow_ray.stages.similarity import (
     knn_cosine,
     near_dup_cosine,
+    near_dup_cosine_auto,
     near_dup_cosine_lsh,
 )
 
@@ -153,6 +154,20 @@ def test_near_dup_cosine_exact(ray_session, emb_corpus):
     got = near_dup_cosine(_to_ds(emb_corpus), threshold=0.995)
     assert set(zip(got.id_a, got.id_b)) == _exact_pairs(emb_corpus, 0.995)
     assert len(got) > 0  # seeded noisy copies are above threshold
+
+
+def test_near_dup_cosine_auto_regimes_agree(ray_session, emb_corpus):
+    """VERDICT r3 #4: the automatic size gate — the small exact regime and
+    the >limit LSH regime must produce the IDENTICAL pair set on a
+    fixture whose pairs sit far above the threshold (noisy copies at
+    ~0.9999 cosine; 16 tables drive the miss probability below 1e-6,
+    and the fixed hyperplane seed makes the run deterministic)."""
+    small = near_dup_cosine_auto(_to_ds(emb_corpus), threshold=0.995)
+    with pytest.warns(UserWarning, match="switching to the LSH-bucketed"):
+        large = near_dup_cosine_auto(_to_ds(emb_corpus), threshold=0.995,
+                                     small_limit=1, n_tables=16)
+    assert set(zip(small.id_a, small.id_b)) == _exact_pairs(emb_corpus, 0.995)
+    assert set(zip(large.id_a, large.id_b)) == set(zip(small.id_a, small.id_b))
 
 
 def test_near_dup_cosine_lsh_precision_and_recall(ray_session, emb_corpus):

@@ -175,6 +175,55 @@ def test_grouped_top_k_per_group_quota(ray_session):
     assert counts.get(6, 0) == 3 and counts.get(7, 0) == 3
 
 
+def test_grouped_top_k_quota_dataset_side_100k_groups(ray_session):
+    """VERDICT r3 #5: a quota side too large to broadcast (100k groups,
+    forced via broadcast_limit) is attached by the bucketed LEFT hash
+    join regime and must produce the identical result to the broadcast
+    regime — including groups absent from the quota (scalar-k fallback)
+    and zero-quota groups (dropped)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.ranking import grouped_top_k
+
+    rng = np.random.default_rng(17)
+    n_groups = 100_000
+    n = 50_000
+    df = pd.DataFrame({
+        "grp": rng.integers(0, n_groups, n).astype(np.int64),
+        "val": rng.integers(0, 1000, n),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    # quotas 0-3 for even groups only; odd groups fall back to k=1
+    even = np.arange(0, n_groups, 2, dtype=np.int64)
+    k_table = pd.DataFrame({"grp": even, "k": (even // 2) % 4})
+    ds = rd.from_pandas(df).repartition(16)
+
+    small = grouped_top_k(ds, ["grp"], ["val", "rid"], k=1,
+                          k_table=k_table).to_pandas()
+    # oversized-frame promotion (broadcast_limit forces the join regime)
+    joined = grouped_top_k(ds, ["grp"], ["val", "rid"], k=1,
+                           k_table=k_table, broadcast_limit=10).to_pandas()
+    # explicit Dataset quota side
+    ds_side = grouped_top_k(ds, ["grp"], ["val", "rid"], k=1,
+                            k_table=rd.from_pandas(k_table).repartition(8)
+                            ).to_pandas()
+
+    cols = df.columns.tolist()
+    small = small.sort_values("rid").reset_index(drop=True)[cols]
+    for other in (joined, ds_side):
+        other = other.sort_values("rid").reset_index(drop=True)[cols]
+        assert other.dtypes.equals(small.dtypes)
+        pd.testing.assert_frame_equal(other, small)
+
+    quota = dict(zip(k_table["grp"], k_table["k"]))
+    want = (df.sort_values(["val", "rid"], kind="mergesort")
+              .groupby("grp", sort=False, group_keys=False)
+              .apply(lambda g: g.head(quota.get(g.name, 1)),
+                     include_groups=True)
+              .sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(small, want[cols])
+
+
 def test_grouped_budget_fill_matches_window_oracle(ray_session):
     """grouped_budget_fill == SQL running-inclusive-sum <= budget, with
     NaN groups, budget-boundary rows, and pruned buckets."""
