@@ -2272,16 +2272,29 @@ def global_shuffle(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def curate_corpus(sf_dir: str) -> pa.Table:
+def curate_corpus(sf_dir: str, cache=None) -> pa.Table:
     """Flagship end-to-end curation chain, every stage streaming:
     quality filter (n_chars >= 200, non-empty text) → exact dedup
     (min-doc_id winner per identical text) → per-domain cap (top 10 per
     (source, lang) by n_chars DESC) → fixed 512-token sequence packing in
     doc_id order → per-lang rollup of docs/tokens/sequence spans.  The
-    oracle is the same chain as SQL CTEs."""
+    oracle is the same chain as SQL CTEs.
+
+    ``cache``: optional StageCache (VERDICT r3 #2) — the packed-span
+    table (the output of the whole filter→dedup→cap→pack chain; only
+    the cheap per-lang rollup follows it) checkpoints under stage
+    ``curate_packed_spans``, so a resumed run skips every upstream
+    exchange."""
     from ..stages.dedup import exact_dedup_dataset
     from ..stages.packing import packed_sequence_spans
     from ..stages.ranking import grouped_top_k
+
+    span_params = {"min_chars": 200, "cap_k": 10, "seq_tokens": 512,
+                   "bucket_size": 4096}
+    spans = cache.lookup("curate_packed_spans", span_params) \
+        if cache is not None else None
+    if spans is not None:
+        return _curate_rollup(spans)
 
     ds = _read(sf_dir, "documents",
                ["doc_id", "source", "lang", "n_chars", "text"])
@@ -2319,6 +2332,14 @@ def curate_corpus(sf_dir: str) -> pa.Table:
     spans = packed_sequence_spans(capped, "doc_id", "n_tokens",
                                   seq_tokens=512, bucket_size=4096,
                                   keep_cols=["lang"])
+    if cache is not None:
+        spans = cache.put("curate_packed_spans", span_params, spans)
+    return _curate_rollup(spans)
+
+
+def _curate_rollup(spans) -> pa.Table:
+    """Per-lang rollup over the packed-span table — the cheap final
+    phase of ``curate_corpus``, recomputed on every (resumed) run."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         first = df["seq_first"].to_numpy()

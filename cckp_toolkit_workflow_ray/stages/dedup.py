@@ -768,7 +768,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       batch_size: int = 512,
                       shingle_fn=None, max_bucket: int = 8192,
                       as_dataset: bool = False,
-                      export_oracle_dir: str | None = None):
+                      export_oracle_dir: str | None = None,
+                      cache=None):
     """Near-duplicate pairs via shingle→MinHash→band→bucket→verify.
 
     ``shingle_fn(text) -> np.ndarray[uint64]`` MUST return a SORTED,
@@ -812,11 +813,40 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     key) and exact-Jaccard verification (intersection counts over the
     shingle sets).  Costs one extra corpus scan; never used on
     production paths.
+
+    ``cache``: optional :class:`~..state.checkpoint.StageCache` — the
+    resume path (VERDICT r3 #2).  Two stages checkpoint: the
+    materialized band-key Dataset (``minhash_bands`` — the expensive
+    signature pass) and the verified pair set
+    (``minhash_verified_pairs`` — a hit skips the whole pipeline).  A
+    custom ``shingle_fn`` participates in the fingerprint by its
+    ``__name__`` — give distinct shingle functions distinct names.
+    Ignored in oracle-export mode (exports must rerun).
     """
     import ray
     import ray.data as rd
 
     shingles_of = shingle_fn or (lambda txt: char_shingle_hashes(txt, shingle_k))
+    use_cache = cache is not None and export_oracle_dir is None
+    sig_params = {"num_perm": num_perm, "bands": bands,
+                  "shingle_k": shingle_k, "text_col": text_col,
+                  "id_col": id_col,
+                  "shingle_fn": getattr(shingle_fn, "__name__", "char")
+                  if shingle_fn is not None else "char"}
+    pair_params = dict(sig_params, jaccard_threshold=jaccard_threshold,
+                       max_bucket=max_bucket)
+
+    def _finish(verified_ds):
+        if as_dataset:
+            return verified_ds
+        out = verified_ds.to_pandas()
+        return out.drop_duplicates(["id_a", "id_b"]) \
+                  .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    if use_cache:
+        hit = cache.lookup("minhash_verified_pairs", pair_params)
+        if hit is not None:
+            return _finish(hit)
 
     def doc_band_keys(t: pa.Table) -> pa.Table:
         """One row per (doc, band): the signature pass, run ONCE."""
@@ -831,9 +861,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             "key": pa.array(keys.ravel(), type=pa.int64()),
         })
 
-    bands_ds = ds.select_columns([text_col, id_col]).map_batches(
-        doc_band_keys, batch_format="pyarrow", batch_size=batch_size
-    ).materialize()
+    def _compute_bands():
+        return ds.select_columns([text_col, id_col]).map_batches(
+            doc_band_keys, batch_format="pyarrow", batch_size=batch_size)
+
+    if use_cache:
+        bands_ds = cache.get_or_compute("minhash_bands", sig_params,
+                                        _compute_bands)
+    else:
+        bands_ds = _compute_bands().materialize()
 
     if export_oracle_dir is not None:
         import os
@@ -890,12 +926,17 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "n": pa.array(counts.astype(np.int64))})
 
     def _no_pairs():
+        empty = rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+        if use_cache:
+            empty = cache.put("minhash_verified_pairs", pair_params, empty)
         if as_dataset:
-            return rd.from_arrow(pa.table({
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "jaccard": pa.array([], type=pa.float64())}))
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return empty
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
 
     dup_buckets = find_duplicate_int_keys(bands_ds.select_columns(["key"]),
                                           key_partial, batch_size=65536)
@@ -973,10 +1014,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
     verified = withp.map_batches(verify, batch_format="pandas")
-    if as_dataset:
-        return verified
-    out = verified.to_pandas()
-    return out.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    if use_cache:
+        verified = cache.put("minhash_verified_pairs", pair_params, verified)
+    return _finish(verified)
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,109 @@ def test_errored_partition_leaves_no_manifest_and_reruns(
         res2.verdicts.sort_values(["lang", "check"]).reset_index(drop=True),
         clean.verdicts.sort_values(["lang", "check"]).reset_index(drop=True),
     )
+
+
+# --------------------------------------------------------------- StageCache
+# VERDICT r3 #2: resume for the expensive chain intermediates (the
+# -resume analog beyond the validate scan).
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lsh_corpus():
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    near = base[base.doc_id % 10 == 0].copy()
+    near["doc_id"] += 10_000_000
+    near["text"] = near["text"].map(
+        lambda t: "xqzv" + t[t.index(" "):] if " " in t else "xqzv")
+    return pd.concat([base, near], ignore_index=True)
+
+
+def _stage_mtimes(root, prefix):
+    out = {}
+    for d in os.listdir(root):
+        if d.startswith(prefix):
+            for base, _, files in os.walk(os.path.join(root, d)):
+                for f in files:
+                    p = os.path.join(base, f)
+                    out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_stage_cache_minhash_kill_after_signature_pass(
+        ray_session, tmp_path_factory):
+    """Kill right after the signature pass publishes, rerun, assert the
+    signature stage is a manifest hit (files untouched), the pair set
+    computes fresh, and the output is identical to a cacheless run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.dedup import minhash_lsh_pairs
+    from cckp_toolkit_workflow_ray.state.checkpoint import StageCache
+
+    corpus = _lsh_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(corpus, preserve_index=False))
+    clean = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    assert len(clean) > 0
+
+    root = str(tmp_path_factory.mktemp("stage_cache_lsh"))
+    inputs = [f"{SF}/documents.parquet"]
+    c1 = StageCache(root, inputs=inputs)
+    c1._fault_after_put = "minhash_bands"
+    with pytest.raises(RuntimeError, match="injected fault"):
+        minhash_lsh_pairs(ds, jaccard_threshold=0.5, cache=c1)
+    assert c1.computed == ["minhash_bands"] and c1.hits == []
+    band_files_before = _stage_mtimes(root, "minhash_bands-")
+    assert band_files_before, "signature stage must have published"
+
+    # resume: signature stage skipped (manifest hit, files untouched)
+    c2 = StageCache(root, inputs=inputs)
+    out2 = minhash_lsh_pairs(ds, jaccard_threshold=0.5, cache=c2)
+    assert c2.hits == ["minhash_bands"]
+    assert c2.computed == ["minhash_verified_pairs"]
+    band_files_after = _stage_mtimes(root, "minhash_bands-")
+    assert band_files_after == band_files_before
+    pd.testing.assert_frame_equal(out2, clean)
+
+    # third run: full hit — the whole pipeline is skipped
+    c3 = StageCache(root, inputs=inputs)
+    out3 = minhash_lsh_pairs(ds, jaccard_threshold=0.5, cache=c3)
+    assert c3.hits == ["minhash_verified_pairs"] and c3.computed == []
+    pd.testing.assert_frame_equal(out3, clean)
+
+    # changed verify param: signature stage still hits, pairs recompute
+    c4 = StageCache(root, inputs=inputs)
+    out4 = minhash_lsh_pairs(ds, jaccard_threshold=0.9, cache=c4)
+    assert "minhash_bands" in c4.hits
+    assert c4.computed == ["minhash_verified_pairs"]
+    assert set(zip(out4.id_a, out4.id_b)) <= set(zip(clean.id_a, clean.id_b))
+
+
+def test_stage_cache_curate_resume(ray_session, tmp_path_factory):
+    """curate_corpus: the packed-span table (output of the whole
+    filter->dedup->cap->pack chain) checkpoints; a resumed run recomputes
+    only the per-lang rollup and matches the cacheless result."""
+    from cckp_toolkit_workflow_ray.pipelines.queries import curate_corpus
+    from cckp_toolkit_workflow_ray.state.checkpoint import StageCache
+
+    def norm(df):
+        return df.sort_values("lang", na_position="last").reset_index(drop=True)
+
+    clean = norm(curate_corpus(SF))
+    root = str(tmp_path_factory.mktemp("stage_cache_curate"))
+    inputs = [f"{SF}/documents.parquet"]
+
+    c1 = StageCache(root, inputs=inputs)
+    out1 = norm(curate_corpus(SF, cache=c1))
+    assert c1.computed == ["curate_packed_spans"] and c1.hits == []
+    pd.testing.assert_frame_equal(out1, clean)
+
+    spans_before = _stage_mtimes(root, "curate_packed_spans-")
+    c2 = StageCache(root, inputs=inputs)
+    out2 = norm(curate_corpus(SF, cache=c2))
+    assert c2.hits == ["curate_packed_spans"] and c2.computed == []
+    assert _stage_mtimes(root, "curate_packed_spans-") == spans_before
+    pd.testing.assert_frame_equal(out2, clean)
