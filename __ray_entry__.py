@@ -23,7 +23,9 @@ _MINHASH_VERIFY_SQL = """
     WITH seeded AS (
         SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
                coalesce(text, '') AS ta,
-               CASE WHEN contains(coalesce(text, ''), ' ')
+               CASE WHEN doc_id % 50 = 0
+                    THEN reverse(coalesce(text, ''))
+                    WHEN contains(coalesce(text, ''), ' ')
                     THEN 'xqzv' || substr(coalesce(text, ''),
                                           strpos(coalesce(text, ''), ' '))
                     ELSE 'xqzv' END AS tb
@@ -70,7 +72,9 @@ _NGRAM_VERIFY_SQL = """
     WITH seeded AS (
         SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
                coalesce(text, '') AS ta,
-               CASE WHEN contains(coalesce(text, ''), ' ')
+               CASE WHEN doc_id % 50 = 0
+                    THEN reverse(coalesce(text, ''))
+                    WHEN contains(coalesce(text, ''), ' ')
                     THEN 'xqzv' || substr(coalesce(text, ''),
                                           strpos(coalesce(text, ''), ' '))
                     ELSE 'xqzv' END AS tb

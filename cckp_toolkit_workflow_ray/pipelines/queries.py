@@ -575,8 +575,13 @@ def asof_last_order(sf_dir: str) -> pa.Table:
 
 def _derived_text_corpus(sf_dir: str):
     """documents ∪ perturbed copies (deterministic) — a corpus with known
-    near-duplicates for the dedup operators.  Copies of every 10th doc get
-    their first word replaced; ids offset by 10_000_000."""
+    near-duplicates for the dedup operators.  Copies of every 10th doc
+    get their first word replaced (HIGH Jaccard vs the original); copies
+    of every 50th doc are character-REVERSED instead (ADVICE r3: a
+    perturbation far BELOW the 0.5 Jaccard threshold, so the
+    cross-corpus dedup SURVIVAL path is exercised on the clean fixture —
+    reversal is SQL-expressible, and DuckDB ``reverse()`` matches Python
+    ``[::-1]`` code-point-for-code-point).  Ids offset by 10_000_000."""
     import ray.data as rd
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -584,13 +589,21 @@ def _derived_text_corpus(sf_dir: str):
     def perturb(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         sel = ids % 10 == 0
+        sub_ids = ids[sel]
         texts = t.column("text").to_numpy(zero_copy_only=False)[sel]
         # coalesce nulls first: documents.text is nullable per schema and
         # `" " in None` raises TypeError (never-abort rule)
-        new_texts = ["xqzv" + s[s.index(" "):] if " " in (s := t0 or "")
-                     else "xqzv" for t0 in texts]
+        new_texts = []
+        for did, t0 in zip(sub_ids, texts):
+            s = t0 or ""
+            if did % 50 == 0:
+                new_texts.append(s[::-1])
+            elif " " in s:
+                new_texts.append("xqzv" + s[s.index(" "):])
+            else:
+                new_texts.append("xqzv")
         return pa.table({
-            "doc_id": pa.array(ids[sel] + 10_000_000, type=pa.int64()),
+            "doc_id": pa.array(sub_ids + 10_000_000, type=pa.int64()),
             "text": pa.array(new_texts, type=pa.string()),
         })
 

@@ -280,6 +280,9 @@ NASTY_QUERIES = [
     # join family: NULL order dates/custkeys/prices/discounts
     "hash_join_revenue", "top_orders", "interval_event_windows",
     "incremental_near_dedup", "user_growth",
+    # ADVICE r3: nullable-lang grouping / nullable-text consumption and
+    # the engine-export oracles must also hold on the adversarial corpus
+    "tfidf_top_terms", "winnow_verify",
 ]
 
 
@@ -364,8 +367,8 @@ def nasty_sf(tmp_path_factory):
 
     ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
     eb = int(ev["event_id"].max()) + 1
-    nul = ev.head(15).copy()
-    nul["event_id"] = np.arange(eb, eb + 15, dtype=ev["event_id"].dtype)
+    nul = ev.head(17).copy()
+    nul["event_id"] = np.arange(eb, eb + 17, dtype=ev["event_id"].dtype)
     idx = nul.index
     nul.loc[idx[:3], "user_id"] = None
     nul.loc[idx[3:6], "ts"] = pd.NaT
@@ -374,9 +377,15 @@ def nasty_sf(tmp_path_factory):
     nul.loc[idx[10:12], "props"] = None
     # pre-1970 timestamps: negative epoch-us, where DuckDB's truncating
     # // diverges from numpy's floor division (sliding-window finding)
-    nul.loc[idx[12:], "ts"] = pd.to_datetime(
+    nul.loc[idx[12:15], "ts"] = pd.to_datetime(
         ["1969-12-31 23:30:00", "1969-06-15 11:11:11",
          "1969-12-31 00:00:00"])
+    # a day whose events ALL have NULL user_id (ADVICE r3 medium):
+    # window_distinct_users must drop the whole day group (documented
+    # NULL policy), not emit n_distinct=0 or count the NULLs
+    nul.loc[idx[15:], "ts"] = pd.to_datetime(
+        ["2031-05-05 01:02:03", "2031-05-05 22:59:59"])
+    nul.loc[idx[15:], "user_id"] = None
     out_e = pd.concat([ev, nul], ignore_index=True)
     pq.write_table(
         pa.Table.from_pandas(out_e, preserve_index=False,
