@@ -771,6 +771,19 @@ def oracle_sql() -> dict[str, str]:
         # min-id-representative keep rule: oracles LSH, verification,
         # distributed CC AND the two-regime loser filter end-to-end
         "minhash_dedup_filtered": _lsh_filtered_sql(q.MINHASH_FILT_ORACLE_DIR),
+        # multimodal aggregation layer (VERDICT r3 #7): the engine writes
+        # its decoded per-asset feature rows to parquet; the oracle
+        # recomputes the per-(kind, decode_ok) rollup from them — the
+        # grouping/count/sum machinery is hash-gated, the codecs stay
+        # byte-exact pytest goldens (no SQL can decode BMP/WAV)
+        "media_features": f"""
+            SELECT kind, decode_ok,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(px), 0) AS BIGINT) AS sum_pixels
+            FROM read_parquet('{q.MEDIA_ORACLE_DIR}/*.parquet')
+            GROUP BY kind, decode_ok
+            ORDER BY kind, decode_ok
+        """,
         # word-3-gram variant of the full LSH pair-set oracle
         "ngram_jaccard_dedup": _lsh_pairs_sql(q.NGRAM_ORACLE_DIR),
         # the FULL SimHash near-dup pair set: banding with max_hamming+1

@@ -1911,12 +1911,26 @@ def paragraph_dedup(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+MEDIA_ORACLE_DIR = "/tmp/cckp_media_oracle"
+
+
 def media_features(sf_dir: str) -> pa.Table:
-    """Multimodal pipeline over a deterministic synthetic media table
-    (rows-only: no SQL can decode BMP/WAV): one image row per document
-    (PPM / BMP / corrupt, by id mod), decoded by the DecodeImage actor
-    pool (REAL pure-python codecs), plus a WAV lane through DecodeAudio;
-    returns per-(kind, decode_ok) counts and exact feature sums."""
+    """Multimodal pipeline over a deterministic synthetic media table:
+    one image row per document (PPM / BMP / corrupt, by id mod), decoded
+    by the DecodeImage actor pool (REAL pure-python codecs), plus a WAV
+    lane through DecodeAudio; returns per-(kind, decode_ok) counts and
+    exact feature sums.
+
+    SQL-oracled via the export trick (VERDICT r3 #7): the decoded
+    per-asset feature rows (asset_id, kind, decode_ok, px) are written
+    to parquet and the ORACLE recomputes the rollup from them — the
+    aggregation layer (grouping, counts, pixel/sample sums) runs under
+    the hash-exact gate, shrinking the golden-pinned surface to the
+    codecs themselves (no SQL can decode BMP/WAV; they keep byte-exact
+    pytest goldens)."""
+    import os
+    import shutil
+
     import ray.data as rd
 
     from ..stages.multimodal import (DecodeAudio, DecodeImage,
@@ -1944,27 +1958,24 @@ def media_features(sf_dir: str) -> pa.Table:
         DecodeImage, batch_size=512, batch_format="pyarrow",
         concurrency=(1, 4))
 
-    # empty batches must still carry string/bool/int dtypes: from_pandas
-    # would infer a null-typed `kind` for a 0-row frame, and the groupby
-    # exchange cannot unify null-typed and string-typed blocks
-    _partial_schema = pa.schema([("kind", pa.string()),
-                                 ("decode_ok", pa.bool_()),
-                                 ("n", pa.int64()),
-                                 ("sum_pixels", pa.int64())])
+    # per-asset feature rows — the decoded surface the oracle consumes
+    _asset_schema = pa.schema([("asset_id", pa.int64()),
+                               ("kind", pa.string()),
+                               ("decode_ok", pa.bool_()),
+                               ("px", pa.int64())])
 
-    def img_partial(t: pa.Table) -> pa.Table:
+    def img_asset(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        kind = np.where(df["image_id"] % 3 == 0, "ppm",
-                        np.where(df["image_id"] % 3 == 1, "bmp", "png"))
-        g = pd.DataFrame({
-            "kind": kind, "decode_ok": df["decode_ok"], "n": 1,
-            "sum_pixels": (df["width"] * df["height"]).astype("int64"),
-        }).groupby(["kind", "decode_ok"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_partial_schema)
-
-    img = _sum_by_key(feats.map_batches(img_partial, batch_format="pyarrow"),
-                      ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()
+        ids = df["image_id"].to_numpy()
+        kind = np.where(ids % 3 == 0, "ppm",
+                        np.where(ids % 3 == 1, "bmp", "png"))
+        return pa.table({
+            "asset_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(kind, type=pa.string()),
+            "decode_ok": pa.array(df["decode_ok"].to_numpy(), type=pa.bool_()),
+            "px": pa.array((df["width"] * df["height"])
+                           .astype("int64").to_numpy()),
+        })
 
     def mk_audio(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1978,19 +1989,47 @@ def media_features(sf_dir: str) -> pa.Table:
         DecodeAudio, batch_size=256, batch_format="pyarrow",
         concurrency=(1, 2))
 
-    def au_partial(t: pa.Table) -> pa.Table:
+    def au_asset(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table({
+            "asset_id": pa.array(df["audio_id"].to_numpy(), type=pa.int64()),
+            "kind": pa.array(["wav"] * len(df), type=pa.string()),
+            "decode_ok": pa.array(df["decode_ok"].to_numpy(), type=pa.bool_()),
+            "px": pa.array(df["n_samples"].astype("int64").to_numpy()),
+        })
+
+    assets = feats.map_batches(img_asset, batch_format="pyarrow") \
+        .union(afeats.map_batches(au_asset, batch_format="pyarrow")) \
+        .materialize()
+    shutil.rmtree(MEDIA_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(MEDIA_ORACLE_DIR, exist_ok=True)
+    assets.write_parquet(MEDIA_ORACLE_DIR)
+    from ..schema import ensure_parquet_dir
+    ensure_parquet_dir(MEDIA_ORACLE_DIR, _asset_schema)
+
+    # rollup over the SAME exported asset rows the oracle reads —
+    # distributed per-batch partials + one small keyed exchange
+    _partial_schema = pa.schema([("kind", pa.string()),
+                                 ("decode_ok", pa.bool_()),
+                                 ("n", pa.int64()),
+                                 ("sum_pixels", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = pd.DataFrame({
-            "kind": pd.Series(["wav"] * len(df), dtype="object"),
-            "decode_ok": df["decode_ok"], "n": 1,
-            "sum_pixels": df["n_samples"].astype("int64"),
+            "kind": df["kind"], "decode_ok": df["decode_ok"], "n": 1,
+            "sum_pixels": df["px"].astype("int64"),
         }).groupby(["kind", "decode_ok"], as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False,
                                     schema=_partial_schema)
 
-    au = _sum_by_key(afeats.map_batches(au_partial, batch_format="pyarrow"),
-                     ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()
-    out = pd.concat([img, au], ignore_index=True)
+    out = _sum_by_key(assets.map_batches(partial, batch_format="pyarrow"),
+                      ["kind", "decode_ok"], ["n", "sum_pixels"]).to_pandas()
+    if out.empty and "kind" not in out:
+        return _empty_result(kind=object, decode_ok=bool, n="int64",
+                             sum_pixels="int64")
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_pixels"] = out["sum_pixels"].astype(np.int64)
     return out.sort_values(["kind", "decode_ok"]).reset_index(drop=True)
 
 

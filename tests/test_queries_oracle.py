@@ -250,6 +250,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "winnow_verify": ["doc_id", "fp"],
         "user_growth": ["day", "n_new", "cum_users"],
         "incremental_near_dedup": ["doc_id"],
+        "media_features": ["kind", "decode_ok", "n", "sum_pixels"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
