@@ -784,6 +784,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY kind, decode_ok
             ORDER BY kind, decode_ok
         """,
+        # language-ID confusion rollup (same export trick): the oracle
+        # recomputes (lang, predicted) counts from the engine's exported
+        # per-doc predictions; the trigram model itself is pytest-pinned
+        "langid_confusion": f"""
+            SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{q.LANGID_ORACLE_DIR}/*.parquet')
+            GROUP BY lang, predicted
+            ORDER BY lang, predicted
+        """,
         # word-3-gram variant of the full LSH pair-set oracle
         "ngram_jaccard_dedup": _lsh_pairs_sql(q.NGRAM_ORACLE_DIR),
         # the FULL SimHash near-dup pair set: banding with max_hamming+1

@@ -1201,12 +1201,27 @@ def quality_check(sf_dir: str) -> pa.Table:
                     ["lang"], ["n_docs", "n_low_quality"]).to_pandas(), ["lang"])
 
 
+LANGID_ORACLE_DIR = "/tmp/cckp_langid_oracle"
+
+
 def langid_confusion(sf_dir: str) -> pa.Table:
     """Language-ID heuristic (char-trigram profiles trained on a per-lang
-    sample, broadcast; rows-only): confusion counts (lang, predicted, n)."""
+    sample, broadcast): confusion counts (lang, predicted, n).
+
+    SQL-oracled via the export trick (same as ``media_features``): the
+    per-doc predictions (doc_id, lang, predicted) are written to parquet
+    and the oracle recomputes the confusion rollup from them — the
+    aggregation layer is hash-gated; the model itself stays pytest-pinned
+    (``test_langid_discriminates_synthetic_langs``).  NULL-lang docs are
+    scored and kept as a NULL confusion group (sentinel pattern, matching
+    SQL GROUP BY)."""
+    import os
+    import shutil
+
     import ray
 
     from ..functions.text import LangIdModel
+    from ..schema import ensure_parquet_dir
 
     # training sample: 40 lowest-doc_id texts per lang via a per-batch
     # combiner + tiny driver merge (VERDICT r1 #5: round 1 read the whole
@@ -1222,7 +1237,7 @@ def langid_confusion(sf_dir: str) -> pa.Table:
     }
     model_ref = ray.put(LangIdModel.train(by_lang))
 
-    ds = _read(sf_dir, "documents", ["lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     class Scorer:
         """Actor-pool stage: the trained model deserializes ONCE per actor
@@ -1233,21 +1248,44 @@ def langid_confusion(sf_dir: str) -> pa.Table:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             texts = t.column("text").to_numpy(zero_copy_only=False)
-            pred = [self.model.predict(x) for x in texts]
-            df = pd.DataFrame({
-                "lang": t.column("lang").to_numpy(zero_copy_only=False),
-                "predicted": pred,
-                "n": 1,
+            pred = [self.model.predict(x or "") for x in texts]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "predicted": pa.array(pred, type=pa.string()),
             })
-            return pa.Table.from_pandas(
-                df.groupby(["lang", "predicted"], as_index=False).sum(),
-                preserve_index=False,
-            )
 
-    return _sum_by_key(
-        ds.map_batches(Scorer, fn_constructor_kwargs={"ref": model_ref},
-                       batch_format="pyarrow", concurrency=(1, 8)),
-        ["lang", "predicted"], ["n"]).to_pandas()
+    scored = ds.map_batches(Scorer, fn_constructor_kwargs={"ref": model_ref},
+                            batch_format="pyarrow",
+                            concurrency=(1, 8)).materialize()
+    shutil.rmtree(LANGID_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(LANGID_ORACLE_DIR, exist_ok=True)
+    scored.write_parquet(LANGID_ORACLE_DIR)
+    ensure_parquet_dir(LANGID_ORACLE_DIR, pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("predicted", pa.string())]))
+
+    _partial_schema = pa.schema([("lang", pa.string()),
+                                 ("predicted", pa.string()),
+                                 ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "predicted": t.column("predicted").to_numpy(zero_copy_only=False),
+            "n": 1,
+        }).groupby(["lang", "predicted"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=_partial_schema)
+
+    out = _restore_null_keys(
+        _sum_by_key(scored.map_batches(partial, batch_format="pyarrow"),
+                    ["lang", "predicted"], ["n"]).to_pandas(), ["lang"])
+    if out.empty and "lang" not in out:
+        return _empty_result(lang=object, predicted=object, n="int64")
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang", "predicted"]).reset_index(drop=True)
 
 
 WINNOW_ORACLE_DIR = "/tmp/cckp_winnow_oracle/grams"

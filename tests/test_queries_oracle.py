@@ -283,7 +283,7 @@ NASTY_QUERIES = [
     "incremental_near_dedup", "user_growth",
     # ADVICE r3: nullable-lang grouping / nullable-text consumption and
     # the engine-export oracles must also hold on the adversarial corpus
-    "tfidf_top_terms", "winnow_verify",
+    "tfidf_top_terms", "winnow_verify", "langid_confusion",
 ]
 
 
