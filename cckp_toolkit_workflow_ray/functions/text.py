@@ -172,6 +172,91 @@ class LangIdModel:
                 best_lang, best_sim = lang, sim
         return best_lang
 
+    # -- vectorized batch path ------------------------------------------
+    # Trigrams are encoded as exact uint64 keys (3 code points < 2^21
+    # each → c0·2^42 + c1·2^21 + c2, a bijection), so the whole batch is
+    # one utf-32 decode + one lexsort; the per-(doc,lang) dot products
+    # are INTEGER sums (counts × integer profile weights, < 2^53), so
+    # every float the batch path produces — dot, norm, similarity — is
+    # bit-identical to the scalar ``predict`` path.
+
+    @staticmethod
+    def _tri_key(codes: np.ndarray) -> np.ndarray:
+        c = codes.astype(np.uint64)
+        P = np.uint64(1 << 21)
+        return c[:-2] * P * P + c[1:-1] * P + c[2:]
+
+    def _vocab(self):
+        if not hasattr(self, "_vocab_keys"):
+            langs = sorted(self.profiles)
+            keyset = sorted({g for p in self.profiles.values() for g in p})
+            keys = np.array([
+                int(self._tri_key(np.frombuffer(
+                    g.encode("utf-32-le"), dtype=np.uint32))[0])
+                for g in keyset], dtype=np.uint64) if keyset else \
+                np.empty(0, dtype=np.uint64)
+            order = np.argsort(keys)
+            w = np.zeros((len(langs), len(keyset)), dtype=np.int64)
+            for li, lang in enumerate(langs):
+                for gi, g in enumerate(keyset):
+                    w[li, gi] = self.profiles[lang].get(g, 0)
+            self._vocab_keys = keys[order]
+            self._vocab_w = w[:, order]
+            self._langs_arr = np.array(langs, dtype=object)
+            self._lang_norms = np.array([self._norms[lg] for lg in langs])
+        return self._vocab_keys, self._vocab_w, self._langs_arr, self._lang_norms
+
+    def predict_batch(self, texts) -> np.ndarray:
+        """Vectorized ``predict`` over a sequence of (possibly None)
+        texts; returns an object array of language labels, element-wise
+        identical to ``[predict(t or "") for t in texts]``."""
+        n = len(texts)
+        out = np.full(n, "unknown", dtype=object)
+        if n == 0:
+            return out
+        vocab, W, langs, lang_norms = self._vocab()
+        padded = [" " + (t or "").lower() + " " for t in texts]
+        lens = np.array([len(p) for p in padded], dtype=np.int64)
+        codes = np.frombuffer("".join(padded).encode("utf-32-le"),
+                              dtype=np.uint32)
+        if codes.size < 3:
+            return out
+        keys_all = self._tri_key(codes)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        inside = doc_of[:-2] == doc_of[2:]        # window within one doc
+        wdoc, wkey = doc_of[:-2][inside], keys_all[inside]
+        if wkey.size == 0:
+            return out
+        # run-length (doc, key) counts via one lexsort
+        order = np.lexsort((wkey, wdoc))
+        wdoc, wkey = wdoc[order], wkey[order]
+        new = np.r_[True, (wdoc[1:] != wdoc[:-1]) | (wkey[1:] != wkey[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, wkey.size]).astype(np.int64)
+        tdoc, tkey = wdoc[starts], wkey[starts]
+        # per-doc squared norm (exact integer sum)
+        nd2 = np.zeros(n, dtype=np.int64)
+        np.add.at(nd2, tdoc, cnt * cnt)
+        # per-(doc, lang) integer dots over vocab-matched trigrams
+        pos = np.searchsorted(vocab, tkey)
+        pos_c = np.minimum(pos, max(len(vocab) - 1, 0))
+        hit = (vocab[pos_c] == tkey) if len(vocab) else \
+            np.zeros(tkey.size, dtype=bool)
+        dots = np.zeros((n, len(langs)), dtype=np.int64)
+        if hit.any():
+            np.add.at(dots, tdoc[hit],
+                      cnt[hit, None] * W[:, pos_c[hit]].T)
+        norm_d = np.sqrt(nd2.astype(np.float64))
+        denom = norm_d[:, None] * lang_norms[None, :]
+        sims = np.zeros((n, len(langs)), dtype=np.float64)
+        ok = denom > 0
+        sims[ok] = dots.astype(np.float64)[ok] / denom[ok]
+        has_tri = nd2 > 0
+        if len(langs):
+            best = np.argmax(sims, axis=1)    # ties → first (sorted) lang
+            out[has_tri] = langs[best[has_tri]]
+        return out
+
 
 # ---------------------------------------------------------------------------
 # document fingerprinting (winnowing over rolling hashes)

@@ -1248,7 +1248,8 @@ def langid_confusion(sf_dir: str) -> pa.Table:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             texts = t.column("text").to_numpy(zero_copy_only=False)
-            pred = [self.model.predict(x or "") for x in texts]
+            # vectorized batch path — bit-identical to per-row predict()
+            pred = self.model.predict_batch(texts)
             return pa.table({
                 "doc_id": t.column("doc_id"),
                 "lang": t.column("lang"),

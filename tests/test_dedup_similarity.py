@@ -207,6 +207,30 @@ def test_langid_discriminates_synthetic_langs():
     assert model.predict("") == "unknown"
 
 
+def test_langid_predict_batch_matches_scalar():
+    """predict_batch must be ELEMENT-WISE IDENTICAL to per-row predict —
+    the dots are exact-integer sums, so no ulp slack is needed, including
+    on empty/None/exotic-whitespace/multibyte texts and on ties."""
+    texts = {
+        "aa": ["wibble wobble wubble flimble bimble " * 5] * 10,
+        "bb": ["zxqv krzt plmn vrzk qzpt xkcd " * 5] * 10,
+    }
+    model = LangIdModel.train(texts)
+    probe = [None, "", " ", "x", "xy", "wibble flimble", "zxqv plmn",
+             "nb\xa0sp ٣٤", "tab\tsep\nnl", "ab\x0bcd", "ZXQV KRZT",
+             "wibble zxqv",  # mixed -> whichever scalar picks
+             "\U0001F600 emoji wibble", "a" * 5000]
+    got = model.predict_batch(np.array(probe, dtype=object))
+    want = [model.predict(t or "") for t in probe]
+    assert got.tolist() == want
+
+    # empty model (no profiles) and empty batch
+    empty = LangIdModel.train({})
+    assert empty.predict_batch(np.array(["abc"], dtype=object)).tolist() \
+        == [empty.predict("abc")]
+    assert model.predict_batch(np.array([], dtype=object)).tolist() == []
+
+
 def test_fingerprint_copy_detection():
     a = "the quick brown fox jumps over the lazy dog near the river bank"
     b = a  # exact copy
