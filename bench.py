@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "cluster_composition",
     "incremental_near_dedup",
     "user_growth",
+    # r4: newly SQL-oracled export-trick rollups (multimodal decode,
+    # vectorized language-ID) — tracked so the per-doc scoring and the
+    # decode actor pools stay visible in the per-round numbers
+    "media_features",
+    "langid_confusion",
 ]
 
 

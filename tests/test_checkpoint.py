@@ -244,3 +244,44 @@ def test_stage_cache_curate_resume(ray_session, tmp_path_factory):
     assert c2.hits == ["curate_packed_spans"] and c2.computed == []
     assert _stage_mtimes(root, "curate_packed_spans-") == spans_before
     pd.testing.assert_frame_equal(out2, clean)
+
+
+def test_stage_cache_input_lineage_invalidates(ray_session, tmp_path):
+    """The stage fingerprint covers input lineage (path+size+mtime): an
+    in-place rewrite of an input re-runs the stage; identical inputs and
+    params hit; different params miss."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.state.checkpoint import StageCache
+
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), inp)
+    root = str(tmp_path / "cache")
+
+    def compute():
+        return rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+
+    c1 = StageCache(root, inputs=[inp])
+    c1.get_or_compute("s", {"p": 1}, compute)
+    assert c1.computed == ["s"]
+
+    c2 = StageCache(root, inputs=[inp])
+    got = c2.get_or_compute("s", {"p": 1}, compute)
+    assert c2.hits == ["s"] and c2.computed == []
+    assert sorted(got.to_pandas()["x"]) == [1, 2, 3]
+
+    # param change -> recompute
+    c3 = StageCache(root, inputs=[inp])
+    c3.get_or_compute("s", {"p": 2}, compute)
+    assert c3.computed == ["s"]
+
+    # in-place rewrite (same bytes, newer mtime) -> recompute
+    time.sleep(0.01)
+    pq.write_table(pa.table({"x": [1, 2, 3]}), inp)
+    c4 = StageCache(root, inputs=[inp])
+    c4.get_or_compute("s", {"p": 1}, compute)
+    assert c4.computed == ["s"] and c4.hits == []
