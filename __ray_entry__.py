@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q.fingerprint_docs,
         "winnow_verify": q.winnow_verify,
         "ivf_knn_oracled": q.ivf_knn_oracled,
+        "kmeans_clusters": q.kmeans_clusters,
+        "semantic_dedup": q.semantic_dedup,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1570,6 +1572,61 @@ def oracle_sql() -> dict[str, str]:
                                THEN 18446744073709551616::HUGEINT
                                ELSE 0::HUGEINT END AS BIGINT) AS fp
             FROM dd ORDER BY doc_id, fp
+        """,
+        # k-means assignment recomputed in SQL from the engine's exported
+        # centroids (argmax cosine, ties to the smallest cluster_id);
+        # zero-norm / NULL embeddings excluded on both sides.  Margins
+        # are ≫ ulps (pytest-asserted), so DuckDB's summation order
+        # cannot flip an argmax.
+        "kmeans_clusters": f"""
+            WITH cdf AS (
+                SELECT * FROM read_parquet(
+                    '{q.KMEANS_ORACLE_DIR}/centroids/*.parquet')),
+            cent AS (
+                SELECT cluster_id, array_agg(val ORDER BY pos) AS ce
+                FROM cdf GROUP BY cluster_id),
+            vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])) > 0),
+            ranked AS (
+                SELECT v.vec_id, c.cluster_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                    c.cluster_id ASC) AS rk
+                FROM vecs v CROSS JOIN cent c)
+            SELECT vec_id, cluster_id FROM ranked WHERE rk = 1
+            ORDER BY vec_id
+        """,
+        # SemDeDup keep-list recomputed in SQL over the engine's exported
+        # cluster assignments and the exported noisy half of the union:
+        # a vector is removed iff a same-cluster neighbor with a smaller
+        # vec_id sits at cosine ≥ 0.995 (threshold ~0.4 away from both
+        # populations — ulp-safe)
+        "semantic_dedup": f"""
+            WITH allv AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM read_parquet('{q.SEMDEDUP_ORACLE_DIR}/noisy/*.parquet')),
+            a AS (
+                SELECT * FROM read_parquet(
+                    '{q.SEMDEDUP_ORACLE_DIR}/assign/*.parquet')),
+            removed AS (
+                SELECT DISTINCT a2.vec_id
+                FROM a a1
+                JOIN a a2 ON a1.cluster_id = a2.cluster_id
+                         AND a1.vec_id < a2.vec_id
+                JOIN allv v1 ON v1.vec_id = a1.vec_id
+                JOIN allv v2 ON v2.vec_id = a2.vec_id
+                WHERE list_cosine_similarity(v1.e, v2.e) >= 0.995)
+            SELECT a.vec_id, a.cluster_id FROM a
+            WHERE a.vec_id NOT IN (SELECT vec_id FROM removed)
+            ORDER BY a.vec_id
         """,
         "cluster_composition": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

@@ -1107,24 +1107,15 @@ def cosine_threshold_pairs(sf_dir: str) -> pa.Table:
 EMB_ORACLE_DIR = "/tmp/cckp_emb_oracle/noisy"
 
 
-def embedding_neardup(sf_dir: str) -> pa.Table:
-    """Exact cosine near-dup pairs over embeddings ∪ noisy copies — now
-    SQL-oracled (VERDICT r3): the deterministic noisy copies are written
-    to parquet, so DuckDB reproduces the full pair set with
-    ``list_cosine_similarity`` over embeddings ∪ the written table.  The
-    0.995 threshold sits far from both populations (noisy pairs ~0.9999,
-    natural pairs ≪ 0.9), so float-summation ulps cannot flip a row."""
-    import os
-    import shutil
-
-    import ray.data as rd
-
+def _noisy_copies(ds):
+    """Deterministic near-duplicate planting: every 5th vector gets a
+    seeded-noise copy (±0.005/element) at vec_id + 10M — cosine to its
+    original ~0.9999 while natural pairs stay ≪ 0.9, so a 0.995
+    threshold is ulp-safe for engine-vs-SQL comparison.  Shared by
+    ``embedding_neardup`` and ``semantic_dedup``."""
     from ..functions.hashing import uniform01
-    from ..stages.similarity import near_dup_cosine_auto
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def noisy_copies(t: pa.Table) -> pa.Table:
+    def noisy_batch(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         sel = ids % 5 == 0
         from ..stages.similarity import _to_matrix
@@ -1140,7 +1131,23 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
                                   type=pa.list_(pa.float32())),
         })
 
-    noisy = ds.map_batches(noisy_copies, batch_format="pyarrow").materialize()
+    return ds.map_batches(noisy_batch, batch_format="pyarrow").materialize()
+
+
+def embedding_neardup(sf_dir: str) -> pa.Table:
+    """Exact cosine near-dup pairs over embeddings ∪ noisy copies — now
+    SQL-oracled (VERDICT r3): the deterministic noisy copies are written
+    to parquet, so DuckDB reproduces the full pair set with
+    ``list_cosine_similarity`` over embeddings ∪ the written table.  The
+    0.995 threshold sits far from both populations (noisy pairs ~0.9999,
+    natural pairs ≪ 0.9), so float-summation ulps cannot flip a row."""
+    import os
+    import shutil
+
+    from ..stages.similarity import near_dup_cosine_auto
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    noisy = _noisy_copies(ds)
     shutil.rmtree(EMB_ORACLE_DIR, ignore_errors=True)
     os.makedirs(EMB_ORACLE_DIR, exist_ok=True)
     noisy.write_parquet(EMB_ORACLE_DIR)
@@ -2755,3 +2762,90 @@ def rollup_lang_source(sf_dir: str) -> pa.Table:
     for c in ("grp", "n_docs", "total_chars"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["grp", "lang", "source"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup (stages.clustering)
+# ---------------------------------------------------------------------------
+
+KMEANS_ORACLE_DIR = "/tmp/cckp_kmeans_oracle"
+
+
+def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed spherical k-means (k=8, 6 fixed Lloyd iterations over
+    the full Dataset; exact e6-integer centroid sums so results are
+    bit-identical at any parallelism), SQL-oracled via the export
+    pattern: the engine writes its trained centroids and DuckDB
+    recomputes every vector's argmax-cosine assignment from them
+    (``row_number() OVER (ORDER BY list_cosine_similarity DESC,
+    cluster_id)``).  Assignment margins are ≫ float ulps on this corpus
+    (min top1−top2 gap ~8.5e-5 at sf0.1; pytest asserts the bound), so
+    summation-order differences cannot flip a row.  Zero-norm and NULL
+    embeddings are excluded on both sides (no direction ⇒ no cluster)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    shutil.rmtree(KMEANS_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(f"{KMEANS_ORACLE_DIR}/centroids", exist_ok=True)
+    empty_cent = pa.table({"cluster_id": pa.array([], type=pa.int64()),
+                           "pos": pa.array([], type=pa.int64()),
+                           "val": pa.array([], type=pa.float64())})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    try:
+        cent = kmeans_fit(ds, k=8, n_iters=6)
+    except ValueError:  # no non-degenerate vectors: empty oracle export too
+        pq.write_table(empty_cent,
+                       f"{KMEANS_ORACLE_DIR}/centroids/centroids.parquet")
+        return _empty_result(vec_id="int64", cluster_id="int64")
+    k, d = cent.shape
+    pq.write_table(pa.table({
+        "cluster_id": pa.array(np.repeat(np.arange(k), d).astype(np.int64)),
+        "pos": pa.array(np.tile(np.arange(d), k).astype(np.int64)),
+        "val": pa.array(cent.ravel(), type=pa.float64()),
+    }), f"{KMEANS_ORACLE_DIR}/centroids/centroids.parquet")
+    out = kmeans_assign(ds, cent).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SEMDEDUP_ORACLE_DIR = "/tmp/cckp_semdedup_oracle"
+
+
+def semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023) over embeddings ∪ planted noisy
+    copies: k-means-cluster the union, then within each cluster drop
+    every vector with a smaller-id same-cluster neighbor at cosine
+    ≥ 0.995.  SQL-oracled end-to-end via two exports — the noisy half
+    (so DuckDB sees the same union) and the engine's per-vector cluster
+    assignments (so the NOT-EXISTS dedup rule is recomputed in SQL over
+    the same partition).  The assignment logic itself is independently
+    oracled by ``kmeans_clusters`` (argmax recomputed from exported
+    centroids); the 0.995 threshold sits ~0.4 from both populations."""
+    import os
+    import shutil
+
+    from ..stages.clustering import kmeans_fit, semantic_dedup_keep
+
+    shutil.rmtree(SEMDEDUP_ORACLE_DIR, ignore_errors=True)
+    os.makedirs(f"{SEMDEDUP_ORACLE_DIR}/noisy", exist_ok=True)
+    os.makedirs(f"{SEMDEDUP_ORACLE_DIR}/assign", exist_ok=True)
+    empty_assign = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cluster_id": pa.array([], type=pa.int64())})
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    noisy = _noisy_copies(ds)
+    noisy.write_parquet(f"{SEMDEDUP_ORACLE_DIR}/noisy")
+    corpus = ds.union(noisy)
+    import pyarrow.parquet as pq
+
+    try:
+        cent = kmeans_fit(corpus, k=8, n_iters=6)
+    except ValueError:  # no non-degenerate vectors: empty export too
+        pq.write_table(empty_assign,
+                       f"{SEMDEDUP_ORACLE_DIR}/assign/assign.parquet")
+        return _empty_result(vec_id="int64", cluster_id="int64")
+    return semantic_dedup_keep(
+        corpus, cent, threshold=0.995,
+        export_assign_dir=f"{SEMDEDUP_ORACLE_DIR}/assign")

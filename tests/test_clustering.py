@@ -1,0 +1,153 @@
+"""Distributed spherical k-means + SemDeDup (stages.clustering).
+
+Covers the properties the SQL oracles can't: bit-identical centroids
+across block splits (the exact-integer-sum claim), the argmax-margin
+bound that makes the export oracle ulp-safe, degenerate-vector
+exclusion, fewer-rows-than-k, and the oversize-cluster recall cap.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from cckp_toolkit_workflow_ray.stages.clustering import (
+    kmeans_assign, kmeans_fit, semantic_dedup_keep,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb_ds():
+    return rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def test_kmeans_deterministic_across_block_splits(ray_session):
+    """Centroid math is exact e6-integer sums, so batch size / block
+    arrival order must not change a single bit of the result."""
+    a = kmeans_fit(_emb_ds(), k=8, n_iters=4, batch_size=4096)
+    b = kmeans_fit(_emb_ds().repartition(7), k=8, n_iters=4, batch_size=37)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_kmeans_assignment_margin_protects_oracle(ray_session):
+    """The export oracle recomputes argmax in DuckDB's summation order;
+    it is sound only while the top1−top2 cosine gap dwarfs float ulps.
+    Assert the bound on the real corpus (measured ~7e-4 at sf0.001/0.01,
+    ~8.5e-5 at sf0.1)."""
+    ds = _emb_ds()
+    cent = kmeans_fit(ds, k=8, n_iters=6)
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m[np.linalg.norm(m, axis=1) > 0]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.sort(m @ cent.T, axis=1)
+    margin = (sims[:, -1] - sims[:, -2]).min()
+    assert margin > 1e-6, margin
+
+
+def test_kmeans_excludes_degenerate_vectors(ray_session, tmp_path):
+    """Zero-norm and NULL embeddings have no direction: they must not
+    be assigned, must not poison centroid sums, and the remaining rows
+    must cluster exactly as they would without them."""
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9],
+             [0.0, 0.0], None],
+            type=pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "e.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "e.parquet"))
+    cent = kmeans_fit(ds, k=2, n_iters=4)
+    out = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    assert out["vec_id"].tolist() == [0, 1, 2, 3]
+    a = out.set_index("vec_id")["cluster_id"]
+    assert a[0] == a[1] and a[2] == a[3] and a[0] != a[2]
+
+
+def test_kmeans_fewer_rows_than_k(ray_session, tmp_path):
+    t = pa.table({
+        "vec_id": pa.array([10, 20], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "e.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "e.parquet"))
+    cent = kmeans_fit(ds, k=8, n_iters=3)
+    assert cent.shape[0] == 2
+    out = kmeans_assign(ds, cent).to_pandas()
+    assert sorted(out["cluster_id"].unique()) == [0, 1]
+
+
+def test_kmeans_fit_raises_on_all_degenerate(ray_session, tmp_path):
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], None],
+                              type=pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "e.parquet"))
+    with pytest.raises(ValueError, match="non-degenerate"):
+        kmeans_fit(rd.read_parquet(str(tmp_path / "e.parquet")), k=2)
+
+
+def _planted_corpus(tmp_path, n=60, dim=8):
+    """n well-separated base vectors + exact near-dups of every 3rd one
+    (id + 1000), so the expected keep-list is computable by hand."""
+    # deterministic, well-spread directions (seeded rng; separation
+    # asserted so the planted near-dups are the ONLY ≥0.995 pairs)
+    m = np.random.default_rng(42).normal(size=(n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    gram = m @ m.T
+    np.fill_diagonal(gram, -1.0)
+    assert gram.max() < 0.99, "fixture base vectors not separated"
+    dups = m[::3] * 0.999  # same direction, cosine == 1 with original
+    t = pa.table({
+        "vec_id": pa.array(
+            list(range(n)) + [1000 + i for i in range(0, n, 3)],
+            type=pa.int64()),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in np.vstack([m, dups])],
+            type=pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / "planted.parquet")
+    pq.write_table(t, path)
+    return path, n
+
+
+def test_semantic_dedup_drops_same_cluster_near_dups(ray_session, tmp_path):
+    """Every planted copy shares its original's direction (cosine ~1):
+    whenever copy and original land in the same cluster — always, given
+    identical directions — the copy (larger id) must be dropped and the
+    original kept."""
+    path, n = _planted_corpus(tmp_path)
+    ds = rd.read_parquet(path)
+    cent = kmeans_fit(ds, k=4, n_iters=4)
+    kept = semantic_dedup_keep(ds, cent, threshold=0.995)
+    assert set(kept["vec_id"]) == set(range(n))  # originals only
+
+
+def test_semantic_dedup_oversize_cluster_kept_whole(ray_session, tmp_path):
+    """Clusters past max_cluster are kept un-deduped with a loud warning
+    (recall cap, precision intact — the max_bucket policy)."""
+    path, n = _planted_corpus(tmp_path)
+    ds = rd.read_parquet(path)
+    cent = kmeans_fit(ds, k=1, n_iters=1)
+    with pytest.warns(UserWarning, match="max_cluster"):
+        kept = semantic_dedup_keep(ds, cent, threshold=0.995, max_cluster=10)
+    assert len(kept) == n + len(range(0, n, 3))  # nothing dropped
+
+
+def test_kmeans_assign_exports_match_output(ray_session, tmp_path):
+    exp = str(tmp_path / "assign")
+    ds = _emb_ds()
+    cent = kmeans_fit(ds, k=4, n_iters=2)
+    out = kmeans_assign(ds, cent, export_dir=exp).to_pandas()
+    exported = pq.read_table(exp).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        exported.sort_values("vec_id").reset_index(drop=True))

@@ -251,6 +251,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "user_growth": ["day", "n_new", "cum_users"],
         "incremental_near_dedup": ["doc_id"],
         "media_features": ["kind", "decode_ok", "n", "sum_pixels"],
+        "kmeans_clusters": ["vec_id", "cluster_id"],
+        "semantic_dedup": ["vec_id", "cluster_id"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -277,7 +279,7 @@ NASTY_QUERIES = [
     "referential_events_check",
     # embedding family: zero vectors and NULL labels
     "embedding_norm_stats", "label_centroids", "cluster_composition",
-    "knn_embeddings",
+    "knn_embeddings", "kmeans_clusters", "semantic_dedup",
     # join family: NULL order dates/custkeys/prices/discounts
     "hash_join_revenue", "top_orders", "interval_event_windows",
     "incremental_near_dedup", "user_growth",
