@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_oracled": q.ivf_knn_oracled,
         "kmeans_clusters": q.kmeans_clusters,
         "semantic_dedup": q.semantic_dedup,
+        "cluster_balanced_sample": q.cluster_balanced_sample,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1627,6 +1628,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cluster_id FROM a
             WHERE a.vec_id NOT IN (SELECT vec_id FROM removed)
             ORDER BY a.vec_id
+        """,
+        # cluster-balanced sampling recomputed in SQL from the engine's
+        # exported cluster assignments: per cluster keep the 25 smallest
+        # shuffle keys (the global_shuffle Knuth hash, vec_id tiebreak);
+        # the assignment itself is independently oracled by
+        # kmeans_clusters
+        "cluster_balanced_sample": f"""
+            WITH a AS (
+                SELECT * FROM read_parquet(
+                    '{q.KMEANS_BALANCE_DIR}/assign/*.parquet')),
+            ranked AS (
+                SELECT vec_id, cluster_id,
+                       row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY (vec_id * 2654435761) % 4294967296,
+                                    vec_id) AS rk
+                FROM a)
+            SELECT vec_id, cluster_id FROM ranked WHERE rk <= 25
+            ORDER BY vec_id
         """,
         "cluster_composition": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

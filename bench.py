@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # sums) and SemDeDup within-cluster semantic dedup
     "kmeans_clusters",
     "semantic_dedup",
+    "cluster_balanced_sample",
 ]
 
 

@@ -2849,3 +2849,55 @@ def semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return semantic_dedup_keep(
         corpus, cent, threshold=0.995,
         export_assign_dir=f"{SEMDEDUP_ORACLE_DIR}/assign")
+
+
+KMEANS_BALANCE_DIR = "/tmp/cckp_cluster_balance_oracle"
+
+
+def cluster_balanced_sample(sf_dir: str) -> pd.DataFrame:
+    """Cluster-balanced (diversity-preserving) sampling: k-means-cluster
+    the embeddings, then keep the 25 hash-ranked members per cluster —
+    the standard curation step between semantic dedup and mixture
+    sampling (sample uniformly across embedding-space regions instead of
+    letting one dense topic dominate the budget).  Selection order is
+    the shared Knuth multiplicative shuffle key (bijective mod 2^32,
+    vec_id tiebreak — `functions/hashing.py:shuffle_key`) so engine and
+    oracle compute it exactly; the per-cluster head-k runs on the
+    distributed ``grouped_top_k`` sorted-run motif, so cluster count
+    never funnels through the driver.  SQL-oracled via the export
+    pattern: the engine writes its per-vector cluster assignments and
+    DuckDB recomputes the per-cluster selection with ``row_number()``
+    over the same key; the assignment logic itself is independently
+    oracled by ``kmeans_clusters`` (argmax recomputed from exported
+    centroids)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+    from ..stages.ranking import grouped_top_k
+
+    shutil.rmtree(KMEANS_BALANCE_DIR, ignore_errors=True)
+    os.makedirs(f"{KMEANS_BALANCE_DIR}/assign", exist_ok=True)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    try:
+        cent = kmeans_fit(ds, k=8, n_iters=6)
+    except ValueError:  # no non-degenerate vectors: empty oracle export
+        pq.write_table(
+            pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64())}),
+            f"{KMEANS_BALANCE_DIR}/assign/assign.parquet")
+        return _empty_result(vec_id="int64", cluster_id="int64")
+    assigned = kmeans_assign(ds, cent,
+                             export_dir=f"{KMEANS_BALANCE_DIR}/assign")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.append_column("sk", pa.array(_shuffle_key(ids)))
+
+    keyed = assigned.map_batches(add_key, batch_format="pyarrow")
+    out = grouped_top_k(keyed, ["cluster_id"], ["sk", "vec_id"],
+                        k=25).to_pandas()
+    return (out[["vec_id", "cluster_id"]].astype("int64")
+            .sort_values("vec_id").reset_index(drop=True))

@@ -253,6 +253,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "media_features": ["kind", "decode_ok", "n", "sum_pixels"],
         "kmeans_clusters": ["vec_id", "cluster_id"],
         "semantic_dedup": ["vec_id", "cluster_id"],
+        "cluster_balanced_sample": ["vec_id", "cluster_id"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -280,6 +281,7 @@ NASTY_QUERIES = [
     # embedding family: zero vectors and NULL labels
     "embedding_norm_stats", "label_centroids", "cluster_composition",
     "knn_embeddings", "kmeans_clusters", "semantic_dedup",
+    "cluster_balanced_sample",
     # join family: NULL order dates/custkeys/prices/discounts
     "hash_join_revenue", "top_orders", "interval_event_windows",
     "incremental_near_dedup", "user_growth",
