@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q.kmeans_clusters,
         "semantic_dedup": q.semantic_dedup,
         "cluster_balanced_sample": q.cluster_balanced_sample,
+        "exact_substring_spans": q.exact_substring_spans,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1647,6 +1648,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM a)
             SELECT vec_id, cluster_id FROM ranked WHERE rk <= 25
             ORDER BY vec_id
+        """,
+        # ExactSubstr span dedup recomputed from raw text: positional
+        # 5-grams, duplicated = gram string at >1 (doc,pos) corpus-wide,
+        # overlapping windows merged with gaps-and-islands.  Engine
+        # decides on 128-bit hashes, SQL on exact strings (collision
+        # odds ~3e-15 — the paragraph_dedup contract).
+        "exact_substring_spans": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(coalesce(text, ''),
+                                                      '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            g AS (
+                SELECT doc_id, unnest(generate_series(1, len(ws) - 4)) AS i,
+                       ws
+                FROM w WHERE len(ws) >= 5),
+            g2 AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(ws[i:i+4], ' ') AS gram
+                FROM g),
+            d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+            hit AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+            m AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) <= 5
+                         THEN 0 ELSE 1 END AS brk
+                  FROM hit),
+            isl AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM m)
+            SELECT doc_id, min(pos) AS span_start,
+                   CAST(max(pos) + 5 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
         """,
         "cluster_composition": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "semantic_dedup",
     "cluster_balanced_sample",
+    # r4: ExactSubstr span dedup (Lee et al. 2022)
+    "exact_substring_spans",
 ]
 
 

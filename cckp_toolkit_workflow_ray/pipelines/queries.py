@@ -2901,3 +2901,25 @@ def cluster_balanced_sample(sf_dir: str) -> pd.DataFrame:
                         k=25).to_pandas()
     return (out[["vec_id", "cluster_id"]].astype("int64")
             .sort_values("vec_id").reset_index(drop=True))
+
+
+def exact_substring_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499):
+    every 5-word window whose gram occurs at more than one (doc, pos)
+    corpus-wide is duplicated; per doc, overlapping duplicated windows
+    merge into maximal token spans — the spans ExactSubstr would cut
+    before training.  Fully SQL-oracled from the raw text (positional
+    grams via ``unnest(generate_series(...))`` + list slicing, dup
+    detection by exact gram string, gaps-and-islands span merge) — no
+    engine export needed.  Engine decides on 128-bit gram hashes (the
+    paragraph_dedup collision contract); tokenization is the shared
+    RE2-``\\s+`` split."""
+    from ..stages.dupgrams import exact_substring_spans as _spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _spans(ds, n=5).to_pandas()
+    if not len(out):
+        return _empty_result(doc_id="int64", span_start="int64",
+                             span_end="int64")
+    return (out.astype("int64")
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True))

@@ -240,3 +240,167 @@ def _dup_rollup_join(ds, dup_ds, text_col: str, lang_col: str, id_col: str,
             rollup = rollup.drop(columns=f"{c}_e")
         rollup["n_docs"] = rollup["n_docs"].fillna(0).astype(np.int64)
     return rollup
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499 — ExactSubstr)
+# ---------------------------------------------------------------------------
+
+SPAN_SCHEMA = {"doc_id": pa.int64(), "span_start": pa.int64(),
+               "span_end": pa.int64()}
+
+
+def _empty_spans() -> pa.Table:
+    return pa.table({c: pa.array([], type=t) for c, t in SPAN_SCHEMA.items()})
+
+
+def _positional_grams(texts, n: int) -> tuple[list, np.ndarray]:
+    """Per-doc POSITIONAL n-gram arrays (index = token position) + counts.
+    Unlike ``_doc_distinct_grams`` repeats are kept: ExactSubstr counts
+    every (doc, pos) occurrence, so a gram repeated twice inside one doc
+    is already duplicated."""
+    per_doc = [word_ngrams_strict(txt, n) for txt in texts]
+    lens = np.array([g.size for g in per_doc], dtype=np.int64)
+    return per_doc, lens
+
+
+def _merge_spans(doc: np.ndarray, pos: np.ndarray, n: int):
+    """Merge (doc, pos) duplicated-window starts — sorted by pos within
+    each doc run — into maximal token spans [span_start, span_end).
+    Windows are length-``n`` so the running end within a doc is
+    ``prev_pos + n`` (monotone); a new span starts when the gap exceeds
+    it.  Fully vectorized (the gaps-and-islands motif)."""
+    if not doc.size:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    brk = np.ones(doc.size, dtype=bool)
+    brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + n)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], doc.size) - 1
+    return doc[starts], pos[starts], pos[ends] + n
+
+
+def exact_substring_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                          n: int = 5, batch_size: int = 8192,
+                          broadcast_limit: int = 2_000_000):
+    """ExactSubstr-style span dedup (Lee et al. 2022): a length-``n``
+    word window is duplicated when its gram string occurs at more than
+    one (doc, pos) corpus-wide (within-doc repeats count); per doc,
+    overlapping/adjacent duplicated windows merge into maximal token
+    spans — the text a trainer would cut.  Returns a Dataset of
+    (doc_id, span_start, span_end) in token coordinates.
+
+    Scale shape mirrors ``dup_ngram_rollup``: 128-bit hashed grams,
+    two-regime duplicate detection, and — because one document is one
+    row — span merging in the broadcast regime is FINAL per batch (no
+    exchange at all after the probe).  The join regime re-exchanges only
+    the duplicated-window stream: (doc_id, pos) hits sort once, interior
+    docs merge in place, and the ≤2 block-edge docs merge on the driver.
+    Grams are compared by 128-bit hash (collision odds ~3e-15); the SQL
+    oracle compares exact strings — the paragraph_dedup contract."""
+    import ray
+
+    def gram_count_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        per_doc, lens = _positional_grams(texts, n)
+        flat = (np.concatenate([g for g in per_doc if g.size])
+                if lens.any() else np.empty(0, dtype=object))
+        h1, h2 = _gram_hash_pairs(flat)
+        g = pd.DataFrame({"h1": h1, "h2": h2}) \
+            .groupby(["h1", "h2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regime, dup = find_duplicate_int_keys_two_regime(
+        ds.select_columns([text_col]), gram_count_partial,
+        batch_size=batch_size, key_cols=["h1", "h2"],
+        broadcast_limit=broadcast_limit)
+
+    if regime != "broadcast":
+        return _substr_spans_join(ds, dup, text_col, id_col, n, batch_size)
+
+    bh = dup.sort_values(["h1", "h2"])
+    ref = ray.put((np.ascontiguousarray(bh["h1"].to_numpy(np.int64)),
+                   np.ascontiguousarray(bh["h2"].to_numpy(np.int64))))
+
+    def probe(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        per_doc, lens = _positional_grams(texts, n)
+        nz = np.flatnonzero(lens > 0)
+        if not nz.size:
+            return _empty_spans()
+        bh1, bh2 = ray.get(ref)
+        flat = np.concatenate([per_doc[i] for i in nz])
+        h1, h2 = _gram_hash_pairs(flat)
+        hits = _pair_isin(bh1, bh2, h1, h2)
+        docrep = np.repeat(ids[nz], lens[nz])
+        poscat = np.concatenate([np.arange(l, dtype=np.int64)
+                                 for l in lens[nz]])
+        # batch rows are whole docs, positions ascend within each — the
+        # exact _merge_spans precondition, so spans are final here
+        sd, ss, se = _merge_spans(docrep[hits], poscat[hits], n)
+        return pa.table({"doc_id": pa.array(sd), "span_start": pa.array(ss),
+                         "span_end": pa.array(se)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _substr_spans_join(ds, dup_ds, text_col: str, id_col: str, n: int,
+                       batch_size: int):
+    """Duplicate-heavy regime: duplicated-window hits via the bucketed
+    128-bit hash join, then one (doc_id, pos) sort; block-interior docs'
+    spans are final in place, the ≤2 edge docs per block merge on the
+    driver (bounded by 2 × positions-per-doc × n_blocks)."""
+    import ray.data as rd
+
+    from .joins import hash_join
+    from .ranking import _edge_mask
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        per_doc, lens = _positional_grams(texts, n)
+        nz = np.flatnonzero(lens > 0)
+        flat = (np.concatenate([per_doc[i] for i in nz])
+                if nz.size else np.empty(0, dtype=object))
+        h1, h2 = _gram_hash_pairs(flat)
+        poscat = (np.concatenate([np.arange(l, dtype=np.int64)
+                                  for l in lens[nz]])
+                  if nz.size else np.empty(0, dtype=np.int64))
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                         "doc_id": pa.array(np.repeat(ids[nz], lens[nz])),
+                         "pos": pa.array(poscat)})
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size)
+    dup_keys = dup_ds.map_batches(lambda df: df[["h1", "h2"]],
+                                  batch_format="pandas")
+    hits = hash_join(pairs, dup_keys, on=["h1", "h2"], how="inner")
+    sorted_hits = hits.sort(["doc_id", "pos"]).materialize()
+
+    def interior_spans(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _empty_spans()
+        inner = df[~_edge_mask(df, ["doc_id"])]
+        sd, ss, se = _merge_spans(inner["doc_id"].to_numpy(np.int64),
+                                  inner["pos"].to_numpy(np.int64), n)
+        return pa.table({"doc_id": pa.array(sd), "span_start": pa.array(ss),
+                         "span_end": pa.array(se)})
+
+    interior = sorted_hits.map_batches(interior_spans,
+                                       batch_format="pandas",
+                                       batch_size=None)
+    edges = sorted_hits.map_batches(
+        lambda df: df[_edge_mask(df, ["doc_id"])] if len(df) else df,
+        batch_format="pandas", batch_size=None).to_pandas()
+    if len(edges):
+        e = edges.sort_values(["doc_id", "pos"], kind="mergesort")
+        sd, ss, se = _merge_spans(e["doc_id"].to_numpy(np.int64),
+                                  e["pos"].to_numpy(np.int64), n)
+        if sd.size:
+            interior = interior.union(rd.from_arrow(pa.table({
+                "doc_id": pa.array(sd), "span_start": pa.array(ss),
+                "span_end": pa.array(se)})))
+    return interior

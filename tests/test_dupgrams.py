@@ -80,3 +80,65 @@ def test_join_regime_handles_edge_docs(ray_session):
     en = out.iloc[0]
     assert en["n_docs"] == 6 and en["n_flagged"] == 6
     assert en["n_dup_grams"] == 6 * 4  # 4 distinct 5-grams per doc
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _spans(ray_session, ds, **kw) -> pd.DataFrame:
+    from cckp_toolkit_workflow_ray.stages.dupgrams import \
+        exact_substring_spans
+
+    out = exact_substring_spans(ds, n=5, **kw).to_pandas()
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "span_start", "span_end")})
+    return (out.astype("int64")
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+
+
+def test_exact_substring_spans_merge_and_within_doc_repeat(ray_session):
+    import ray.data as rd
+
+    # doc 0 / doc 1 share an 8-word prefix -> windows 0..3 merge into one
+    # span [0, 8); doc 2 repeats a 5-gram WITHIN itself (positions 0 and
+    # 5, gap == n) -> windows merge into [0, 10); doc 3 is unique.
+    shared = "a b c d e f g h"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [shared + " tail0 x0 y0", shared + " tail1 x1 y1",
+                 "p q r s t p q r s t",
+                 "u0 u1 u2 u3 u4 u5 u6"],
+    })
+    out = _spans(ray_session, rd.from_pandas(df))
+    assert out.values.tolist() == [[0, 0, 8], [1, 0, 8], [2, 0, 10]]
+
+
+def test_exact_substring_spans_join_regime_identical(ray_session):
+    """broadcast_limit=0 forces the bucketed-join + sorted-run regime;
+    single-row blocks put every doc on a block edge — output must be
+    identical to the broadcast regime's."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(20)]
+    texts += texts[:7]  # exact copies -> every window duplicated
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    a = _spans(ray_session, rd.from_pandas(df))
+    b = _spans(ray_session, rd.from_pandas(df).repartition(13),
+               broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 7  # the copied docs all have spans
+
+
+def test_exact_substring_spans_empty_and_short_docs(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": [None, "", "only four words here"]})
+    out = _spans(ray_session, rd.from_pandas(df))
+    assert out.empty
