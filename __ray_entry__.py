@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q.semantic_dedup,
         "cluster_balanced_sample": q.cluster_balanced_sample,
         "exact_substring_spans": q.exact_substring_spans,
+        "exact_substring_cut": q.exact_substring_cut,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1682,6 +1683,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS span_start,
                    CAST(max(pos) + 5 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+        """,
+        # ExactSubstr applied: recompute the spans, anti-join token
+        # positions against them, string_agg the surviving tokens in
+        # order ('' when the whole doc is duplicated)
+        "exact_substring_cut": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(coalesce(text, ''),
+                                                      '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            g AS (
+                SELECT doc_id, unnest(generate_series(1, len(ws) - 4)) AS i,
+                       ws
+                FROM w WHERE len(ws) >= 5),
+            g2 AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(ws[i:i+4], ' ') AS gram
+                FROM g),
+            d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+            hit AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+            m AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) <= 5
+                         THEN 0 ELSE 1 END AS brk
+                  FROM hit),
+            isl AS (SELECT doc_id, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM m),
+            spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+                FROM isl GROUP BY doc_id, grp),
+            toks AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       unnest(generate_series(1, len(ws))) AS i
+                FROM w),
+            kept AS (
+                SELECT t.doc_id,
+                       string_agg(t.tok, ' ' ORDER BY t.i) AS kept_text
+                FROM toks t
+                WHERE t.doc_id IN (SELECT DISTINCT doc_id FROM spans)
+                  AND NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.doc_id = t.doc_id
+                                    AND t.i - 1 >= s.s AND t.i - 1 < s.e)
+                GROUP BY t.doc_id)
+            SELECT sd.doc_id, coalesce(k.kept_text, '') AS kept_text
+            FROM (SELECT DISTINCT doc_id FROM spans) sd
+            LEFT JOIN kept k USING (doc_id)
+            ORDER BY sd.doc_id
         """,
         "cluster_composition": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "cluster_balanced_sample",
     # r4: ExactSubstr span dedup (Lee et al. 2022)
     "exact_substring_spans",
+    "exact_substring_cut",
 ]
 
 

@@ -2923,3 +2923,19 @@ def exact_substring_spans(sf_dir: str) -> pd.DataFrame:
                              span_end="int64")
     return (out.astype("int64")
             .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+
+
+def exact_substring_cut(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr applied: every doc with a duplicated span re-emitted
+    with its span tokens removed (tokens outside spans re-joined by
+    single spaces; '' when fully duplicated).  SQL-oracled from raw text
+    end to end: the oracle recomputes spans, anti-joins token positions
+    against them, and string_aggs the survivors in order."""
+    from ..stages.dupgrams import exact_substring_cut as _cut
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _cut(ds, n=5).to_pandas()
+    if not len(out):
+        return _empty_result(doc_id="int64", kept_text=object)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

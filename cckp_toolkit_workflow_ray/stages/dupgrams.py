@@ -404,3 +404,87 @@ def _substr_spans_join(ds, dup_ds, text_col: str, id_col: str, n: int,
                 "doc_id": pa.array(sd), "span_start": pa.array(ss),
                 "span_end": pa.array(se)})))
     return interior
+
+
+def exact_substring_cut(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, batch_size: int = 8192,
+                        broadcast_limit: int = 2_000_000):
+    """Apply the ExactSubstr spans: for every doc with ≥1 duplicated
+    span, re-emit (doc_id, kept_text) — the RE2-``\\s+`` tokens outside
+    all spans re-joined by single spaces ('' when the whole doc is
+    duplicated).  Docs without spans are untouched and never re-emitted
+    (the corpus-diff convention of ``paragraph_dedup``).
+
+    Two regimes on the span-table size: spans broadcast via ``ray.put``
+    + one cutting pass over the corpus (dup spans are rare in honest web
+    text), or a bucketed doc_id hash join + ``groupby.map_groups`` when
+    the span table is itself corpus-scale.  Cutting is per-affected-doc
+    numpy masking — bounded by the duplicated-doc count, not the corpus.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import re2_words
+
+    spans = exact_substring_spans(ds, text_col=text_col, id_col=id_col, n=n,
+                                  batch_size=batch_size,
+                                  broadcast_limit=broadcast_limit)
+    spans = spans.materialize()
+    _empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                       "kept_text": pa.array([], type=pa.string())})
+
+    def _cut_one(text: str, ss: np.ndarray, se: np.ndarray) -> str:
+        toks = np.array(re2_words(text), dtype=object)
+        keep = np.ones(toks.size, dtype=bool)
+        for s, e in zip(ss, se):
+            keep[s:e] = False
+        return " ".join(toks[keep])
+
+    if spans.count() <= broadcast_limit:
+        sp = spans.to_pandas()
+        if not len(sp):
+            return rd.from_arrow(_empty)
+        sp = sp.sort_values(["doc_id", "span_start"], kind="mergesort")
+        ref = ray.put((np.ascontiguousarray(sp["doc_id"].to_numpy(np.int64)),
+                       np.ascontiguousarray(sp["span_start"].to_numpy(np.int64)),
+                       np.ascontiguousarray(sp["span_end"].to_numpy(np.int64))))
+
+        def cut_batch(t: pa.Table) -> pa.Table:
+            sdoc, ss, se = ray.get(ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+            lo = np.searchsorted(sdoc, ids, side="left")
+            hi = np.searchsorted(sdoc, ids, side="right")
+            aff = np.flatnonzero(hi > lo)
+            if not aff.size:
+                return _empty
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            kept = [_cut_one(texts[i], ss[lo[i]:hi[i]], se[lo[i]:hi[i]])
+                    for i in aff]
+            return pa.table({
+                "doc_id": pa.array(ids[aff], type=pa.int64()),
+                "kept_text": pa.array(kept, type=pa.string())})
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            cut_batch, batch_format="pyarrow", batch_size=batch_size)
+
+    # join regime: only affected docs re-exchange (inner join on doc_id)
+    from .joins import hash_join
+
+    joined = hash_join(ds.select_columns([id_col, text_col]), spans,
+                       on=[id_col], how="inner")
+
+    def cut_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "kept_text": pd.Series([], dtype=object)})
+        g = df.sort_values("span_start", kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": [np.int64(g[id_col].iloc[0])],
+            "kept_text": [_cut_one(
+                g[text_col].iloc[0],
+                g["span_start"].to_numpy(np.int64),
+                g["span_end"].to_numpy(np.int64))]})
+
+    return joined.groupby(id_col).map_groups(cut_group,
+                                             batch_format="pandas")

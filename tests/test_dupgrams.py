@@ -142,3 +142,44 @@ def test_exact_substring_spans_empty_and_short_docs(ray_session):
                        "text": [None, "", "only four words here"]})
     out = _spans(ray_session, rd.from_pandas(df))
     assert out.empty
+
+
+def _cut(ray_session, ds, **kw) -> pd.DataFrame:
+    from cckp_toolkit_workflow_ray.stages.dupgrams import exact_substring_cut
+
+    out = exact_substring_cut(ds, n=5, **kw).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "kept_text": pd.Series([], dtype=object)})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_exact_substring_cut_keeps_tail_and_empties_full_dups(ray_session):
+    import ray.data as rd
+
+    shared = "a b c d e f g h"
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [shared + " tail0 x0 y0",   # span [0,8) -> tail survives
+                 shared,                    # fully duplicated -> ''
+                 "u0 u1 u2 u3 u4 u5"],      # unique -> not re-emitted
+    })
+    out = _cut(ray_session, rd.from_pandas(df))
+    assert out.values.tolist() == [[0, "tail0 x0 y0"], [1, ""]]
+
+
+def test_exact_substring_cut_join_regime_identical(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"w{i}" for i in range(25)])
+    texts = [" ".join(rng.choice(vocab, size=14)) for _ in range(18)]
+    texts += texts[:5]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    a = _cut(ray_session, rd.from_pandas(df))
+    b = _cut(ray_session, rd.from_pandas(df).repartition(11),
+             broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 5

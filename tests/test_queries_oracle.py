@@ -255,6 +255,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "semantic_dedup": ["vec_id", "cluster_id"],
         "cluster_balanced_sample": ["vec_id", "cluster_id"],
         "exact_substring_spans": ["doc_id", "span_start", "span_end"],
+        "exact_substring_cut": ["doc_id", "kept_text"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -271,7 +272,7 @@ NASTY_QUERIES = [
     "docs_validate", "asof_last_order", "domain_cap", "mixture_sample",
     "curate_corpus", "temperature_mixture", "budget_sample",
     "repetition_check", "bpe_token_count", "token_count",
-    "exact_substring_spans",
+    "exact_substring_spans", "exact_substring_cut",
     "window_distinct_users", "normalized_dedup", "incremental_dedup",
     # event family: NULL ts (excluded by event-time ops), NULL
     # event_type (kept as a group), NULL value (0 contribution), NULL
