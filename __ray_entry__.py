@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": q.cluster_balanced_sample,
         "exact_substring_spans": q.exact_substring_spans,
         "exact_substring_cut": q.exact_substring_cut,
+        "dsir_sample": q.dsir_sample,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1732,6 +1733,63 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM spans) sd
             LEFT JOIN kept k USING (doc_id)
             ORDER BY sd.doc_id
+        """,
+        # DSIR importance resampling: target unigram LM on the 'en'
+        # slice, base LM on the corpus, integer micro-nat log weight
+        # diff per doc (per-word-type half-away rounding — the
+        # unigram_logprob discipline; OOV-vs-target = count-1/2
+        # backoff), top 10% per language by (weight DESC, doc_id).
+        # NULL-lang docs excluded (quota join cannot match NULL).
+        "dsir_sample": """
+            WITH docs AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE lang IS NOT NULL),
+            toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   w -> w <> '') AS words
+                FROM docs),
+            words AS (
+                SELECT doc_id, lang, unnest(words) AS w FROM toks),
+            bc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            bt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bc),
+            blp AS (
+                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                    ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS lp
+                FROM (SELECT w, 1e6 * ln(n / t) AS x FROM bc, bt)),
+            tc AS (SELECT w, count(*) AS n FROM words
+                   WHERE lang = 'en' GROUP BY w),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tc),
+            tlp AS (
+                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                    ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS lp
+                FROM (SELECT w, 1e6 * ln(n / t) AS x FROM tc, tt)),
+            toov AS (
+                SELECT CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                 ELSE -floor(-x + 0.5) END AS BIGINT) AS lp
+                FROM (SELECT 1e6 * ln(0.5 / t) AS x FROM tt)),
+            scored AS (
+                SELECT d.doc_id, d.lang, coalesce(s.diff, 0) AS dsir_e6
+                FROM toks d LEFT JOIN (
+                    SELECT doc_id,
+                           CAST(sum(coalesce(t.lp, (SELECT lp FROM toov))
+                                    - b.lp) AS BIGINT) AS diff
+                    FROM words
+                    JOIN blp b USING (w)
+                    LEFT JOIN tlp t USING (w)
+                    GROUP BY doc_id) s USING (doc_id)),
+            q AS (SELECT lang, count(*) // 10 AS k FROM docs
+                  GROUP BY lang),
+            r AS (SELECT doc_id, lang, dsir_e6,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY dsir_e6 DESC, doc_id) AS rn
+                  FROM scored)
+            SELECT doc_id, lang, dsir_e6
+            FROM r JOIN q USING (lang) WHERE rn <= q.k
+            ORDER BY doc_id
         """,
         "cluster_composition": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

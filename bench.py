@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     # r4: ExactSubstr span dedup (Lee et al. 2022)
     "exact_substring_spans",
     "exact_substring_cut",
+    # r4: DSIR importance resampling (Xie et al. 2023)
+    "dsir_sample",
 ]
 
 

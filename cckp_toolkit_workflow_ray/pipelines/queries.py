@@ -2939,3 +2939,62 @@ def exact_substring_cut(sf_dir: str) -> pd.DataFrame:
         return _empty_result(doc_id="int64", kept_text=object)
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): train a
+    target unigram LM on the 'en' slice and a base LM on the whole
+    corpus, score every doc's integer micro-nat log importance weight
+    ``dsir_e6 = lp_target − lp_base`` (OOV-vs-target words score the
+    count-1/2 backoff), then keep each language's top 10 % by (weight
+    DESC, doc_id) — the deterministic rank-selection flavor of DSIR's
+    importance resampling, riding the distributed ``grouped_top_k``.
+    All score arithmetic is exact int64 (per-word-type rounding at model
+    build — the ``unigram_logprob`` ulp discipline), so engine and SQL
+    rank identically.  NULL-lang docs are excluded (documented policy:
+    SQL's quota join cannot match a NULL lang)."""
+    from ..stages.lm_score import importance_scores, train_unigram_model
+    from ..stages.ranking import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    docs = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("lang"))),
+        batch_format="pyarrow").materialize()
+
+    def is_en(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("lang"), "en"))
+
+    target = docs.map_batches(is_en, batch_format="pyarrow")
+    vt, lpt, oovt, tot_t = train_unigram_model(target)
+    vb, lpb, oovb, tot_b = train_unigram_model(docs)
+    if tot_t == 0 or tot_b == 0:
+        return _empty_result(doc_id="int64", lang=object, dsir_e6="int64")
+    scored = importance_scores(docs, (vt, lpt, oovt), (vb, lpb, oovb))
+
+    _empty_counts = pa.table({"lang": pa.array([], type=pa.string()),
+                              "n": pa.array([], type=pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:  # keep block schemas identical (nulls.py rule)
+            return _empty_counts
+        df = pd.DataFrame({
+            "lang": pd.Series(t.column("lang").to_numpy(zero_copy_only=False)),
+            "n": 1})
+        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+                                    preserve_index=False)
+
+    counts = _sum_by_key(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["lang"], ["n"]).to_pandas()
+    ktab = pd.DataFrame({"lang": counts["lang"],
+                         "k": (counts["n"] // 10).astype(np.int64)})
+    out = grouped_top_k(
+        scored.select_columns(["doc_id", "lang", "dsir_e6"]),
+        ["lang"], ["dsir_e6", "doc_id"], descending=[True, False],
+        k_table=ktab).to_pandas()
+    if not len(out):
+        return _empty_result(doc_id="int64", lang=object, dsir_e6="int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["dsir_e6"] = out["dsir_e6"].astype("int64")
+    return (out[["doc_id", "lang", "dsir_e6"]]
+            .sort_values("doc_id").reset_index(drop=True))

@@ -111,3 +111,48 @@ def score_documents(ds, vocab: np.ndarray, lp_e6: np.ndarray,
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def importance_scores(ds, target_model, base_model, text_col: str = "text",
+                      batch_size: int = 8192):
+    """DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    append int64 ``dsir_e6`` = Σ_tokens (lp_target − lp_base) in integer
+    micro-nats — the log importance weight of the doc under the target
+    unigram LM relative to the base LM.  ``target_model`` /
+    ``base_model`` are (vocab, lp_e6, oov_lp_e6) triples from
+    :func:`train_unigram_model`; both broadcast ONCE via ``ray.put``;
+    tokenization happens once per doc and probes both vocabs.  All
+    arithmetic is exact int64 (per-word-type rounding at model build),
+    so scores are bit-identical at any parallelism."""
+    import ray
+
+    vt, lpt, oovt = target_model
+    vb, lpb, oovb = base_model
+    ref = ray.put((vt, lpt, vb, lpb))
+
+    def _probe(v, lp, oov, flat):
+        idx = np.searchsorted(v, flat)
+        idx_c = np.clip(idx, 0, max(len(v) - 1, 0))
+        hit = (v[idx_c] == flat) if len(v) else \
+            np.zeros(flat.size, dtype=bool)
+        return np.where(hit, lp[idx_c] if len(v) else 0, oov) \
+            .astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        per_doc = [[w for w in (x or "").split(" ") if w] for x in texts]
+        lens = np.array([len(p) for p in per_doc], dtype=np.int64)
+        diffs = np.zeros(len(texts), dtype=np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if nz.size:
+            v_t, lp_t, v_b, lp_b = ray.get(ref)
+            flat = np.array([w for i in nz for w in per_doc[i]],
+                            dtype=object)
+            tok = _probe(v_t, lp_t, oovt, flat) \
+                - _probe(v_b, lp_b, oovb, flat)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            diffs[nz] = np.add.reduceat(tok, starts)
+        return t.append_column("dsir_e6", pa.array(diffs, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)
