@@ -2953,38 +2953,41 @@ def dsir_sample(sf_dir: str) -> pd.DataFrame:
     build — the ``unigram_logprob`` ulp discipline), so engine and SQL
     rank identically.  NULL-lang docs are excluded (documented policy:
     SQL's quota join cannot match a NULL lang)."""
-    from ..stages.lm_score import importance_scores, train_unigram_model
+    from ..stages.lm_score import importance_scores, \
+        train_unigram_models_pair
     from ..stages.ranking import grouped_top_k
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    # NOT materialized: the passes below re-read the pruned parquet
+    # columns rather than pinning the full text column in the object
+    # store (training is one combined pass, scoring one more, and the
+    # quota count touches only the lang column).
     docs = ds.map_batches(
         lambda t: t.filter(pc.is_valid(t.column("lang"))),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
 
-    def is_en(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("lang"), "en"))
-
-    target = docs.map_batches(is_en, batch_format="pyarrow")
-    vt, lpt, oovt, tot_t = train_unigram_model(target)
-    vb, lpb, oovb, tot_b = train_unigram_model(docs)
+    (vt, lpt, oovt, tot_t), (vb, lpb, oovb, tot_b) = \
+        train_unigram_models_pair(docs, mask_col="lang", target_value="en")
     if tot_t == 0 or tot_b == 0:
         return _empty_result(doc_id="int64", lang=object, dsir_e6="int64")
     scored = importance_scores(docs, (vt, lpt, oovt), (vb, lpb, oovb))
 
-    _empty_counts = pa.table({"lang": pa.array([], type=pa.string()),
-                              "n": pa.array([], type=pa.int64())})
-
     def count_partial(t: pa.Table) -> pa.Table:
-        if not t.num_rows:  # keep block schemas identical (nulls.py rule)
-            return _empty_counts
         df = pd.DataFrame({
             "lang": pd.Series(t.column("lang").to_numpy(zero_copy_only=False)),
             "n": 1})
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
-                                    preserve_index=False)
+        g = df.groupby("lang", as_index=False).sum()
+        # explicit types: an empty pandas frame would otherwise convert
+        # to a null-typed Arrow column and split the block schema
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
 
+    lang_only = _read(sf_dir, "documents", ["lang"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("lang"))),
+        batch_format="pyarrow")
     counts = _sum_by_key(
-        docs.map_batches(count_partial, batch_format="pyarrow"),
+        lang_only.map_batches(count_partial, batch_format="pyarrow"),
         ["lang"], ["n"]).to_pandas()
     ktab = pd.DataFrame({"lang": counts["lang"],
                          "k": (counts["n"] // 10).astype(np.int64)})

@@ -156,3 +156,56 @@ def importance_scores(ds, target_model, base_model, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def train_unigram_models_pair(ds, text_col: str = "text",
+                              mask_col: str = "lang",
+                              target_value: str = "en",
+                              batch_size: int = 8192):
+    """Train the base LM (all docs) and the target LM (docs whose
+    ``mask_col == target_value``) in ONE corpus pass: the per-batch
+    combiner emits (word, n_base, n_target) so the keyed exchange and
+    the tokenize work are shared — at corpus scale this halves DSIR's
+    training cost vs two :func:`train_unigram_model` calls.  Returns
+    ``((vocab_t, lp_t, oov_t, total_t), (vocab_b, lp_b, oov_b,
+    total_b))`` with the identical per-word-type micro-nat rounding, so
+    results are bit-equal to the two-pass construction."""
+    from .groupagg import sorted_sum_by_key
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        keys = t.column(mask_col).to_numpy(zero_copy_only=False)
+        base = word_count_partial(texts).rename(columns={"n": "n_base"})
+        tgt = word_count_partial(texts[keys == target_value]) \
+            .rename(columns={"n": "n_target"})
+        out = base.merge(tgt, on="word", how="left")
+        # explicit types: an empty pandas frame would convert to a
+        # null-typed Arrow word column and split the block schema
+        return pa.table({
+            "word": pa.array(out["word"].to_numpy(), type=pa.string()),
+            "n_base": pa.array(out["n_base"].to_numpy(np.int64)),
+            "n_target": pa.array(out["n_target"].fillna(0)
+                                 .to_numpy(np.int64))})
+
+    counts = sorted_sum_by_key(
+        ds.select_columns([text_col, mask_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size),
+        ["word"], ["n_base", "n_target"])
+    counts = counts.sort_values("word", kind="mergesort")
+
+    def _model(sub: pd.DataFrame, col: str):
+        total = int(sub[col].sum())
+        vocab = sub["word"].to_numpy(dtype=object)
+        if total == 0:
+            return vocab[:0], np.empty(0, dtype=np.int64), np.int64(0), 0
+        ratios = sub[col].to_numpy(dtype=np.float64) / total
+        lp = _round_half_away(np.array(
+            [1e6 * math.log(r) for r in ratios], dtype=np.float64)
+        ).astype(np.int64)
+        oov = np.int64(_round_half_away(
+            np.array([1e6 * math.log(0.5 / total)]))[0])
+        return vocab, lp, oov, total
+
+    base_model = _model(counts, "n_base")
+    target_model = _model(counts[counts["n_target"] > 0], "n_target")
+    return target_model, base_model
