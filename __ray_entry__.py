@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substring_spans": q.exact_substring_spans,
         "exact_substring_cut": q.exact_substring_cut,
         "dsir_sample": q.dsir_sample,
+        "weighted_sample": q.weighted_sample,
         # window + join operators
         "sliding_events": q.sliding_events,
         "session_windows": q.session_windows,
@@ -1788,6 +1789,37 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY dsir_e6 DESC, doc_id) AS rn
                   FROM scored)
             SELECT doc_id, lang, dsir_e6
+            FROM r JOIN q USING (lang) WHERE rn <= q.k
+            ORDER BY doc_id
+        """,
+        # Efraimidis-Spirakis A-ES weighted sampling without replacement:
+        # exponential-race key ln(u)/w quantized to integer micro-nats
+        # (one float->int64 round per row, exact int64 ranking after),
+        # u = the shared seed-stable multiplicative-hash uniform, w =
+        # n_chars; each lang keeps its top n_eligible // 20 by
+        # (key DESC, doc_id).  NULL-lang / non-positive-weight docs are
+        # excluded (documented policy, same as dsir_sample).
+        "weighted_sample": """
+            WITH elig AS (
+                SELECT doc_id, lang, n_chars,
+                       ((doc_id * 2654435761) % 4294967296 + 1)
+                           / 4294967297.0 AS u
+                FROM documents
+                WHERE lang IS NOT NULL
+                  AND n_chars IS NOT NULL AND n_chars > 0),
+            keyed AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                 ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS key_e6
+                FROM (SELECT *, 1e6 * ln(u) / n_chars AS x FROM elig)),
+            q AS (SELECT lang, count(*) // 20 AS k FROM elig
+                  GROUP BY lang),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY key_e6 DESC, doc_id) AS rn
+                  FROM keyed)
+            SELECT doc_id, lang, n_chars, key_e6
             FROM r JOIN q USING (lang) WHERE rn <= q.k
             ORDER BY doc_id
         """,

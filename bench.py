@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "exact_substring_cut",
     # r4: DSIR importance resampling (Xie et al. 2023)
     "dsir_sample",
+    # r4: Efraimidis-Spirakis A-ES weighted sampling w/o replacement
+    "weighted_sample",
 ]
 
 

@@ -3001,3 +3001,83 @@ def dsir_sample(sf_dir: str) -> pd.DataFrame:
     out["dsir_e6"] = out["dsir_e6"].astype("int64")
     return (out[["doc_id", "lang", "dsir_e6"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): every eligible doc enters an exponential
+    race at rate ``w = n_chars`` — race key ``ln(u)/w`` with ``u`` the
+    seed-stable multiplicative-hash uniform in (0,1) (the shared
+    ``budget_sample`` shuffle hash, so no RNG state anywhere) — and
+    each language keeps its top ``n_eligible // 20`` docs by
+    (key DESC, doc_id).  Larger docs win proportionally more often,
+    which is the length-weighted corpus subsampling step between
+    dedup and mixing.
+
+    Keys are quantized ONCE to integer micro-nats (the ``dsir_e6``
+    ulp discipline: a single float→int64 round per row, all ranking
+    exact int64 after that) so engine and SQL order identically.
+    Selection rides the distributed ``grouped_top_k`` (sorted-run rank
+    filter; the per-lang quota table is tiny and broadcast once).
+    Docs with NULL lang (no SQL quota group) or NULL/non-positive
+    n_chars (no exponential rate) are excluded — documented policy,
+    same as ``dsir_sample``."""
+    from ..stages.ranking import grouped_top_k
+
+    def _eligible(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars")
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("lang")),
+                             pc.is_valid(nc)),
+                     pc.greater(pc.fill_null(nc, 0), 0))
+        return t.filter(ok)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        t = _eligible(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = ((ids * np.int64(2654435761)) % np.int64(2 ** 32) + 1) \
+            / 4294967297.0
+        key = _round_half_away(1e6 * np.log(u) / w).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "lang": pa.array(
+                t.column("lang").to_numpy(zero_copy_only=False),
+                type=pa.string()),
+            "n_chars": pa.array(w, type=pa.int64()),
+            "key_e6": pa.array(key, type=pa.int64()),
+        })
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = _eligible(t)
+        df = pd.DataFrame({
+            "lang": pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False)),
+            "n": 1})
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
+
+    empty = dict(doc_id="int64", lang=object, n_chars="int64",
+                 key_e6="int64")
+    counts = _sum_by_key(
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(count_partial, batch_format="pyarrow"),
+        ["lang"], ["n"]).to_pandas()
+    if not len(counts):
+        return _empty_result(**empty)
+    ktab = pd.DataFrame({"lang": counts["lang"],
+                         "k": (counts["n"] // 20).astype(np.int64)})
+
+    scored = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .map_batches(keyed, batch_format="pyarrow")
+    out = grouped_top_k(scored, ["lang"], ["key_e6", "doc_id"],
+                        descending=[True, False], k_table=ktab).to_pandas()
+    if not len(out):
+        return _empty_result(**empty)
+    for c in ("doc_id", "n_chars", "key_e6"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "lang", "n_chars", "key_e6"]]
+            .sort_values("doc_id").reset_index(drop=True))

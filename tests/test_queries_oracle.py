@@ -257,6 +257,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "exact_substring_spans": ["doc_id", "span_start", "span_end"],
         "exact_substring_cut": ["doc_id", "kept_text"],
         "dsir_sample": ["doc_id", "lang", "dsir_e6"],
+        "weighted_sample": ["doc_id", "lang", "n_chars", "key_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -274,6 +275,7 @@ NASTY_QUERIES = [
     "curate_corpus", "temperature_mixture", "budget_sample",
     "repetition_check", "bpe_token_count", "token_count",
     "exact_substring_spans", "exact_substring_cut", "dsir_sample",
+    "weighted_sample",
     "window_distinct_users", "normalized_dedup", "incremental_dedup",
     # event family: NULL ts (excluded by event-time ops), NULL
     # event_type (kept as a group), NULL value (0 contribution), NULL
