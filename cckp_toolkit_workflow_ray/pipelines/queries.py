@@ -199,8 +199,10 @@ def stats_profile(sf_dir: str) -> pa.Table:
 
 def distinct_sources(sf_dir: str) -> pa.Table:
     """Exact distinct-count per group, two-phase: per-batch unique pairs
-    (combiner) → global unique → count per lang."""
-    from ray.data.aggregate import Count
+    (combiner) → global unique via the sorted-run distinct (the
+    (lang, source) pair set is web-domain cardinality — never Ray's
+    per-group aggregate at ~0.6 ms/group) → tiny per-lang count."""
+    from ..stages.groupagg import sorted_distinct_keys
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
 
@@ -215,17 +217,24 @@ def distinct_sources(sf_dir: str) -> pa.Table:
         )
 
     pairs = ds.map_batches(pairs_fn, batch_format="pyarrow")
-    uniq = pairs.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
-    return _restore_null_keys(
-        uniq.groupby("lang")
-        .aggregate(Count(alias_name="n_sources"))
-        .to_pandas()[["lang", "n_sources"]], ["lang"])
+    uniq = sorted_distinct_keys(pairs, ["lang", "source"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).size()
+        return g.rename(columns={"size": "n_sources"})
+
+    out = _sum_by_key(
+        uniq.map_batches(count_partial, batch_format="pandas"),
+        ["lang"], ["n_sources"]).to_pandas()
+    return _restore_null_keys(out[["lang", "n_sources"]], ["lang"])
 
 
 def uniqueness_nchars(sf_dir: str) -> pa.Table:
     """Uniqueness check (SURVEY.md §2.7): duplicate-key groups of n_chars
-    with per-batch combiner before the groupby exchange."""
-    from ray.data.aggregate import Sum
+    with per-batch combiner, finished by the sorted-run keyed sum (the
+    value domain is unbounded in principle — doc lengths — so the
+    reduction must not pay Ray's ~0.6 ms/group aggregate overhead)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
 
     ds = _read(sf_dir, "documents", ["n_chars"])
 
@@ -235,18 +244,19 @@ def uniqueness_nchars(sf_dir: str) -> pa.Table:
         )
         return pa.table({"n_chars": vals, "n_dups": counts.astype(np.int64)})
 
-    totals = ds.map_batches(partial, batch_format="pyarrow").groupby("n_chars").aggregate(
-        Sum("n_dups", alias_name="n_dups")
-    )
+    totals = sorted_reduce_by_key_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["n_chars"], {"n_dups": "sum"})
     return totals.map_batches(
         lambda t: t.filter(pc.greater(t.column("n_dups"), 1)), batch_format="pyarrow"
     ).to_pandas()
 
 
 def exact_dedup(sf_dir: str) -> pa.Table:
-    """Exact dedup: keep min doc_id per 16-char text prefix (hash-partition
-    + per-group first; combiner = per-batch min)."""
-    from ray.data.aggregate import Min
+    """Exact dedup: keep min doc_id per 16-char text prefix (sorted-run
+    keyed min; combiner = per-batch min — prefix keys are corpus
+    cardinality, so never Ray's per-group aggregate)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -259,9 +269,9 @@ def exact_dedup(sf_dir: str) -> pa.Table:
             df.groupby("k", as_index=False)["doc_id"].min(), preserve_index=False
         )
 
-    kept = ds.map_batches(partial, batch_format="pyarrow").groupby("k").aggregate(
-        Min("doc_id", alias_name="doc_id")
-    )
+    kept = sorted_reduce_by_key_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"], {"doc_id": "min"})
     return kept.to_pandas()[["doc_id"]]
 
 
@@ -333,7 +343,7 @@ def nchars_mode(sf_dir: str) -> pa.Table:
     from ..stages.groupagg import grouped_value_counts
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    counts = grouped_value_counts(ds, "lang", "n_chars").to_pandas()
+    counts = grouped_value_counts(ds, "lang", "n_chars")
     # NULLS LAST in the value tie-break, matching the oracle's ORDER BY
     # (a NULL-modal group must yield mode_nchars = NULL, not crash)
     counts = counts.sort_values(["lang", "n", "n_chars"],

@@ -69,8 +69,6 @@ def find_duplicate_int_keys_two_regime(ds, partial_fn, batch_size: int = 65536,
       Sum, and callers must resolve recovery via bucketed hash joins
       against the returned Dataset instead of a broadcast array.
     """
-    from ray.data.aggregate import Sum
-
     from .groupagg import candidate_duplicates
 
     key_cols = key_cols or ["key"]
@@ -85,7 +83,13 @@ def find_duplicate_int_keys_two_regime(ds, partial_fn, batch_size: int = 65536,
                  "n": pd.Series([], dtype="int64")})
         totals = cp.groupby(key_cols, as_index=False)["n"].sum()
         return "broadcast", totals[totals["n"] > 1].reset_index(drop=True)
-    totals = cands.groupby(key_cols).aggregate(Sum("n", alias_name="n"))
+    # sorted-run keyed sum, NOT groupby().aggregate(): this regime's
+    # whole point is corpus-cardinality duplicated keys, and Ray's hash
+    # aggregate pays ~0.6 ms/group (122 s at 200k groups where the
+    # sorted-run shape costs 0.5 s)
+    from .groupagg import sorted_reduce_by_key_ds
+
+    totals = sorted_reduce_by_key_ds(cands, key_cols, {"n": "sum"})
     dup = totals.map_batches(lambda df: df[df["n"] > 1],
                              batch_format="pandas")
     return "join", dup.materialize()
@@ -405,8 +409,7 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
         return ds.map_batches(keep, batch_format="pandas", batch_size=batch_size)
 
     # ---- duplicate-heavy regime: joins end-to-end ------------------------
-    from ray.data.aggregate import Min
-
+    from .groupagg import sorted_reduce_by_key_ds
     from .joins import hash_join
 
     def winners_partial_all(t: pa.Table) -> pa.Table:
@@ -420,8 +423,10 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
         winners_partial_all, batch_format="pyarrow", batch_size=batch_size)
     dup_only = hash_join(partials, dup_keys, on=["k1", "k2"],
                          n_buckets=n_buckets)
-    winners_ds = dup_only.groupby(["k1", "k2"]).aggregate(
-        Min("winner", alias_name="winner"))
+    # duplicated 128-bit keys are corpus-cardinality here — sorted-run
+    # min, never Ray's per-group aggregate (~0.6 ms/group)
+    winners_ds = sorted_reduce_by_key_ds(
+        dup_only, ["k1", "k2"], {"winner": "min"})
 
     def add_keys(df: pd.DataFrame) -> pd.DataFrame:
         k1, k2 = _pair_keys(df[text_col].to_numpy())
@@ -1176,9 +1181,11 @@ def cluster_near_dups_dataset(pairs, max_rounds: int = 64, n_buckets: int = 32):
 
     Raises RuntimeError if ``max_rounds`` is hit before fixpoint (silently
     returning unconverged clusters would be a wrong answer, not a
-    degraded one)."""
-    from ray.data.aggregate import Min
-
+    degraded one).  The per-node Min is the sorted-run reduction, never
+    Ray's ``groupby().aggregate()`` — node cardinality is corpus-scale
+    here and the hash aggregate pays ~0.6 ms/group PER ROUND (122 s at
+    200k groups where the sorted-run shape costs 0.5 s)."""
+    from .groupagg import sorted_reduce_by_key_ds
     from .joins import hash_join
 
     pairs = pairs.map_batches(
@@ -1205,8 +1212,11 @@ def cluster_near_dups_dataset(pairs, max_rounds: int = 64, n_buckets: int = 32):
                             "cand": np.concatenate([m, m])})
         return out.groupby("node", as_index=False).min()
 
-    labels = pairs.map_batches(init_msgs, batch_format="pandas").groupby(
-        "node").aggregate(Min("cand", alias_name="label")).materialize()
+    labels = sorted_reduce_by_key_ds(
+        pairs.map_batches(init_msgs, batch_format="pandas"),
+        ["node"], {"cand": "min"}).map_batches(
+            lambda df: df.rename(columns={"cand": "label"}),
+            batch_format="pandas").materialize()
 
     def msgs(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -1233,9 +1243,11 @@ def cluster_near_dups_dataset(pairs, max_rounds: int = 64, n_buckets: int = 32):
             batch_format="pandas")
         e = hash_join(hash_join(pairs, la, on="id_a", n_buckets=n_buckets),
                       lb, on="id_b", n_buckets=n_buckets)
-        agg = e.map_batches(msgs, batch_format="pandas").groupby(
-            "node").aggregate(Min("cand", alias_name="label"),
-                              Min("old", alias_name="old")).materialize()
+        agg = sorted_reduce_by_key_ds(
+            e.map_batches(msgs, batch_format="pandas"),
+            ["node"], {"cand": "min", "old": "min"}).map_batches(
+                lambda df: df.rename(columns={"cand": "label"}),
+                batch_format="pandas").materialize()
         changed = agg.map_batches(
             lambda df: pd.DataFrame({"c": [int(
                 (df["label"].to_numpy() < df["old"].to_numpy()).sum())]}),

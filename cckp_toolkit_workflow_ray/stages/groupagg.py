@@ -113,7 +113,8 @@ def sorted_sum_by_key(partials, key_cols: list[str], sum_cols: list[str],
     return out.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
 
 
-def sorted_distinct_keys(partials, key_cols: list[str]):
+def sorted_distinct_keys(partials, key_cols: list[str],
+                         driver_limit: int = 2_000_000):
     """DISTINCT key rows at ANY cardinality as a DATASET — the sorted-run
     motif applied to set-dedup: a ``groupby(keys).aggregate`` pays Ray's
     per-group overhead (~1.5 ms/group — hours at corpus-sized key
@@ -123,12 +124,24 @@ def sorted_distinct_keys(partials, key_cols: list[str]):
     stay distributed; the ≤2 block-EDGE keys per block contribute one
     deduped row each, so the driver reconciliation is bounded by
     2 × n_blocks rows.  Callers should pre-dedup per batch so the sort
-    moves each batch's distinct keys, not raw rows."""
+    moves each batch's distinct keys, not raw rows.  Below
+    ``driver_limit`` pre-deduped rows the distinct finishes in one
+    bounded driver ``drop_duplicates`` instead (the shared two-regime
+    convention — the range sort is ~1 s of pure barrier overhead on a
+    small stream)."""
     import ray.data as rd
 
     from .ranking import _edge_mask
 
-    sorted_ds = partials.sort(key_cols)
+    pre_ds = partials.materialize()
+    if pre_ds.count() <= driver_limit:
+        df = pre_ds.to_pandas()
+        if df.empty:
+            return pre_ds
+        return rd.from_pandas(
+            df.drop_duplicates(key_cols).reset_index(drop=True))
+
+    sorted_ds = pre_ds.sort(key_cols)
 
     def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -149,6 +162,85 @@ def sorted_distinct_keys(partials, key_cols: list[str]):
         edge_rows = edge_rows.drop_duplicates(key_cols)
         interior = interior.union(
             rd.from_pandas(edge_rows.reset_index(drop=True)))
+    return interior
+
+
+def sorted_reduce_by_key_ds(partials, key_cols: list[str],
+                            agg: dict[str, str],
+                            batch_size: int = 65536,
+                            driver_limit: int = 2_000_000):
+    """Exact keyed reduction (``agg``: {col: "sum"|"min"|"max"}) at ANY
+    key cardinality, returned as a DATASET — the reduction analog of
+    ``sorted_distinct_keys``.  Ray's ``groupby().aggregate()`` pays
+    per-group Python overhead (measured ~0.6 ms/group on this box: a
+    200k-group Sum cost 122 s where this shape costs 0.5 s), so any
+    reduction keyed by doc/cluster/128-bit-hash cardinality must never
+    go through it.
+
+    Two regimes on the pre-combined partial stream (the shared
+    ``broadcast_limit`` convention): at or below ``driver_limit``
+    combined rows the reduction finishes in ONE bounded driver groupby
+    (a range sort costs ~1 s of fixed barrier — pure overhead on small
+    streams, and iterative callers like the CC label loop pay it per
+    round); above it, ONE range sort → per block (``batch_size=None`` →
+    one call per block) a vectorized pandas groupby: keys INTERIOR to a
+    block are final in place and stay distributed; the ≤2 block-EDGE
+    keys per block ship ONE pre-combined row each, so the driver
+    reconciliation is bounded by 2 × n_blocks rows — independent of
+    group count.  NaN-safe on the keys (``dropna=False`` + the shared
+    ``_edge_mask``), matching SQL's NULL group."""
+    import ray.data as rd
+
+    from .ranking import _edge_mask
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby(key_cols, as_index=False, dropna=False).agg(agg)
+
+    pre_ds = partials.map_batches(
+        pre, batch_format="pandas", batch_size=batch_size).materialize()
+    if pre_ds.count() <= driver_limit:
+        df = pre_ds.to_pandas()
+        if df.empty:
+            return pre_ds
+        out = df.groupby(key_cols, as_index=False, dropna=False).agg(agg)
+        return rd.from_pandas(out.reset_index(drop=True))
+
+    sorted_ds = pre_ds.sort(key_cols).materialize()
+
+    def block_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(__edge=pd.Series([], dtype=bool))
+        # the edge mask is computed on the RAW block rows (which sit in
+        # global range-sort order), never on a re-sorted combined frame:
+        # pandas groupby re-sorts NaN keys last, which need not match the
+        # range sort's null placement, and a mislabeled boundary key
+        # would surface once per block instead of once
+        em = _edge_mask(df, key_cols)
+        parts = []
+        for mask, flag in ((~em, False), (em, True)):
+            sub = df[mask]
+            if len(sub):
+                g = sub.groupby(key_cols, as_index=False,
+                                dropna=False).agg(agg)
+                g["__edge"] = flag
+                parts.append(g)
+        return pd.concat(parts, ignore_index=True)
+
+    reduced = sorted_ds.map_batches(
+        block_reduce, batch_format="pandas", batch_size=None).materialize()
+    interior = reduced.map_batches(
+        lambda df: df[~df["__edge"]].drop(columns="__edge"),
+        batch_format="pandas")
+    edge_rows = reduced.map_batches(
+        lambda df: df[df["__edge"]].drop(columns="__edge"),
+        batch_format="pandas").to_pandas()
+    if len(edge_rows):
+        final_edge = edge_rows.groupby(
+            key_cols, as_index=False, dropna=False).agg(agg)
+        interior = interior.union(
+            rd.from_pandas(final_edge.reset_index(drop=True)))
     return interior
 
 
@@ -216,22 +308,26 @@ def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
         Sum("n_distinct", alias_name="n_distinct"))
 
 
-def grouped_value_counts(ds, key: str, val: str, batch_size: int = 131072):
+def grouped_value_counts(ds, key: str, val: str,
+                         batch_size: int = 131072) -> pd.DataFrame:
     """Exact (key, val) -> n distribution for a LOW-cardinality key over a
     bounded-domain value column (lengths, scores, small ints): per-batch
-    ``groupby.size`` combiner, then one tiny keyed sum.  The exchange is
-    bounded by |keys| × |distinct vals| per batch — independent of row
-    count — which makes EXACT grouped quantiles/modes scale-free when the
-    value domain is bounded (the complement of the t-digest/KLL sketch
-    path, which covers unbounded domains approximately)."""
-    from ray.data.aggregate import Sum
+    ``groupby.size`` combiner, then the sorted-run keyed sum.  The
+    exchange is bounded by |keys| × |distinct vals| per batch —
+    independent of row count — which makes EXACT grouped quantiles/modes
+    scale-free when the value domain is bounded (the complement of the
+    t-digest/KLL sketch path, which covers unbounded domains
+    approximately).  Finishing rides ``sorted_sum_by_key``, NOT Ray's
+    per-group aggregate: the (key, val) composite has |keys| × |vals|
+    groups, and at ~1.5 ms/group the hash aggregate cost 6 s on a
+    2k-group distribution that the sorted-run sum finishes in ~1 s."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby([key, val], dropna=False, as_index=False).size()
         return g.rename(columns={"size": "n"})
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return parts.groupby([key, val]).aggregate(Sum("n", alias_name="n"))
+    return sorted_sum_by_key(parts, [key, val], ["n"])
 
 
 def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
@@ -248,7 +344,7 @@ def exact_grouped_quantiles(ds, key: str, val: str, qs: list[float],
         raise ValueError(
             f"quantile labels collide ({qcols}); qs must be "
             "distinguishable at 1% granularity")
-    all_counts = grouped_value_counts(ds, key, val, batch_size).to_pandas()
+    all_counts = grouped_value_counts(ds, key, val, batch_size)
     if all_counts.empty:
         return pd.DataFrame({key: pd.Series([], dtype="object"),
                              **{c: pd.Series([], dtype="float64")

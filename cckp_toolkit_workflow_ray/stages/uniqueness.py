@@ -272,7 +272,6 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None,
         )
 
     # ---- duplicate-heavy regime: joins end-to-end ------------------------
-    from ray.data.aggregate import Min
 
     from .joins import hash_join
 
@@ -301,11 +300,15 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None,
         recover_all, batch_format="pyarrow",
         batch_size=cfg.uniqueness_batch_size)
     joined = hash_join(recs, dup_keys, on=["h1", "h2"], n_buckets=n_buckets)
-    reps = joined.groupby(["h1", "h2"]).aggregate(
-        Min("url", alias_name="url"),
-        Min("lang", alias_name="lang_min"),
-        Min("n", alias_name="n"),   # n is constant per key: Min == the count
-    )
+    # duplicated 128-bit keys are corpus-cardinality — sorted-run min,
+    # never Ray's per-group aggregate (~0.6 ms/group at scale)
+    from .groupagg import sorted_reduce_by_key_ds
+
+    reps = sorted_reduce_by_key_ds(
+        joined, ["h1", "h2"],
+        {"url": "min", "lang": "min", "n": "min"},  # n constant per key
+    ).map_batches(lambda df: df.rename(columns={"lang": "lang_min"}),
+                  batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["url", "lang_min", "n"]].copy()

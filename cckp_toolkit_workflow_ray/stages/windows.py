@@ -41,8 +41,11 @@ def _partial_counts(key_col: str, win_col: str, value_col: str | None):
 def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
                     value_col: str | None = None):
     """Per-(key, window) counts (+ optional sum) for tumbling windows.
-    Combiner inside map_batches, then a small groupby over partials."""
-    from ray.data.aggregate import Sum
+    Combiner inside map_batches, then the sorted-run keyed sum — the
+    (key × window) cardinality grows with the log's time span, so the
+    finishing reduction must not pay Ray's per-group aggregate overhead
+    (~0.6 ms/group: 122 s at 200k groups vs 0.5 s sorted-run)."""
+    from .groupagg import sorted_reduce_by_key_ds
 
     def partial(t: pa.Table) -> pa.Table:
         # event-time op: rows without an event time are excluded (and a
@@ -62,14 +65,12 @@ def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
         g = _partial_counts(key_col, "window_start_us", value_col)(df)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    aggs = [Sum("n_events", alias_name="n_events")]
+    aggs = {"n_events": "sum"}
     if value_col is not None:
-        aggs.append(Sum("sum_value", alias_name="sum_value"))
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "window_start_us"])
-        .aggregate(*aggs)
-    )
+        aggs["sum_value"] = "sum"
+    out = sorted_reduce_by_key_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "window_start_us"], aggs)
     return out.map_batches(
         lambda df: restore_null_keys(df, [key_col]), batch_format="pandas"
     )
@@ -81,7 +82,7 @@ def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
     windows vectorized; then the tumbling aggregation path."""
     assert size_us % hop_us == 0, "size must be a multiple of hop"
     k = size_us // hop_us
-    from ray.data.aggregate import Sum
+    from .groupagg import sorted_reduce_by_key_ds
 
     def partial(t: pa.Table) -> pa.Table:
         # event-time op: rows without an event time are excluded
@@ -102,11 +103,11 @@ def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
             g.rename(columns={"size": "n_events"}), preserve_index=False
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "window_start_us"])
-        .aggregate(Sum("n_events", alias_name="n_events"))
-    )
+    # sorted-run keyed sum — same (key × window)-cardinality rationale
+    # as tumbling_window
+    out = sorted_reduce_by_key_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "window_start_us"], {"n_events": "sum"})
     return out.map_batches(
         lambda df: restore_null_keys(df, [key_col]), batch_format="pandas"
     )
