@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (dedup / similarity / text analysis)
         "exact_dedup_full": q.exact_dedup_full,
         "incremental_dedup": q.incremental_dedup,
+        "incremental_bloom_dedup": q.incremental_bloom_dedup,
         "incremental_near_dedup": q.incremental_near_dedup,
         "normalized_dedup": q.normalized_dedup,
         "minhash_dedup": q.minhash_dedup,
@@ -519,6 +520,19 @@ def oracle_sql() -> dict[str, str]:
         # cross-corpus anti-join (NULL text == NULL text, matching the
         # engine's hash-key decision rule)
         "incremental_dedup": """
+            SELECT n.doc_id, n.lang
+            FROM documents n
+            WHERE n.doc_id % 3 <> 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents e
+                  WHERE e.doc_id % 3 = 0
+                    AND e.text IS NOT DISTINCT FROM n.text)
+            ORDER BY n.doc_id
+        """,
+        # bloom-accelerated variant: same anti-join semantics, so the
+        # oracle is the same SQL (the Bloom filter is an exactness-
+        # preserving prefilter — positives are verified exactly)
+        "incremental_bloom_dedup": """
             SELECT n.doc_id, n.lang
             FROM documents n
             WHERE n.doc_id % 3 <> 0

@@ -712,6 +712,37 @@ def incremental_dedup(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def incremental_bloom_dedup(sf_dir: str) -> pa.Table:
+    """Bloom-accelerated incremental-crawl dedup — IDENTICAL semantics
+    (and oracle SQL) to ``incremental_dedup``, different scale shape:
+    the snapshot ships as a Bloom filter over its 128-bit content keys
+    (``n_bits/8`` bytes broadcast regardless of snapshot size, vs
+    16 B/key for the sorted-array regime), bloom-NEGATIVE new rows
+    survive with zero exchange, and only the positive sliver (true dups
+    + ~fpr false positives) pays the exact verification anti-join — so
+    the all-to-all exchange carries O(dups) rows instead of the whole
+    new corpus.  An undersized filter degrades to MORE verification,
+    never to a wrong answer (stages/bloom.py)."""
+    from ..stages.bloom import bloom_anti_join_texts
+
+    def split(rem_ok):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[rem_ok(df["doc_id"].to_numpy() % 3)]
+        return fn
+
+    docs = lambda: _read(sf_dir, "documents", ["doc_id", "text", "lang"])  # noqa: E731
+    existing = docs().map_batches(split(lambda r: r == 0),
+                                  batch_format="pandas")
+    new = docs().map_batches(split(lambda r: r != 0), batch_format="pandas")
+    kept = bloom_anti_join_texts(new, existing, text_col="text",
+                                 n_bits=1 << 20)
+    out = kept.select_columns(["doc_id", "lang"]).to_pandas()
+    if out.empty and "doc_id" not in out:
+        return _empty_result(doc_id="int64", lang=object)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def normalized_dedup(sf_dir: str) -> pa.Table:
     """Near-exact dedup on NORMALIZED text (the standard 'fuzzy-exact'
     pass run before MinHash in web-corpus pipelines): lowercase, collapse

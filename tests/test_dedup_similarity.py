@@ -682,3 +682,76 @@ def test_anti_join_texts_regimes_match(ray_session):
                                   jn[sorted(jn.columns)])
     assert set(bc["doc_id"]) == oracle_ids
     assert str(bc["doc_id"].dtype) == "int64"
+
+
+def test_bloom_filter_no_false_negatives_and_fpr():
+    """Every inserted key must test positive (Bloom's defining
+    guarantee); the false-positive rate on fresh keys must sit near the
+    (1-e^{-kn/m})^k bound for the chosen sizing."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.bloom import (
+        bloom_from_keys, bloom_might_contain)
+
+    rng = np.random.default_rng(11)
+    n, n_bits, n_hashes = 5000, 1 << 16, 7
+    k1 = rng.integers(-2**62, 2**62, n).astype(np.int64)
+    k2 = rng.integers(-2**62, 2**62, n).astype(np.int64)
+    keys = rd.from_arrow(pa.table({"k1": k1, "k2": k2})).repartition(5)
+    words = bloom_from_keys(keys, n_bits=n_bits, n_hashes=n_hashes)
+
+    assert bloom_might_contain(words, k1, k2, n_hashes).all()
+
+    f1 = rng.integers(-2**62, 2**62, 20000).astype(np.int64)
+    f2 = rng.integers(-2**62, 2**62, 20000).astype(np.int64)
+    fpr = bloom_might_contain(words, f1, f2, n_hashes).mean()
+    # theory at m/n=13.1, k=7: ~0.008; allow generous slack
+    assert fpr < 0.05
+
+
+def test_bloom_anti_join_matches_exact_anti_join(ray_session):
+    """bloom_anti_join_texts must keep EXACTLY the same rows as the
+    exact anti-join (the Bloom is an exactness-preserving prefilter),
+    including NULL-text rows, and even with a deliberately UNDERSIZED
+    filter (high fpr -> more verification, never a wrong answer)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.bloom import bloom_anti_join_texts
+    from cckp_toolkit_workflow_ray.stages.dedup import anti_join_texts
+
+    rng = np.random.default_rng(6)
+    n = 1500
+    content = rng.integers(0, 500, n)
+    texts = np.array([f"crawl page body {c}" for c in content], dtype=object)
+    texts[::89] = None
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts,
+                       "lang": np.where(content % 2 == 0, "en", "de")})
+    exist_mask = df["doc_id"] % 3 == 0
+    existing = rd.from_pandas(df[exist_mask]).repartition(6)
+    new = rd.from_pandas(df[~exist_mask]).repartition(6)
+
+    exact = anti_join_texts(new, existing).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for n_bits in (1 << 16, 256):  # well-sized and pathologically small
+        bl = bloom_anti_join_texts(new, existing, n_bits=n_bits,
+                                   n_buckets=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            bl[sorted(bl.columns)], exact[sorted(exact.columns)])
+
+
+def test_bloom_anti_join_empty_frontier(ray_session):
+    """Empty snapshot: every new row survives (never-abort rule)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.bloom import bloom_anti_join_texts
+
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [f"t{i}" for i in range(5)]}))
+    existing = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object")}))
+    out = bloom_anti_join_texts(new, existing).to_pandas()
+    assert len(out) == 5
