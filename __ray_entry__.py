@@ -15,6 +15,56 @@ from typing import Any
 
 from cckp_toolkit_workflow_ray.pipelines import queries as q
 
+# derived-URL corpus + RE2 canonicalization chain, shared by the
+# canonical_url_dedup and url_host_rollup oracles.  The regex chain is
+# the EXACT transform sequence of functions/urls.py:canonicalize_urls —
+# both engines run RE2, so parity is kernel-exact ('g' = replace-all,
+# matching Arrow's replace_substring_regex default).
+_URL_CANON_CTE = r"""
+    WITH urls AS (
+        SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN 'https://www.' || source || '.example.com/item/'
+                          || CAST(doc_id % 1000 AS VARCHAR) || '?utm_source=feed'
+              WHEN 1 THEN 'http://' || source || '.example.com/item/'
+                          || CAST(doc_id % 1000 AS VARCHAR)
+              WHEN 2 THEN 'https://' || source || '.example.com/item/'
+                          || CAST(doc_id % 1000 AS VARCHAR) || '/'
+              WHEN 3 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM:443/item/'
+                          || CAST(doc_id % 1000 AS VARCHAR)
+              ELSE 'https://' || source || '.example.com/item/'
+                   || CAST(doc_id % 1000 AS VARCHAR)
+                   || '?ref=a&gclid=x' || CAST(doc_id % 7 AS VARCHAR)
+            END AS url
+        FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u
+           FROM urls),
+    canon AS (
+        SELECT doc_id,
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+              CASE WHEN regexp_extract(
+                        u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) <> ''
+                   THEN lower(regexp_extract(
+                            u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                        || regexp_replace(
+                            u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+                   ELSE u END,
+              '^http://', 'https://', 'g'),
+              '^https://www\.', 'https://', 'g'),
+              '^(https://[^/?#:]+):(?:443|80)(/|\?|#|$)', '\1\2', 'g'),
+              '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+              '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g'),
+              '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g'),
+              '/$', '', 'g') AS canonical_url
+        FROM s1)
+"""
+
 # exact char-5-shingle Jaccard of the seeded (doc, perturbed-copy) pairs;
 # shingles are distinct 5-char windows (short strings pad — the PAD:
 # namespace can never equal a real 5-char window).  Shared by the
@@ -286,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_bloom_dedup": q.incremental_bloom_dedup,
         "incremental_near_dedup": q.incremental_near_dedup,
         "normalized_dedup": q.normalized_dedup,
+        "canonical_url_dedup": q.canonical_url_dedup,
+        "url_host_rollup": q.url_host_rollup,
         "minhash_dedup": q.minhash_dedup,
         "minhash_dedup_filtered": q.minhash_dedup_filtered,
         "simhash_dedup": q.simhash_dedup,
@@ -553,6 +605,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM norm
             QUALIFY row_number() OVER (PARTITION BY nt ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # derived-URL corpus; canonicalization chain identical to
+        # functions/urls.py (see _URL_CANON_CTE)
+        "canonical_url_dedup": _URL_CANON_CTE + """
+            SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM canon GROUP BY canonical_url
+            ORDER BY canonical_url
+        """,
+        "url_host_rollup": _URL_CANON_CTE + """
+            SELECT NULLIF(lower(regexp_extract(canonical_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                   '') AS host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages
+            FROM canon GROUP BY 1 ORDER BY 1
         """,
         "knn_embeddings": """
             WITH q AS (

@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "dsir_sample",
     # r4: Efraimidis-Spirakis A-ES weighted sampling w/o replacement
     "weighted_sample",
+    # r4: Bloom-prefiltered cross-corpus dedup and URL canonicalization
+    "incremental_bloom_dedup",
+    "canonical_url_dedup",
+    "url_host_rollup",
 ]
 
 

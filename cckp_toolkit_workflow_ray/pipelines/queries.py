@@ -770,6 +770,135 @@ def normalized_dedup(sf_dir: str) -> pa.Table:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _derived_url_corpus(sf_dir: str):
+    """documents → deterministic per-doc URL with seeded canonical-
+    equivalence variants (the web-crawl motif: the same page seen as
+    http/https, www/bare, trailing-slash, explicit default port,
+    tracking-params).  ``doc_id % 5`` picks the variant; the page
+    identity is ``(source, doc_id % 1000)``, so each page recurs under
+    several surface forms.  NULL source → NULL url (SQL ``||`` NULL
+    propagation, mirrored exactly).  Reproduced verbatim in the SQL
+    oracles."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = pd.Series(t.column("source").to_numpy(zero_copy_only=False))
+        page = pd.Series((ids % 1000).astype(str))
+        g7 = pd.Series((ids % 7).astype(str))
+        v = ids % 5
+        u = np.select(
+            [v == 0, v == 1, v == 2, v == 3],
+            ["https://www." + src + ".example.com/item/" + page
+             + "?utm_source=feed",
+             "http://" + src + ".example.com/item/" + page,
+             "https://" + src + ".example.com/item/" + page + "/",
+             "HTTPS://" + src.str.upper() + ".EXAMPLE.COM:443/item/" + page],
+            default="https://" + src + ".example.com/item/" + page
+            + "?ref=a&gclid=x" + g7)
+        u = pd.Series(u, dtype=object).where(src.notna(), None)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "url": pa.array(u, type=pa.string())})
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def canonical_url_dedup(sf_dir: str) -> pa.Table:
+    """URL-canonicalization dedup — the standard web-corpus pre-dedup
+    pass: canonicalize every url (zero-copy Arrow RE2 kernels,
+    ``functions/urls.py`` — fragment/tracking-param strip, scheme+host
+    lowercase, http→https, www/default-port/trailing-slash strip), then
+    exact-dedup on the canonical form.  Returns per canonical url the
+    winning (min) doc_id and the surface-form count.  The reduction is
+    the sorted-run keyed min+sum — canonical urls are corpus-cardinality,
+    never Ray's per-group aggregate."""
+    from ..functions.urls import canonicalize_urls
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    urls = _derived_url_corpus(sf_dir)
+
+    from ..functions.nulls import sentinel_nulls
+
+    def partial(t: pa.Table) -> pa.Table:
+        cu = canonicalize_urls(t.column("url"))
+        df = pd.DataFrame({
+            "canonical_url": sentinel_nulls(
+                cu.to_pandas().astype(object)),
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)})
+        g = df.groupby("canonical_url", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = sorted_reduce_by_key_ds(
+        urls.map_batches(partial, batch_format="pyarrow"),
+        ["canonical_url"], {"doc_id": "min", "n_dups": "sum"}).to_pandas()
+    if out.empty and "canonical_url" not in out:
+        return _empty_result(canonical_url=object, doc_id="int64",
+                             n_dups="int64")
+    out = _restore_null_keys(out, ["canonical_url"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out[["canonical_url", "doc_id", "n_dups"]].sort_values(
+        "canonical_url", na_position="last").reset_index(drop=True)
+
+
+def url_host_rollup(sf_dir: str) -> pa.Table:
+    """Per-host crawl rollup over canonicalized urls: total docs and
+    DISTINCT canonical pages per host.  Hosts are low-cardinality (the
+    registered-domain frontier), so doc counts finish in a tiny keyed
+    sum; the distinct-page set is corpus-cardinality and rides the
+    sorted-run distinct (the ``distinct_sources`` shape).  NULL urls
+    form the NULL-host group with n_pages = 0 (SQL COUNT(DISTINCT)
+    semantics)."""
+    from ..functions.urls import canonicalize_urls, url_hosts
+    from ..stages.groupagg import sorted_distinct_keys
+
+    urls = _derived_url_corpus(sf_dir)
+
+    from ..functions.nulls import sentinel_nulls
+
+    def canon(t: pa.Table) -> pa.Table:
+        cu = canonicalize_urls(t.column("url"))
+        host = pa.Array.from_pandas(
+            sentinel_nulls(url_hosts(cu).to_pandas().astype(object)))
+        return pa.table({"canonical_url": cu, "host": host})
+
+    cds = urls.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def docs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", as_index=False).size()
+        return g.rename(columns={"size": "n_docs"})
+
+    n_docs = _sum_by_key(
+        cds.map_batches(docs_partial, batch_format="pandas"),
+        ["host"], ["n_docs"]).to_pandas()
+
+    def pairs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["canonical_url"].notna()][
+            ["host", "canonical_url"]].drop_duplicates()
+
+    pages = sorted_distinct_keys(
+        cds.map_batches(pairs_partial, batch_format="pandas"),
+        ["host", "canonical_url"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", as_index=False).size()
+        return g.rename(columns={"size": "n_pages"})
+
+    n_pages = _sum_by_key(
+        pages.map_batches(count_partial, batch_format="pandas"),
+        ["host"], ["n_pages"]).to_pandas()
+
+    if n_docs.empty and "host" not in n_docs:
+        return _empty_result(host=object, n_docs="int64", n_pages="int64")
+    out = n_docs.merge(n_pages, on="host", how="left")
+    out = _restore_null_keys(out, ["host"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_pages"] = out["n_pages"].fillna(0).astype(np.int64)
+    return out[["host", "n_docs", "n_pages"]].sort_values(
+        "host", na_position="last").reset_index(drop=True)
+
+
 MINHASH_ORACLE_DIR = "/tmp/cckp_minhash_oracle"
 MINHASH_FILT_ORACLE_DIR = "/tmp/cckp_minhash_filt_oracle"
 

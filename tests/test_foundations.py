@@ -428,3 +428,64 @@ def test_bpe_regex_matches_duckdb_re2():
             r"SELECT len(regexp_extract_all(?,"
             r" '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]'))", [t]).fetchone()[0]
         assert bpe_ish_token_count(t) == want, repr(t)
+
+
+def test_canonicalize_urls_kernel_parity_with_duckdb():
+    """functions/urls.canonicalize_urls must agree with the SQL oracle's
+    regexp_replace chain VALUE-FOR-VALUE (both engines are RE2) on the
+    canonicalization edge cases: fragments, uppercase scheme/host,
+    default ports, www, tracking params in first/middle/last position,
+    trailing slashes, NULLs and non-URLs."""
+    import duckdb
+    import pyarrow as pa
+
+    from cckp_toolkit_workflow_ray.functions.urls import (
+        canonicalize_urls, url_hosts)
+
+    urls = pa.array([
+        "https://www.src3.example.com/item/42?utm_source=feed",
+        "http://src3.example.com/item/42",
+        "HTTPS://SRC3.Example.com:443/item/42",
+        "https://src3.example.com/item/42/",
+        "https://src3.example.com/item/42?ref=a&gclid=xyz&utm_b=2",
+        "https://x.com/?utm_a=1&b=2&utm_c=3",
+        "https://x.com/p?utm_a=1&utm_b=2&utm_c=3",
+        "http://www.X.com:80/A/B/?fbclid=z#frag",
+        "https://x.com:8080/p?q=1#frag",
+        None, "", "not a url", "ftp://files.example.com/a/",
+    ])
+    got = canonicalize_urls(urls).to_pylist()
+
+    sql = r"""
+    SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+        CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) <> ''
+             THEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                  || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+             ELSE u END,
+        '^http://', 'https://', 'g'),
+        '^https://www\.', 'https://', 'g'),
+        '^(https://[^/?#:]+):(?:443|80)(/|\?|#|$)', '\1\2', 'g'),
+        '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+        '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g'),
+        '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g'),
+        '/$', '', 'g')
+    FROM (SELECT regexp_replace(url, '#.*$', '', 'g') AS u FROM t)
+    """
+    con = duckdb.connect()
+    con.register("t", pa.table({"url": urls}))
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want
+
+    # spot-check canonical semantics (all surface forms converge)
+    assert got[0] == got[1] == got[2] == got[3] \
+        == "https://src3.example.com/item/42"
+    assert got[4] == "https://src3.example.com/item/42?ref=a"
+    # host lowercased, default port stripped, fbclid dropped, trailing
+    # slash stripped — but PATH case preserved (significant by policy)
+    assert got[7] == "https://x.com/A/B"
+
+    # host extraction: lowercased, port-stripped, null on non-URLs
+    hosts = url_hosts(pa.array([
+        "https://X.com:8080/p", "https://a.b.c/q", None, "junk"])).to_pylist()
+    assert hosts == ["x.com", "a.b.c", None, None]

@@ -258,6 +258,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "exact_substring_cut": ["doc_id", "kept_text"],
         "dsir_sample": ["doc_id", "lang", "dsir_e6"],
         "weighted_sample": ["doc_id", "lang", "n_chars", "key_e6"],
+        "incremental_bloom_dedup": ["doc_id", "lang"],
+        "canonical_url_dedup": ["canonical_url", "doc_id", "n_dups"],
+        "url_host_rollup": ["host", "n_docs", "n_pages"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -294,6 +297,10 @@ NASTY_QUERIES = [
     # ADVICE r3: nullable-lang grouping / nullable-text consumption and
     # the engine-export oracles must also hold on the adversarial corpus
     "tfidf_top_terms", "winnow_verify", "langid_confusion",
+    # r4 additions: bloom prefilter must stay exact under NULL texts;
+    # URL derivation/canonicalization must propagate NULL source -> NULL
+    # url -> NULL canonical/host groups identically to SQL
+    "incremental_bloom_dedup", "canonical_url_dedup", "url_host_rollup",
 ]
 
 
