@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture": q.temperature_mixture,
         "rollup_lang_source": q.rollup_lang_source,
         "tfidf_top_terms": q.tfidf_top_terms,
+        "bm25_top_docs": q.bm25_top_docs,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -1578,6 +1579,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, word, CAST(score_e6 AS BIGINT) AS score_e6,
                    CAST(rk AS BIGINT) AS rk
             FROM scored WHERE rk <= 10 ORDER BY lang, rk
+        """,
+        # Okapi BM25 (k1=1.2, b=0.75 as exact integer ratios; Lucene
+        # idf) — contribution rescaled to integer inputs with ONE
+        # float64 division per (term, doc) in the same literal operation
+        # order as the engine, rounded half-away per TERM to micro-nats,
+        # then summed exactly; ln() is libm on both sides
+        "bm25_top_docs": """
+            WITH qt(query_id, w) AS (VALUES
+                (0, 'hash'), (0, 'join'),
+                (1, 'window'), (1, 'sort'),
+                (2, 'slow'), (2, 'scan'), (2, 'filter')),
+            words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split(coalesce(text, ''), ' '),
+                           w -> w <> '')) AS w
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT count(*) FROM words) AS s),
+            tf AS (SELECT q.query_id, q.w, wd.doc_id, count(*) AS tf
+                   FROM words wd JOIN qt q ON q.w = wd.w
+                   GROUP BY q.query_id, q.w, wd.doc_id),
+            dfq AS (SELECT w, count(DISTINCT doc_id) AS df
+                    FROM words WHERE w IN (SELECT w FROM qt) GROUP BY w),
+            idf AS (
+                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                    ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS idf_e6
+                FROM (SELECT w,
+                             1e6 * ln((n - df + 0.5) / (df + 0.5) + 1) AS x
+                      FROM dfq, stats)),
+            contrib AS (
+                SELECT t.query_id, t.doc_id,
+                       CAST(CASE WHEN c >= 0 THEN floor(c + 0.5)
+                                 ELSE -floor(-c + 0.5) END AS BIGINT) AS c
+                FROM (SELECT t.query_id, t.doc_id,
+                             (CAST(i.idf_e6 AS DOUBLE) * t.tf * 22 * s)
+                             / (10 * CAST(s AS DOUBLE) * t.tf
+                                + 3 * CAST(s AS DOUBLE)
+                                + 9 * CAST(d.dl AS DOUBLE) * n) AS c
+                      FROM tf t
+                      JOIN idf i ON i.w = t.w
+                      JOIN dl d ON d.doc_id = t.doc_id, stats) t),
+            scores AS (SELECT query_id, doc_id,
+                              CAST(sum(c) AS BIGINT) AS score_e6
+                       FROM contrib GROUP BY query_id, doc_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score_e6 DESC, doc_id ASC) AS rk
+                  FROM scores)
+            WHERE rk <= 10 ORDER BY query_id, rk
         """,
         # per-label centroid sums: elements pre-rounded to e6 ints so the
         # sums are order-independent exact integers; embedding[i] is

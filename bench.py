@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "incremental_bloom_dedup",
     "canonical_url_dedup",
     "url_host_rollup",
+    # r4: Okapi BM25 retrieval scoring (integer-exact rank parity)
+    "bm25_top_docs",
 ]
 
 

@@ -2050,6 +2050,147 @@ def tfidf_top_terms(sf_dir: str) -> pa.Table:
     return _restore_null_keys(out.reset_index(drop=True), ["lang"])
 
 
+#: fixed keyword queries for the BM25 retrieval op — literal term lists
+#: repeated verbatim in the SQL oracle's VALUES clause.
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "join"),
+    1: ("window", "sort"),
+    2: ("slow", "scan", "filter"),
+}
+
+
+def bm25_top_docs(sf_dir: str) -> pa.Table:
+    """Okapi BM25 top-10 docs per keyword query (Robertson et al.; the
+    Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) — the retrieval-scoring
+    op of a training-data pipeline (mining docs relevant to a probe
+    set).  k1 = 1.2, b = 0.75 enter as EXACT integer ratios: with
+    S = total tokens and N = docs, the per-term contribution
+
+        idf_e6 · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    rescales to ``idf_e6·tf·22·S / (10·S·tf + 3·S + 9·dl·N)`` — integer
+    inputs, one float64 division per (term, doc) in the SAME literal
+    operation order as the SQL oracle (IEEE-deterministic), rounded
+    half-away to integer micro-nats per TERM, then summed exactly.
+
+    Scale shape: ONE tokenize pass emits only (doc, query-term, tf, dl)
+    match rows (candidate-bounded — the query-term set broadcasts in
+    the closure) plus one per-batch stats row carrying the (n_docs,
+    sum_dl) partials; df/S/N fold from tiny per-batch partials; scoring
+    is a vectorized map over the ints-only match table; the final
+    ranking rides ``sorted_reduce_by_key_ds`` + the distributed
+    ``grouped_top_k``."""
+    import math
+
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.ranking import grouped_top_k
+
+    term_to_queries: dict[str, list[int]] = {}
+    for qid, terms in BM25_QUERIES.items():
+        for w in terms:
+            term_to_queries.setdefault(w, []).append(qid)
+    term_set = frozenset(term_to_queries)
+    _STATS = "\x00__stats__"
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def match_partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [[w for w in (x or "").split(" ") if w] for x in texts]
+        lens = np.array([len(p) for p in toks], dtype=np.int64)
+        stats = pd.DataFrame({"doc_id": np.array([-1], dtype=np.int64),
+                              "term": [_STATS],
+                              "tf": np.array([len(texts)], dtype=np.int64),
+                              "dl": np.array([lens.sum()], dtype=np.int64)})
+        if lens.sum() == 0:
+            return stats
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "term": np.concatenate(
+                [np.array(p, dtype=object) for p in toks if p]),
+            "dl": np.repeat(lens, lens),
+        })
+        flat = flat[flat["term"].isin(term_set)]
+        if flat.empty:
+            return stats
+        tf = flat.groupby(["doc_id", "term"], as_index=False).agg(
+            tf=("term", "size"), dl=("dl", "first"))
+        return pd.concat([tf[["doc_id", "term", "tf", "dl"]], stats],
+                         ignore_index=True)
+
+    matches = ds.map_batches(
+        match_partial, batch_format="pyarrow").materialize()
+
+    def fold_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False).agg(
+            n=("tf", "size"), tf=("tf", "sum"), dl=("dl", "sum"))
+        return g
+
+    folded = matches.map_batches(
+        fold_partial, batch_format="pandas").to_pandas()
+    if folded.empty:
+        return _empty_result(query_id="int64", doc_id="int64",
+                             score_e6="int64", rk="int64")
+    folded = folded.groupby("term", as_index=False).sum()
+    st = folded[folded["term"] == _STATS]
+    n_docs = int(st["tf"].sum())
+    total_tokens = int(st["dl"].sum())
+    # df per term = match-row count (one row per (doc, term))
+    dfs = folded[folded["term"] != _STATS].set_index("term")["n"]
+    if n_docs == 0 or total_tokens == 0 or dfs.empty:
+        return _empty_result(query_id="int64", doc_id="int64",
+                             score_e6="int64", rk="int64")
+    idf_e6 = {
+        w: int(_round_half_away(np.float64(
+            1e6 * math.log((n_docs - int(d) + 0.5) / (int(d) + 0.5) + 1.0))))
+        for w, d in dfs.items()}
+
+    S, N = float(total_tokens), float(n_docs)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["term"] != _STATS]
+        if df.empty:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "contrib": pd.Series([], dtype="int64")})
+        idf = df["term"].map(idf_e6).to_numpy(dtype=np.float64)
+        tf = df["tf"].to_numpy(dtype=np.float64)
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        # literal op order mirrored in the SQL oracle (IEEE-exact)
+        num = idf * tf * 22.0 * S
+        den = 10.0 * S * tf + 3.0 * S + 9.0 * dl * N
+        contrib = _round_half_away(num / den).astype(np.int64)
+        reps = df["term"].map(
+            lambda w: term_to_queries[w]).to_numpy(dtype=object)
+        counts = np.array([len(r) for r in reps], dtype=np.int64)
+        return pd.DataFrame({
+            "query_id": np.concatenate(
+                [np.array(r, dtype=np.int64) for r in reps])
+            if len(reps) else np.array([], dtype=np.int64),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), counts),
+            "contrib": np.repeat(contrib, counts)})
+
+    scores = sorted_reduce_by_key_ds(
+        matches.map_batches(score, batch_format="pandas"),
+        ["query_id", "doc_id"], {"contrib": "sum"})
+    top = grouped_top_k(
+        scores.map_batches(
+            lambda df: df.rename(columns={"contrib": "score_e6"}),
+            batch_format="pandas"),
+        ["query_id"], ["score_e6", "doc_id"], k=10,
+        descending=[True, False]).to_pandas()
+    if top.empty and "query_id" not in top:
+        return _empty_result(query_id="int64", doc_id="int64",
+                             score_e6="int64", rk="int64")
+    top = top.sort_values(["query_id", "score_e6", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    top["rk"] = (top.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = top[["query_id", "doc_id", "score_e6", "rk"]].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def label_centroids(sf_dir: str) -> pa.Table:
     """Per-label embedding centroid sums — the aggregate that builds
     cluster centroids for semantic dedup / IVF training at corpus scale.
