@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lang_source": q.rollup_lang_source,
         "tfidf_top_terms": q.tfidf_top_terms,
         "bm25_top_docs": q.bm25_top_docs,
+        "heavy_hitter_words": q.heavy_hitter_words,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -1029,6 +1030,21 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) WHERE word <> '' GROUP BY word
             ) WHERE rk <= 50
+        """,
+        # Misra-Gries "Frequent" prefilter + exact recount: the engine
+        # certifies exactness at runtime (m-th count > total/(k+1)), so
+        # the oracle is simply the exact top-20
+        "heavy_hitter_words": """
+            SELECT word, n, rk FROM (
+                SELECT word, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, word ASC)
+                           AS rk
+                FROM (
+                    SELECT unnest(string_split(coalesce(text, ''), ' '))
+                        AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+            ) WHERE rk <= 20
         """,
         # corpus-wide paragraph dedup (CCNet boilerplate removal): split
         # each text into two halves joined by \n, union with exact copies

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "url_host_rollup",
     # r4: Okapi BM25 retrieval scoring (integer-exact rank parity)
     "bm25_top_docs",
+    # r4: Misra-Gries certified-exact heavy hitters (bounded exchange)
+    "heavy_hitter_words",
 ]
 
 

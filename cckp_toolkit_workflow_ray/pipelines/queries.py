@@ -1986,6 +1986,29 @@ def word_frequencies(sf_dir: str) -> pa.Table:
     return top
 
 
+def heavy_hitter_words(sf_dir: str) -> pa.Table:
+    """Exact global top-20 words via the Misra–Gries "Frequent"
+    prefilter + exact recount (``stages/heavyhitters.py``) — the
+    bounded-exchange SCALE PATH complement of ``word_frequencies``
+    (which exchanges the full vocabulary): per-block threshold
+    survivors (≤ k rows per block regardless of vocabulary size),
+    broadcast candidate set, one candidate-pruned recount.  The stage
+    CERTIFIES exactness at runtime (m-th count must clear
+    total/(k+1)) and raises rather than return a possibly-wrong
+    top-m, so the SQL oracle comparison is hash-exact by
+    construction."""
+    from ..functions.text import word_count_partial
+    from ..stages.heavyhitters import heavy_hitters_top_m
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def cp(t: pa.Table) -> pd.DataFrame:
+        return word_count_partial(
+            t.column("text").to_numpy(zero_copy_only=False))
+
+    return heavy_hitters_top_m(ds, cp, m=20, k=4096)
+
+
 def tfidf_top_terms(sf_dir: str) -> pa.Table:
     """Per-language top-10 TF-IDF terms — the corpus-characterization op
     (what vocabulary distinguishes each language slice).  ONE corpus

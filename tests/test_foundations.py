@@ -489,3 +489,53 @@ def test_canonicalize_urls_kernel_parity_with_duckdb():
     hosts = url_hosts(pa.array([
         "https://X.com:8080/p", "https://a.b.c/q", None, "junk"])).to_pylist()
     assert hosts == ["x.com", "a.b.c", None, None]
+
+
+def test_heavy_hitters_exact_top_m_and_certification(ray_session):
+    """The Frequent prefilter + exact recount must equal the exact
+    top-m on a skewed distribution, and must REFUSE (raise) rather
+    than return a possibly-wrong top-m when k is too small to certify
+    exactness on a flat one."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.heavyhitters import (
+        heavy_hitters_top_m)
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: item i appears ~ 3000 // (i + 1) times
+    vals = np.concatenate(
+        [np.full(3000 // (i + 1), f"w{i:03d}", dtype=object)
+         for i in range(200)])
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"text": vals})).repartition(7)
+
+    def cp(t):
+        u, c = np.unique(
+            t.column("text").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pd.DataFrame({"word": u.astype(object),
+                             "n": c.astype(np.int64)})
+
+    got = heavy_hitters_top_m(ds, cp, m=10, k=256)
+    exact = (pd.Series(vals).value_counts().rename_axis("word")
+             .reset_index(name="n")
+             .sort_values(["n", "word"], ascending=[False, True])
+             .head(10).reset_index(drop=True))
+    assert list(got["word"]) == list(exact["word"])
+    assert list(got["n"]) == list(exact["n"])
+    assert list(got["rk"]) == list(range(1, 11))
+
+    # flat distribution + tiny k: the 10th count cannot clear
+    # total/(k+1) -> certification must refuse
+    flat = rd.from_pandas(pd.DataFrame(
+        {"text": np.array([f"u{i}" for i in range(5000)], dtype=object)}
+    )).repartition(4)
+    with pytest.raises(RuntimeError, match="cannot certify"):
+        heavy_hitters_top_m(flat, cp, m=10, k=8)
+
+    # empty input -> typed empty, not a raise
+    empty = rd.from_pandas(pd.DataFrame(
+        {"text": pd.Series([], dtype="object")}))
+    out = heavy_hitters_top_m(empty, cp, m=10, k=8)
+    assert len(out) == 0 and list(out.columns) == ["word", "n", "rk"]

@@ -262,6 +262,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "canonical_url_dedup": ["canonical_url", "doc_id", "n_dups"],
         "url_host_rollup": ["host", "n_docs", "n_pages"],
         "bm25_top_docs": ["query_id", "doc_id", "score_e6", "rk"],
+        "heavy_hitter_words": ["word", "n", "rk"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -302,9 +303,9 @@ NASTY_QUERIES = [
     # URL derivation/canonicalization must propagate NULL source -> NULL
     # url -> NULL canonical/host groups identically to SQL
     "incremental_bloom_dedup", "canonical_url_dedup", "url_host_rollup",
-    # BM25 consumes nullable text and must agree with SQL on the exotic
-    # whitespace / empty-string tokenization edge cases
-    "bm25_top_docs",
+    # BM25 / heavy hitters consume nullable text and must agree with SQL
+    # on the exotic whitespace / empty-string tokenization edge cases
+    "bm25_top_docs", "heavy_hitter_words",
 ]
 
 
