@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q.tfidf_top_terms,
         "bm25_top_docs": q.bm25_top_docs,
         "heavy_hitter_words": q.heavy_hitter_words,
+        "value_quantiles_exact": q.value_quantiles_exact,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -1030,6 +1031,14 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 ) WHERE word <> '' GROUP BY word
             ) WHERE rk <= 50
+        """,
+        # distributed selection (iterative histogram refinement): the
+        # engine returns actual data values, so quantile_disc compares
+        # bit-exactly; NULLs excluded by both sides
+        "value_quantiles_exact": """
+            SELECT quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.9) AS q90
+            FROM events
         """,
         # Misra-Gries "Frequent" prefilter + exact recount: the engine
         # certifies exactness at runtime (m-th count > total/(k+1)), so

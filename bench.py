@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "bm25_top_docs",
     # r4: Misra-Gries certified-exact heavy hitters (bounded exchange)
     "heavy_hitter_words",
+    # r4: distributed-selection exact quantiles (unbounded domain)
+    "value_quantiles_exact",
 ]
 
 

@@ -1986,6 +1986,24 @@ def word_frequencies(sf_dir: str) -> pa.Table:
     return top
 
 
+def value_quantiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT quantiles of an unbounded float64 column without a global
+    sort — distributed selection by iterative histogram refinement
+    (``stages/selection.py``): one min/max/count pass shared across
+    quantiles, then ≤6 pruned bincount passes per quantile (the range
+    shrinks 4096× per round), never an all-to-all exchange.  The
+    result is an actual data value, bit-exact vs SQL
+    ``quantile_disc`` — closing the quadrant next to the
+    bounded-domain exact quantiles (``nchars_quantiles``) and the
+    t-digest/KLL approximations."""
+    from ..stages.selection import exact_quantiles_unbounded
+
+    ds = _read(sf_dir, "events", ["value"])
+    got = exact_quantiles_unbounded(ds, "value", [0.5, 0.9])
+    return pd.DataFrame({"q50": pd.Series([got[0.5]], dtype="float64"),
+                         "q90": pd.Series([got[0.9]], dtype="float64")})
+
+
 def heavy_hitter_words(sf_dir: str) -> pa.Table:
     """Exact global top-20 words via the Misra–Gries "Frequent"
     prefilter + exact recount (``stages/heavyhitters.py``) — the

@@ -539,3 +539,39 @@ def test_heavy_hitters_exact_top_m_and_certification(ray_session):
         {"text": pd.Series([], dtype="object")}))
     out = heavy_hitters_top_m(empty, cp, m=10, k=8)
     assert len(out) == 0 and list(out.columns) == ["word", "n", "rk"]
+
+
+def test_exact_quantiles_unbounded_selection(ray_session):
+    """Distributed selection must return bit-exact quantile_disc values
+    across extreme float ranges (denormals, ±1e308, mixed signs), drop
+    NaN/NULL, and answer NaN on an all-null column."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.selection import (
+        _flip, _unflip, exact_quantiles_unbounded)
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.normal(0, 1e3, 4000), rng.exponential(1e-5, 4000),
+        -rng.exponential(1e8, 4000),
+        np.array([0.0, -0.0, 1e308, -1e308, 5e-324, -5e-324])])
+    b = x.view(np.int64)
+    assert np.array_equal(_unflip(_flip(b)), b)
+    k = _flip(b)
+    assert np.allclose(np.sort(x), x[np.argsort(k, kind="stable")])
+
+    df = pd.DataFrame({"value": x})
+    df.loc[::97, "value"] = np.nan
+    ds = rd.from_pandas(df).repartition(6)
+    got = exact_quantiles_unbounded(ds, "value", [0.1, 0.5, 0.9])
+    clean = np.sort(df["value"].dropna().to_numpy())
+    for q, v in got.items():
+        assert v == clean[max(1, math.ceil(q * len(clean))) - 1], q
+
+    allnull = rd.from_pandas(pd.DataFrame(
+        {"value": pd.Series([np.nan] * 10, dtype="float64")}))
+    out = exact_quantiles_unbounded(allnull, "value", [0.5])
+    assert math.isnan(out[0.5])

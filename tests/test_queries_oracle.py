@@ -306,6 +306,8 @@ NASTY_QUERIES = [
     # BM25 / heavy hitters consume nullable text and must agree with SQL
     # on the exotic whitespace / empty-string tokenization edge cases
     "bm25_top_docs", "heavy_hitter_words",
+    # distributed selection consumes nullable float values
+    "value_quantiles_exact",
 ]
 
 
