@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_docs": q.bm25_top_docs,
         "heavy_hitter_words": q.heavy_hitter_words,
         "value_quantiles_exact": q.value_quantiles_exact,
+        "retention_cohorts": q.retention_cohorts,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -797,6 +798,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_new) OVER (ORDER BY day
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
             FROM c ORDER BY day
+        """,
+        # cohort retention: distinct (user, day) activity joined to each
+        # user's first-seen day; NULL users/timestamps excluded (the
+        # user_growth policy)
+        "retention_cohorts": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            fd AS (SELECT user_id, min(day) AS cohort_day
+                   FROM ud GROUP BY user_id)
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, u.day) AS BIGINT)
+                       AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud u JOIN fd f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "embedding_norm_stats": """
             SELECT CAST(label AS BIGINT) AS label,

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "heavy_hitter_words",
     # r4: distributed-selection exact quantiles (unbounded domain)
     "value_quantiles_exact",
+    # r4: cohort retention matrix (sorted-run first-touch + bucketed join)
+    "retention_cohorts",
 ]
 
 

@@ -1797,6 +1797,69 @@ def user_growth(sf_dir: str) -> pa.Table:
     return out[["day", "n_new", "cum_users"]]
 
 
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix — the standard product analytic beside
+    ``user_growth``: users grouped by FIRST-seen day (cohort), counted
+    on each later active day as ``(cohort_day, offset_days, n_users)``.
+    Scale shape: distinct (user, day) pairs via the sorted-run distinct
+    (user-day cardinality, ints only), first-touch per user via the
+    sorted-run keyed min (user cardinality — never Ray's per-group
+    aggregate), pairs ⋈ first-touch via the bucketed hash join (both
+    sides user-cardinality, no broadcast), then a tiny
+    (cohorts × offsets) keyed sum.  NULL users/timestamps excluded
+    (the ``user_growth`` policy)."""
+    from ..stages.groupagg import (sorted_distinct_keys,
+                                   sorted_reduce_by_key_ds)
+    from ..stages.joins import hash_join
+
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "day_us": (us // _DAY_US) * _DAY_US,
+        })
+        return df.drop_duplicates()
+
+    pairs = sorted_distinct_keys(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"),
+        ["user_id", "day_us"]).materialize()
+    if pairs.count() == 0:
+        return _empty_result(cohort_day="datetime64[ns]",
+                             offset_days="int64", n_users="int64")
+
+    first = sorted_reduce_by_key_ds(
+        pairs, ["user_id"], {"day_us": "min"}).map_batches(
+            lambda df: df.rename(columns={"day_us": "cohort_us"}),
+            batch_format="pandas")
+    joined = hash_join(pairs, first, on="user_id", n_buckets=32)
+
+    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "cohort_us": df["cohort_us"].to_numpy(dtype=np.int64),
+            "offset_days": (df["day_us"].to_numpy(dtype=np.int64)
+                            - df["cohort_us"].to_numpy(dtype=np.int64))
+            // _DAY_US,
+        })
+        g = out.groupby(["cohort_us", "offset_days"], as_index=False).size()
+        return g.rename(columns={"size": "n_users"})
+
+    out = _sum_by_key(
+        joined.map_batches(rollup_partial, batch_format="pandas"),
+        ["cohort_us", "offset_days"], ["n_users"]).to_pandas()
+    out["cohort_day"] = pd.to_datetime(out.pop("cohort_us"), unit="us")
+    out["offset_days"] = out["offset_days"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out[["cohort_day", "offset_days", "n_users"]].sort_values(
+        ["cohort_day", "offset_days"]).reset_index(drop=True)
+
+
 def embedding_norm_stats(sf_dir: str) -> pa.Table:
     """Per-label L2-norm statistics over the embedding column (exact-int
     e-6 scaling so the float sum is order-independent)."""

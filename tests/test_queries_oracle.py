@@ -263,6 +263,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "url_host_rollup": ["host", "n_docs", "n_pages"],
         "bm25_top_docs": ["query_id", "doc_id", "score_e6", "rk"],
         "heavy_hitter_words": ["word", "n", "rk"],
+        "retention_cohorts": ["cohort_day", "offset_days", "n_users"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -308,6 +309,9 @@ NASTY_QUERIES = [
     "bm25_top_docs", "heavy_hitter_words",
     # distributed selection consumes nullable float values
     "value_quantiles_exact",
+    # cohort retention excludes NULL users/timestamps (user_growth
+    # policy) and must agree with SQL on the exclusion
+    "retention_cohorts",
 ]
 
 
