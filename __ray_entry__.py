@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_words": q.heavy_hitter_words,
         "value_quantiles_exact": q.value_quantiles_exact,
         "retention_cohorts": q.retention_cohorts,
+        "value_quantiles_by_type": q.value_quantiles_by_type,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -1057,6 +1058,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(value, 0.5) AS q50,
                    quantile_disc(value, 0.9) AS q90
             FROM events
+        """,
+        # grouped distributed selection: all (type, q) states descend
+        # simultaneously; NULL event_type is a group, NULL values are
+        # excluded, all-null groups yield NULL quantiles
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.9) AS q90
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # Misra-Gries "Frequent" prefilter + exact recount: the engine
         # certifies exactness at runtime (m-th count > total/(k+1)), so

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "value_quantiles_exact",
     # r4: cohort retention matrix (sorted-run first-touch + bucketed join)
     "retention_cohorts",
+    # r4: grouped distributed selection (all states descend together)
+    "value_quantiles_by_type",
 ]
 
 

@@ -2067,6 +2067,39 @@ def value_quantiles_exact(sf_dir: str) -> pa.Table:
                          "q90": pd.Series([got[0.9]], dtype="float64")})
 
 
+def value_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type EXACT quantiles of the unbounded float64 value
+    column — the grouped distributed-selection variant: every
+    (type, q) selection state descends SIMULTANEOUSLY, so all groups
+    and quantiles together cost one min/max/count pass + ≤6 refinement
+    passes (``exact_quantiles_unbounded_grouped``).  NULL event_type is
+    a group (sentinel convention); NULL values are excluded; an
+    all-null group yields NULL quantiles — all matching SQL."""
+    from ..functions.nulls import sentinel_nulls
+    from ..stages.selection import exact_quantiles_unbounded_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def sent(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["event_type"] = sentinel_nulls(df["event_type"])
+        return df
+
+    res = exact_quantiles_unbounded_grouped(
+        ds.map_batches(sent, batch_format="pandas"),
+        "event_type", "value", [0.5, 0.9])
+    if res.empty:
+        return _empty_result(event_type=object, q50="float64",
+                             q90="float64")
+    wide = res.pivot(index="event_type", columns="q",
+                     values="value").reset_index()
+    wide.columns.name = None
+    wide = wide.rename(columns={0.5: "q50", 0.9: "q90"})
+    wide = _restore_null_keys(wide, ["event_type"])
+    return wide[["event_type", "q50", "q90"]].sort_values(
+        "event_type", na_position="last").reset_index(drop=True)
+
+
 def heavy_hitter_words(sf_dir: str) -> pa.Table:
     """Exact global top-20 words via the Misra–Gries "Frequent"
     prefilter + exact recount (``stages/heavyhitters.py``) — the

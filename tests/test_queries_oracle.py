@@ -264,6 +264,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "bm25_top_docs": ["query_id", "doc_id", "score_e6", "rk"],
         "heavy_hitter_words": ["word", "n", "rk"],
         "retention_cohorts": ["cohort_day", "offset_days", "n_users"],
+        "value_quantiles_by_type": ["event_type", "q50", "q90"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -312,6 +313,8 @@ NASTY_QUERIES = [
     # cohort retention excludes NULL users/timestamps (user_growth
     # policy) and must agree with SQL on the exclusion
     "retention_cohorts",
+    # grouped selection: NULL event_type group + all-null-value groups
+    "value_quantiles_by_type",
 ]
 
 
