@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_exact": q.value_quantiles_exact,
         "retention_cohorts": q.retention_cohorts,
         "value_quantiles_by_type": q.value_quantiles_by_type,
+        "funnel_conversion": q.funnel_conversion,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -1058,6 +1059,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(value, 0.5) AS q50,
                    quantile_disc(value, 0.9) AS q90
             FROM events
+        """,
+        # strictly-later conditional first-touch chain; NULL users and
+        # timestamps excluded (event-time policy)
+        "funnel_conversion": """
+            WITH e AS (
+                SELECT user_id, event_type, ts FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            t1 AS (SELECT user_id, min(ts) AS ts1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+                   FROM e JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+                   FROM e JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                   GROUP BY e.user_id)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_step1,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_step2,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_step3
         """,
         # grouped distributed selection: all (type, q) states descend
         # simultaneously; NULL event_type is a group, NULL values are

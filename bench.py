@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "retention_cohorts",
     # r4: grouped distributed selection (all states descend together)
     "value_quantiles_by_type",
+    # r4: ordered-sequence funnel (sorted-run conditional first-touch)
+    "funnel_conversion",
 ]
 
 

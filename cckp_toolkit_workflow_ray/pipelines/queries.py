@@ -1860,6 +1860,78 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
         ["cohort_day", "offset_days"]).reset_index(drop=True)
 
 
+def funnel_conversion(sf_dir: str) -> pa.Table:
+    """Ordered-sequence funnel (view → click → purchase): per user the
+    STRICTLY-later conditional first-touch chain (t1 = min ts of step 1;
+    t2 = min ts of step 2 AFTER t1; t3 = min ts of step 3 AFTER t2),
+    counted per step.  Scale shape: the funnel needs ALL of a user's
+    rows together, so the pruned ints-only (user, step, ts) stream is
+    range-sorted by user ONCE; block-INTERIOR users evaluate fully
+    vectorized in place (conditional merges + groupby mins), the ≤2
+    block-EDGE users per block ship their raw funnel rows to the driver
+    (bounded by 2 × blocks × rows-per-user) — the ``user_growth``
+    sorted-run motif with a sequential predicate.  NULL users and
+    timestamps are excluded (documented event-time policy)."""
+    from ..stages.ranking import _edge_mask
+
+    _STEPS = {"view": 0, "click": 1, "purchase": 2}
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        step = pd.Series(et).map(_STEPS)
+        keep = step.notna().to_numpy()
+        return pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep],
+            "step": step.to_numpy(dtype=object)[keep].astype(np.int8),
+            "ts": pc.cast(t.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep],
+        })
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow") \
+                  .sort("user_id").materialize()
+
+    def funnel_counts(df: pd.DataFrame) -> tuple[int, int, int]:
+        t1 = df[df["step"] == 0].groupby("user_id")["ts"].min() \
+            .rename("prev").reset_index()
+        d2 = df[df["step"] == 1].merge(t1, on="user_id")
+        t2 = d2[d2["ts"] > d2["prev"]].groupby("user_id")["ts"].min() \
+            .rename("prev").reset_index()
+        d3 = df[df["step"] == 2].merge(t2, on="user_id")
+        t3 = d3[d3["ts"] > d3["prev"]].groupby("user_id")["ts"].min()
+        return len(t1), len(t2), len(t3)
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_step1": pd.Series([], dtype="int64"),
+                                 "n_step2": pd.Series([], dtype="int64"),
+                                 "n_step3": pd.Series([], dtype="int64")})
+        n1, n2, n3 = funnel_counts(df[~_edge_mask(df, ["user_id"])])
+        return pd.DataFrame({"n_step1": [np.int64(n1)],
+                             "n_step2": [np.int64(n2)],
+                             "n_step3": [np.int64(n3)]})
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    counts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    n1 = int(counts["n_step1"].sum()) if "n_step1" in counts else 0
+    n2 = int(counts["n_step2"].sum()) if "n_step2" in counts else 0
+    n3 = int(counts["n_step3"].sum()) if "n_step3" in counts else 0
+    if len(edge_rows):
+        e1, e2, e3 = funnel_counts(edge_rows)
+        n1, n2, n3 = n1 + e1, n2 + e2, n3 + e3
+    return pd.DataFrame({"n_step1": pd.Series([n1], dtype="int64"),
+                         "n_step2": pd.Series([n2], dtype="int64"),
+                         "n_step3": pd.Series([n3], dtype="int64")})
+
+
 def embedding_norm_stats(sf_dir: str) -> pa.Table:
     """Per-label L2-norm statistics over the embedding column (exact-int
     e-6 scaling so the float sum is order-independent)."""

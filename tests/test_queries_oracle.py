@@ -315,6 +315,8 @@ NASTY_QUERIES = [
     "retention_cohorts",
     # grouped selection: NULL event_type group + all-null-value groups
     "value_quantiles_by_type",
+    # funnel excludes NULL users/timestamps and keys on nullable types
+    "funnel_conversion",
 ]
 
 
