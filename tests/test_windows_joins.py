@@ -397,3 +397,55 @@ def test_session_window_multiblock_matches_bruteforce(ray_session):
     w2 = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
     assert not got["user_id"].isna().any()
+
+
+def test_funnel_conversion_edge_users_across_blocks(ray_session, tmp_path):
+    """A user whose funnel rows SPLIT across sorted blocks must resolve
+    through the edge-row driver path with the same strictly-later chain
+    a pandas brute force computes."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(9)
+    n = 6000
+    users = rng.integers(0, 40, n)  # few users, many rows -> split users
+    types = rng.choice(["view", "click", "purchase", "error"], n)
+    ts = pd.to_datetime(
+        rng.integers(1_600_000_000, 1_600_900_000, n), unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": users.astype(np.int64),
+        "event_type": types,
+        "value": rng.normal(size=n),
+        "props": ['{"k": 1}'] * n,
+    })
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{d}/events.parquet")
+
+    got = entrymod.queries()["funnel_conversion"](d)
+
+    us = df.copy()
+    us["_us"] = us["ts"].astype("int64")
+    n1 = n2 = n3 = 0
+    for _, g in us.groupby("user_id"):
+        t1 = g.loc[g["event_type"] == "view", "_us"].min()
+        if pd.isna(t1):
+            continue
+        n1 += 1
+        c = g[(g["event_type"] == "click") & (g["_us"] > t1)]["_us"]
+        if c.empty:
+            continue
+        n2 += 1
+        p = g[(g["event_type"] == "purchase") & (g["_us"] > c.min())]
+        if len(p):
+            n3 += 1
+    assert (int(got["n_step1"].iloc[0]), int(got["n_step2"].iloc[0]),
+            int(got["n_step3"].iloc[0])) == (n1, n2, n3)
