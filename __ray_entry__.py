@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q.retention_cohorts,
         "value_quantiles_by_type": q.value_quantiles_by_type,
         "funnel_conversion": q.funnel_conversion,
+        "skew_join_events": q.skew_join_events,
         "label_centroids": q.label_centroids,
         "budget_sample": q.budget_sample,
         "cluster_composition": q.cluster_composition,
@@ -1059,6 +1060,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_disc(value, 0.5) AS q50,
                    quantile_disc(value, 0.9) AS q90
             FROM events
+        """,
+        # skew-aware join: half of all events collapse onto key 7; NULL
+        # user_id -> NULL key matches nothing (inner join)
+        "skew_join_events": """
+            WITH lhs AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 2 = 0 THEN 7
+                            ELSE user_id % 199 END AS k
+                FROM events),
+            rhs AS (SELECT c_custkey % 199 AS k,
+                           CAST(count(*) AS BIGINT) AS n_cust
+                    FROM customer GROUP BY 1)
+            SELECT l.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(r.n_cust) AS BIGINT) AS sum_ncust
+            FROM lhs l JOIN rhs r USING (k)
+            GROUP BY 1 ORDER BY 1
         """,
         # strictly-later conditional first-touch chain; NULL users and
         # timestamps excluded (event-time policy)

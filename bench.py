@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "value_quantiles_by_type",
     # r4: ordered-sequence funnel (sorted-run conditional first-touch)
     "funnel_conversion",
+    # r4: skew-aware join (hot keys broadcast, cold keys bucketed)
+    "skew_join_events",
 ]
 
 

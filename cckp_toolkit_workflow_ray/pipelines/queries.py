@@ -1860,6 +1860,70 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
         ["cohort_day", "offset_days"]).reset_index(drop=True)
 
 
+def skew_join_events(sf_dir: str) -> pa.Table:
+    """Skew-aware large-large join (`stages/joins.py:skew_hash_join`)
+    over a DELIBERATELY viral key: half of all events collapse onto
+    key 7 (the one-hot-key pathology that overwhelms a single reducer
+    in a plain bucketed join), the rest spread over ~199 keys.  Hot
+    keys are detected by the heavy-hitter motif and routed through a
+    broadcast map-side join — their rows never enter the bucket
+    exchange — while cold keys take the ordinary bucketed path; the
+    result is row-identical to the plain join (pytest-pinned) and
+    SQL-oracled here.  Keys ride as float64 (the nulls.py numeric-key
+    rule: NULL user_id → NULL key, which matches nothing)."""
+    from ..functions.nulls import sentinel_nulls
+    from ..stages.joins import skew_hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    n_events = ev.count()
+    if n_events == 0:
+        return _empty_result(event_type=object, n_rows="int64",
+                             sum_ncust="int64")
+
+    def lhs(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        k = np.where(eid % 2 == 0, 7.0, uid % 199)
+        return pd.DataFrame({
+            "k": k,
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def rhs_partial(t: pa.Table) -> pd.DataFrame:
+        k = (t.column("c_custkey").to_numpy(zero_copy_only=False)
+             % 199).astype(np.float64)
+        g = pd.DataFrame({"k": k}).groupby("k", as_index=False).size()
+        return g.rename(columns={"size": "n_cust"})
+
+    rhs = _sum_by_key(
+        cust.map_batches(rhs_partial, batch_format="pyarrow"),
+        ["k"], ["n_cust"])
+
+    joined = skew_hash_join(
+        ev.map_batches(lhs, batch_format="pyarrow"), rhs, on="k",
+        hot_limit=max(1, n_events // 10), n_buckets=16)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["event_type"] = sentinel_nulls(df["event_type"])
+        g = df.groupby("event_type", as_index=False).agg(
+            n_rows=("k", "size"), sum_ncust=("n_cust", "sum"))
+        return g
+
+    out = _sum_by_key(
+        joined.map_batches(rollup, batch_format="pandas"),
+        ["event_type"], ["n_rows", "sum_ncust"]).to_pandas()
+    out = _restore_null_keys(out, ["event_type"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_ncust"] = out["sum_ncust"].astype(np.int64)
+    return out[["event_type", "n_rows", "sum_ncust"]].sort_values(
+        "event_type", na_position="last").reset_index(drop=True)
+
+
 def funnel_conversion(sf_dir: str) -> pa.Table:
     """Ordered-sequence funnel (view → click → purchase): per user the
     STRICTLY-later conditional first-touch chain (t1 = min ts of step 1;

@@ -415,3 +415,88 @@ def asof_join_bucketed(left, right, key: str, ts: str, right_ts: str,
         return out
 
     return l.union(r).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def skew_hash_join(left, right, on, hot_limit: int = 1_000_000,
+                   max_hot_keys: int = 10_000, n_buckets: int = 64,
+                   how: str = "inner", batch_size: int = 65536):
+    """Skew-aware large-large equi-join: HOT keys (left-side frequency >
+    ``hot_limit``) are routed through a broadcast map-side join — their
+    rows never enter the bucket exchange, so one viral key cannot
+    overwhelm its reducer — while COLD keys take the ordinary bucketed
+    ``hash_join``.  The result is row-identical to ``hash_join``
+    (equality pytest-pinned).
+
+    Hot-key detection is the heavy-hitter motif: per-batch key counts →
+    sorted-run keyed sum → keys above ``hot_limit`` (bounded by
+    total/hot_limit keys, each one driver row).  The hot slice of the
+    RIGHT side must be broadcastable — true for the
+    enrich/dimension-shaped joins where skew actually bites (one row,
+    or a handful, per key on the right).  If either guard trips
+    (> ``max_hot_keys`` hot keys, or the hot right slice exceeds
+    ``hot_limit`` rows), the operator falls back to the plain bucketed
+    join LOUDLY rather than broadcast something worker-sized.
+
+    ``how``: inner | left.  NULL keys never become hot (they match
+    nothing / survive only a left join) and stay on the cold path,
+    which already implements the SQL semantics.
+    """
+    import warnings
+
+    import ray
+
+    from .groupagg import sorted_reduce_by_key_ds
+
+    keys = _key_cols(on)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[keys].dropna().groupby(keys, as_index=False).size()
+        return g.rename(columns={"size": "__n"})
+
+    totals = sorted_reduce_by_key_ds(
+        left.map_batches(count_partial, batch_format="pandas",
+                         batch_size=batch_size),
+        keys, {"__n": "sum"})
+    hot = totals.map_batches(lambda df: df[df["__n"] > hot_limit],
+                             batch_format="pandas").to_pandas()
+    if hot.empty or "__n" not in hot:
+        return hash_join(left, right, on, n_buckets=n_buckets, how=how,
+                         batch_size=batch_size)
+    if len(hot) > max_hot_keys:
+        warnings.warn(
+            f"skew_hash_join: {len(hot)} hot keys exceed max_hot_keys="
+            f"{max_hot_keys}; falling back to the bucketed join")
+        return hash_join(left, right, on, n_buckets=n_buckets, how=how,
+                         batch_size=batch_size)
+    hot_keys = hot[keys].reset_index(drop=True)
+
+    def split(ds, want_hot: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[keys].merge(hot_keys.assign(__h=1), on=keys,
+                               how="left")["__h"].notna().to_numpy()
+            return df[m] if want_hot else df[~m]
+
+        return ds.map_batches(fn, batch_format="pandas",
+                              batch_size=batch_size)
+
+    hot_right = split(right, True).to_pandas()
+    if len(hot_right) > hot_limit:
+        warnings.warn(
+            f"skew_hash_join: hot right slice has {len(hot_right)} rows "
+            f"(> hot_limit={hot_limit}) — not broadcastable; falling "
+            "back to the bucketed join")
+        return hash_join(left, right, on, n_buckets=n_buckets, how=how,
+                         batch_size=batch_size)
+
+    cold = hash_join(split(left, False), split(right, False), on,
+                     n_buckets=n_buckets, how=how, batch_size=batch_size)
+    if hot_right.empty:
+        if how == "inner":
+            return cold  # hot left rows match nothing
+        # left join with an unmatched hot slice: rare; route through the
+        # plain bucketed join rather than hand-pad null right columns
+        return hash_join(left, right, on, n_buckets=n_buckets, how=how,
+                         batch_size=batch_size)
+    hot_joined = broadcast_join(split(left, True), hot_right, on=on,
+                                how=how, batch_size=batch_size)
+    return cold.union(hot_joined)

@@ -265,6 +265,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "heavy_hitter_words": ["word", "n", "rk"],
         "retention_cohorts": ["cohort_day", "offset_days", "n_users"],
         "value_quantiles_by_type": ["event_type", "q50", "q90"],
+        "skew_join_events": ["event_type", "n_rows", "sum_ncust"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -317,6 +318,9 @@ NASTY_QUERIES = [
     "value_quantiles_by_type",
     # funnel excludes NULL users/timestamps and keys on nullable types
     "funnel_conversion",
+    # skew-aware join: NULL user_id -> NULL key matches nothing; NULL
+    # event_type is a rollup group
+    "skew_join_events",
 ]
 
 

@@ -449,3 +449,50 @@ def test_funnel_conversion_edge_users_across_blocks(ray_session, tmp_path):
             n3 += 1
     assert (int(got["n_step1"].iloc[0]), int(got["n_step2"].iloc[0]),
             int(got["n_step3"].iloc[0])) == (n1, n2, n3)
+
+
+def test_skew_hash_join_matches_plain_hash_join(ray_session):
+    """skew_hash_join must be row-identical to hash_join on a skewed
+    input (one viral key holding ~half the left rows), with NULL keys,
+    for both inner and left joins, and must fall back cleanly when no
+    key is hot."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.joins import (
+        hash_join, skew_hash_join)
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    k = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 200, n))
+    kf = k.astype("float64")
+    kf[::191] = np.nan  # NULL keys on the left
+    left = pd.DataFrame({"k": kf, "lval": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 200, dtype=np.float64),
+                          "rval": np.arange(1000, 1200, dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(3)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df = df[sorted(df.columns)].astype("float64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        want = norm(hash_join(lds, rds, on="k", n_buckets=4, how=how))
+        got = norm(skew_hash_join(lds, rds, on="k", hot_limit=500,
+                                  n_buckets=4, how=how))
+        pd.testing.assert_frame_equal(got, want), how
+
+    # no hot key -> pure fallback, still identical
+    got = norm(skew_hash_join(lds, rds, on="k", hot_limit=10**9,
+                              n_buckets=4))
+    want = norm(hash_join(lds, rds, on="k", n_buckets=4))
+    pd.testing.assert_frame_equal(got, want)
+
+    # hot key with NO right match + inner join -> hot slice vanishes
+    right2 = rd.from_pandas(right[right["k"] != 7])
+    got = norm(skew_hash_join(lds, right2, on="k", hot_limit=500,
+                              n_buckets=4))
+    want = norm(hash_join(lds, right2, on="k", n_buckets=4))
+    pd.testing.assert_frame_equal(got, want)
