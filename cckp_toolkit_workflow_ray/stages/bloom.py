@@ -142,6 +142,14 @@ def bloom_anti_join_texts(new_ds, existing_ds, text_col: str = "text",
     whole new corpus.  Choose ``n_bits ≈ 10 × |snapshot keys|`` for
     ~1 % fpr; an undersized filter degrades GRACEFULLY to more verified
     rows, never to a wrong answer.
+
+    The new side is PROBED TWICE (one pass keeps negatives, one keeps
+    positives) — deliberate: a single tagged pass would have to carry
+    the wide text column through a materialized intermediate, while two
+    streaming probes read the (already pruned) input twice and keep
+    everything pipelined.  Callers holding an expensive derived corpus
+    should ``materialize()`` it first (the ``incremental_near_dedup``
+    convention).
     """
     import ray
 
