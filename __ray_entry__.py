@@ -407,6 +407,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q.top_orders,
         "json_props_stats": q.json_props_stats,
         "drift_check": q.drift_check,
+        # drift / sequence / statistical / phrase operators
+        "daily_drift": q.daily_drift,
+        "inter_event_gaps": q.inter_event_gaps,
+        "latest_event_per_user": q.latest_event_per_user,
+        "corr_chars_tokens": q.corr_chars_tokens,
+        "cube_lang_source": q.cube_lang_source,
+        "token_entropy": q.token_entropy,
+        "pmi_bigrams": q.pmi_bigrams,
     }
 
 
@@ -2127,5 +2135,184 @@ def oracle_sql() -> dict[str, str]:
                        count(*) FILTER (WHERE source IS NULL OR source = '')
                 FROM documents_attr GROUP BY g
             ) WHERE n_violations > 0
+        """,
+        # day-over-day PSI/KS drift: 20 fixed-width buckets over the
+        # global value range; PSI on Laplace-smoothed (c+0.5)/(N+10)
+        # proportions, KS on integer cumulative counts (bit-identical);
+        # a day pairs only with its immediate calendar predecessor
+        "daily_drift": """
+            WITH ev AS (
+                SELECT epoch_us(date_trunc('day', ts)) AS day_us, value
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            bounds AS (SELECT min(value) AS vmin, max(value) AS vmax
+                       FROM ev),
+            bk AS (
+                SELECT day_us,
+                       CASE WHEN b.vmax = b.vmin THEN 0
+                            ELSE least(CAST(floor((value - b.vmin) /
+                                       ((b.vmax - b.vmin) / 20.0))
+                                       AS BIGINT), 19) END AS bucket
+                FROM ev, bounds b),
+            days AS (SELECT DISTINCT day_us FROM bk),
+            cnt AS (SELECT day_us, bucket, count(*) AS c
+                    FROM bk GROUP BY 1, 2),
+            grid AS (
+                SELECT d.day_us, r.bucket, coalesce(c.c, 0) AS c
+                FROM days d
+                CROSS JOIN (SELECT unnest(range(0, 20)) AS bucket) r
+                LEFT JOIN cnt c
+                  ON c.day_us = d.day_us AND c.bucket = r.bucket),
+            tot AS (SELECT day_us, bucket, c,
+                           SUM(c) OVER (PARTITION BY day_us) AS n,
+                           SUM(c) OVER (PARTITION BY day_us
+                                        ORDER BY bucket) AS cum
+                    FROM grid),
+            pair AS (
+                SELECT a.day_us, a.bucket, a.n AS na, b.n AS nb,
+                       CAST(a.cum AS DOUBLE) / a.n AS fa,
+                       CAST(b.cum AS DOUBLE) / b.n AS fb,
+                       (CAST(a.c AS DOUBLE) + 0.5)
+                           / (CAST(a.n AS DOUBLE) + 10.0) AS pa2,
+                       (CAST(b.c AS DOUBLE) + 0.5)
+                           / (CAST(b.n AS DOUBLE) + 10.0) AS pb2
+                FROM tot a JOIN tot b
+                  ON a.day_us = b.day_us + 86400000000
+                 AND a.bucket = b.bucket),
+            stat AS (
+                SELECT day_us, max(nb) AS n_prev, max(na) AS n_cur,
+                       sum((pa2 - pb2) * ln(pa2 / pb2)) AS psi,
+                       max(abs(fa - fb)) AS ks
+                FROM pair GROUP BY day_us)
+            SELECT make_timestamp(day_us) AS day,
+                   CAST(n_prev AS BIGINT) AS n_prev,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   CAST(round(1000000 * psi) AS BIGINT) AS psi_e6,
+                   CAST(round(1000000 * ks) AS BIGINT) AS ks_e6
+            FROM stat ORDER BY day
+        """,
+        # LAG gaps per user in exact integer microseconds; single-event
+        # users have no gap (count(prev) = 0) and are absent
+        "inter_event_gaps": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, CAST(count(prev) AS BIGINT) AS n_gaps,
+                   CAST(sum(ts_us - prev) AS BIGINT) AS sum_gap_us,
+                   CAST(max(ts_us - prev) AS BIGINT) AS max_gap_us
+            FROM o GROUP BY user_id HAVING count(prev) >= 1
+            ORDER BY user_id
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM (SELECT user_id, event_id, ts, event_type, value,
+                         row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        # Pearson corr from exact integer moments; the float closed form
+        # uses the IDENTICAL operand order as the engine, so e6 rounding
+        # is bit-reproducible; zero-variance groups yield NULL
+        "corr_chars_tokens": """
+            WITH d AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) AS BIGINT) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM d GROUP BY lang),
+            r AS (SELECT lang, n_pairs,
+                         (CAST(n_pairs AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) AS num,
+                         (CAST(n_pairs AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n_pairs AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy) AS v2
+                  FROM m)
+            SELECT lang, n_pairs,
+                   CASE WHEN v2 > 0
+                        THEN CAST(round(1000000 * (num / sqrt(v2)))
+                                  AS BIGINT)
+                        ELSE NULL END AS corr_e6
+            FROM r ORDER BY lang
+        """,
+        "cube_lang_source": """
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN '__all__'
+                        ELSE lang END AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN '__all__'
+                        ELSE source END AS source,
+                   CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+                       AS grp,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE (lang, source)
+            ORDER BY grp, lang, source
+        """,
+        # Shannon entropy in exact integer micro-nats: per-count ln
+        # rounded ONCE, so the corpus accumulation is an exact int sum
+        "token_entropy": """
+            WITH w AS (
+                SELECT lang,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents),
+            c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+                  FROM w WHERE word <> '' GROUP BY lang, word),
+            s AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS vocab,
+                         CAST(sum(n * CAST(round(1000000 * ln(n))
+                                           AS BIGINT)) AS BIGINT) AS s
+                  FROM c GROUP BY lang)
+            SELECT lang, n_tokens, vocab,
+                   CAST(round(1000000 * ln(n_tokens)
+                              - CAST(s AS DOUBLE) / n_tokens)
+                        AS BIGINT) AS ent_e6
+            FROM s ORDER BY lang
+        """,
+        # PMI over exact integer counts with the engine's operand order
+        "pmi_bigrams": """
+            WITH toks AS (
+                SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS l
+                FROM documents),
+            big AS (SELECT l[i.i] AS w1, l[i.i + 1] AS w2
+                    FROM toks,
+                         LATERAL (SELECT unnest(range(1, len(l))) AS i) i),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                   FROM big GROUP BY w1, w2),
+            uc AS (SELECT unnest(l) AS w FROM toks),
+            un AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                   FROM uc GROUP BY w),
+            tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM bc) AS nb,
+                           (SELECT CAST(sum(n) AS BIGINT) FROM un) AS nu),
+            sc AS (SELECT b.w1, b.w2, b.n,
+                          CAST(round(1000000 * ln(
+                              (CAST(b.n AS DOUBLE)
+                               * CAST(t.nu AS DOUBLE)
+                               * CAST(t.nu AS DOUBLE))
+                              / (CAST(t.nb AS DOUBLE)
+                                 * CAST(u1.n AS DOUBLE)
+                                 * CAST(u2.n AS DOUBLE)))) AS BIGINT)
+                              AS pmi_e6
+                   FROM bc b
+                   JOIN un u1 ON u1.w = b.w1
+                   JOIN un u2 ON u2.w = b.w2
+                   CROSS JOIN tot t
+                   WHERE b.n >= 5)
+            SELECT w1, w2, n, pmi_e6,
+                   CAST(row_number() OVER (
+                       ORDER BY pmi_e6 DESC, w1, w2) AS BIGINT) AS rk
+            FROM sc QUALIFY rk <= 25 ORDER BY rk
         """,
     }

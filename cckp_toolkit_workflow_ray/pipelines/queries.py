@@ -3665,3 +3665,443 @@ def weighted_sample(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return (out[["doc_id", "lang", "n_chars", "key_e6"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: drift, event-sequence, statistical and phrase ops
+# ---------------------------------------------------------------------------
+
+
+def daily_drift(sf_dir: str) -> pa.Table:
+    """Day-over-day distribution-drift check on the event value stream —
+    the drift family (PSI + Kolmogorov-Smirnov, the reference's
+    analyze_joss criteria-threshold motif applied to distributions)
+    between CONSECUTIVE calendar days rather than against a static
+    reference profile (``drift_check``).  Scale shape: one pruned pass
+    for the global [min, max] value range, one combiner pass for the
+    (day, 20-bucket) histogram — the only driver-side object is the
+    O(days × 20) count grid (bounded by the calendar, not the corpus),
+    never a row stream.  PSI uses Laplace-smoothed proportions
+    (c + 0.5) / (N + 10); KS compares cumulative proportions whose
+    INTEGER cumulative counts make the statistic bit-identical to SQL.
+    NULL timestamps and values are excluded (event-time policy); a day
+    pairs only with its immediate calendar predecessor."""
+    from ray.data.aggregate import Max, Min
+
+    _DAY_US = 86_400 * 10**6
+    _B = 20
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("value"))))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "day_us": pa.array((us // _DAY_US) * _DAY_US, type=pa.int64()),
+            "value": pa.array(
+                t.column("value").to_numpy(zero_copy_only=False)
+                .astype(np.float64), type=pa.float64()),
+        })
+
+    filt = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    empty = dict(day="datetime64[ns]", n_prev="int64", n_cur="int64",
+                 psi_e6="int64", ks_e6="int64")
+    if filt.count() == 0:
+        return _empty_result(**empty)
+    agg = filt.aggregate(Min("value"), Max("value"))
+    vmin, vmax = float(agg["min(value)"]), float(agg["max(value)"])
+    w = (vmax - vmin) / 20.0
+
+    def hpart(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        if w > 0.0:
+            b = np.minimum(np.floor((v - vmin) / w), 19.0).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        df = pd.DataFrame({
+            "day_us": t.column("day_us").to_numpy(zero_copy_only=False),
+            "bucket": b, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["day_us", "bucket"], as_index=False).sum(),
+            preserve_index=False)
+
+    counts = _sum_by_key(filt.map_batches(hpart, batch_format="pyarrow"),
+                         ["day_us", "bucket"], ["n"]).to_pandas()
+    days = np.sort(counts["day_us"].unique())
+    grid: dict[int, np.ndarray] = {}
+    for d in days:
+        vec = np.zeros(_B, dtype=np.int64)
+        sub = counts[counts["day_us"] == d]
+        vec[sub["bucket"].to_numpy(dtype=np.int64)] = \
+            sub["n"].to_numpy(dtype=np.int64)
+        grid[int(d)] = vec
+    rows = []
+    for d in days:
+        prev = int(d) - _DAY_US
+        if prev not in grid:
+            continue
+        c_cur, c_prev = grid[int(d)], grid[prev]
+        n_cur, n_prev = int(c_cur.sum()), int(c_prev.sum())
+        p_cur = (c_cur + 0.5) / (n_cur + 10.0)
+        p_prev = (c_prev + 0.5) / (n_prev + 10.0)
+        psi = float(np.cumsum((p_cur - p_prev) * np.log(p_cur / p_prev))[-1])
+        f_cur = np.cumsum(c_cur).astype(np.float64) / n_cur
+        f_prev = np.cumsum(c_prev).astype(np.float64) / n_prev
+        ks = float(np.max(np.abs(f_cur - f_prev)))
+        rows.append((int(d), n_prev, n_cur,
+                     int(_round_half_away(np.array([1e6 * psi]))[0]),
+                     int(_round_half_away(np.array([1e6 * ks]))[0])))
+    if not rows:
+        return _empty_result(**empty)
+    out = pd.DataFrame(rows, columns=["day_us", "n_prev", "n_cur",
+                                      "psi_e6", "ks_e6"])
+    out["day"] = pd.to_datetime(out.pop("day_us"), unit="us")
+    for c in ("n_prev", "n_cur", "psi_e6", "ks_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out[["day", "n_prev", "n_cur", "psi_e6", "ks_e6"]] \
+        .sort_values("day").reset_index(drop=True)
+
+
+def inter_event_gaps(sf_dir: str) -> pa.Table:
+    """Per-user inter-event gap statistics — the LAG/LEAD sequential
+    motif: gaps between CONSECUTIVE events of one user under
+    ORDER BY (ts, event_id).  Scale shape: the pruned ints-only
+    (user, ts, id) stream is range-sorted ONCE; block-INTERIOR users
+    diff fully vectorized in place (a user interior to a block cannot
+    appear elsewhere); the ≤2 block-EDGE users per block ship raw rows
+    to the driver (the ``user_growth``/``funnel_conversion`` sorted-run
+    contract).  All outputs are exact int64 microseconds — no float
+    accumulation anywhere.  Users with a single event have no gap and
+    are absent (SQL HAVING count ≥ 1 lag); NULL users and timestamps
+    are excluded (event-time policy)."""
+    from ..stages.ranking import _edge_mask
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+        })
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "sum_gap_us": pd.Series([], dtype="int64"),
+        "max_gap_us": pd.Series([], dtype="int64")})
+
+    def gap_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        tsv = df["ts_us"].to_numpy(dtype=np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return _EMPTY
+        g = pd.DataFrame({"user_id": u[1:][same],
+                          "gap": (tsv[1:] - tsv[:-1])[same]})
+        out = g.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"))
+        for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return gap_stats(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        # re-establish global (user, ts, id) order across blocks before
+        # diffing — range partitioning preserves per-key order only
+        # within a block
+        edge_sorted = edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        parts = pd.concat([parts, gap_stats(edge_sorted)],
+                          ignore_index=True)
+    if parts.empty:
+        return _EMPTY.copy()
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str) -> pa.Table:
+    """Latest-snapshot compaction (the CDC / upsert "keep the newest
+    version per key" op): each user's single most recent event with its
+    FULL payload, via the distributed grouped top-k (k = 1, ORDER BY
+    ts DESC, event_id DESC) — one range sort, no driver row set beyond
+    the O(users) result.  NULL users and timestamps are excluded; NULL
+    payload columns ride through untouched."""
+    from ..stages.ranking import grouped_top_k
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+        })
+
+    out = grouped_top_k(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["user_id"], ["ts_us", "event_id"], k=1,
+                        descending=[True, True]).to_pandas()
+    if not len(out):
+        return _empty_result(user_id="int64", event_id="int64",
+                             ts="datetime64[ns]", event_type=object,
+                             value="float64")
+    out["ts"] = pd.to_datetime(out.pop("ts_us").astype("int64"), unit="us")
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "event_id", "ts", "event_type", "value"]] \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+def corr_chars_tokens(sf_dir: str) -> pa.Table:
+    """Per-lang Pearson correlation between document length (n_chars)
+    and whitespace token count — grouped bivariate statistics via EXACT
+    integer moment sums (n, Σx, Σy, Σxy, Σx², Σy² combined per batch,
+    summed distributively), so the only float arithmetic is the final
+    closed form evaluated with the IDENTICAL expression by engine and
+    SQL: the e6-rounded result is bit-reproducible at any parallelism.
+    Rows with NULL n_chars or NULL text are excluded pairwise (SQL corr
+    semantics); NULL lang is a group (sentinel convention); a
+    zero-variance group yields NULL."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("n_chars")),
+                             pc.is_valid(t.column("text"))))
+        x = t.column("n_chars").to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        y = pc.count_substring_regex(t.column("text"), "[^ ]+") \
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_pairs": 1, "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x, "syy": y * y})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False)
+
+    s = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"],
+                    ["n_pairs", "sx", "sy", "sxy", "sxx", "syy"]).to_pandas()
+    if s.empty or "n_pairs" not in s:
+        return _empty_result(lang=object, n_pairs="int64",
+                             corr_e6="float64")
+    s = _restore_null_keys(s, ["lang"])
+    n = s["n_pairs"].to_numpy(dtype=np.int64).astype(np.float64)
+    sx = s["sx"].to_numpy(dtype=np.int64).astype(np.float64)
+    sy = s["sy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxy = s["sxy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxx = s["sxx"].to_numpy(dtype=np.int64).astype(np.float64)
+    syy = s["syy"].to_numpy(dtype=np.int64).astype(np.float64)
+    num = n * sxy - sx * sy
+    v2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr_e6 = np.where(
+            v2 > 0.0,
+            _round_half_away(1e6 * (num / np.sqrt(np.where(v2 > 0.0, v2,
+                                                           1.0)))),
+            np.nan)
+    out = pd.DataFrame({"lang": s["lang"], "n_pairs": s["n_pairs"]
+                        .astype(np.int64), "corr_e6": corr_e6})
+    out["corr_e6"] = _int_or_float64(out["corr_e6"])
+    return out.sort_values("lang", na_position="last") \
+              .reset_index(drop=True)
+
+
+def cube_lang_source(sf_dir: str) -> pa.Table:
+    """Full GROUPING SETS cube — SQL ``GROUP BY CUBE (lang, source)`` —
+    as ONE corpus pass: the finest (lang, source) level is the usual
+    combiner-then-keyed-sum; all three coarser sets re-aggregate the
+    finest RESULT (O(|langs| × |sources|) rows), never rescanning the
+    corpus.  ``grp`` carries the SQL GROUPING() bit vector (leaf 0,
+    source aggregated out 1, lang aggregated out 2, grand total 3);
+    aggregated-out dimensions surface as the literal '__all__' so a
+    genuine NULL group stays distinguishable (the ``rollup_lang_source``
+    convention extended with the cross set)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "source": _sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False))),
+            "n_docs": 1,
+            "total_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False)
+
+    leaf = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "source"], ["n_docs", "total_chars"]
+                       ).to_pandas()
+    if leaf.empty or "n_docs" not in leaf:
+        return _empty_result(lang=object, source=object, grp="int64",
+                             n_docs="int64", total_chars="int64")
+    leaf = _restore_null_keys(leaf, ["lang", "source"])
+    leaf["grp"] = 0
+    lang_lvl = leaf.groupby("lang", as_index=False, dropna=False)[
+        ["n_docs", "total_chars"]].sum()
+    lang_lvl["source"] = "__all__"
+    lang_lvl["grp"] = 1
+    src_lvl = leaf.groupby("source", as_index=False, dropna=False)[
+        ["n_docs", "total_chars"]].sum()
+    src_lvl["lang"] = "__all__"
+    src_lvl["grp"] = 2
+    total = pd.DataFrame({
+        "lang": ["__all__"], "source": ["__all__"], "grp": [3],
+        "n_docs": [leaf["n_docs"].sum()],
+        "total_chars": [leaf["total_chars"].sum()],
+    })
+    out = pd.concat([leaf, lang_lvl, src_lvl, total], ignore_index=True)
+    # groupby(dropna=False) above reintroduced NaN keys — renormalize
+    out = _restore_null_keys(out, ["lang", "source"])
+    out = out[["lang", "source", "grp", "n_docs", "total_chars"]]
+    for c in ("grp", "n_docs", "total_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["grp", "lang", "source"],
+                           na_position="last").reset_index(drop=True)
+
+
+def token_entropy(sf_dir: str) -> pa.Table:
+    """Per-lang Shannon entropy of the token distribution (nats, e6
+    fixed-point) — the vocabulary-flatness quality signal.  Same
+    exactness discipline as the unigram LM: per-(lang, word) counts come
+    off the sorted-run keyed sum at vocabulary cardinality; each count's
+    ln is rounded ONCE to integer micro-nats, so the corpus-wide
+    Σ c·ln(c) accumulation is an exact int64 with no float summation
+    order anywhere; the closed form H = ln(N) − Σ c·lnc / N is then
+    evaluated with the identical expression by engine and SQL.
+    Tokenisation = the ``word_frequencies`` convention (single-space
+    split, empty tokens dropped); NULL lang is a group; a lang whose
+    documents carry no tokens is absent (no distribution to score)."""
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lang = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False)))
+        txt = pd.Series(
+            t.column("text").to_numpy(zero_copy_only=False)).fillna("")
+        w = txt.str.split(" ").explode()
+        keep = w.notna() & (w != "")
+        if not keep.any():
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({
+            "lang": lang.reindex(w.index[keep]).to_numpy(),
+            "word": w[keep].to_numpy(), "n": 1})
+        return df.groupby(["lang", "word"], as_index=False).sum()
+
+    counts = sorted_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "word"], ["n"])
+    if counts.empty:
+        return _empty_result(lang=object, n_tokens="int64", vocab="int64",
+                             ent_e6="int64")
+    c = counts["n"].to_numpy(dtype=np.int64)
+    counts = counts.assign(
+        s=c * _round_half_away(1e6 * np.log(c)).astype(np.int64))
+    g = counts.groupby("lang", as_index=False, dropna=False).agg(
+        n_tokens=("n", "sum"), vocab=("n", "size"), s=("s", "sum"))
+    nf = g["n_tokens"].to_numpy(dtype=np.int64).astype(np.float64)
+    g["ent_e6"] = _round_half_away(
+        1e6 * np.log(nf) - g["s"].to_numpy(dtype=np.int64)
+        .astype(np.float64) / nf).astype(np.int64)
+    g = _restore_null_keys(g, ["lang"])
+    for col in ("n_tokens", "vocab"):
+        g[col] = g[col].astype(np.int64)
+    return g[["lang", "n_tokens", "vocab", "ent_e6"]] \
+        .sort_values("lang", na_position="last").reset_index(drop=True)
+
+
+def pmi_bigrams(sf_dir: str) -> pa.Table:
+    """Top-25 adjacent-word pairs by pointwise mutual information
+    (collocation / phrase-mining op), minimum pair count 5: bigram and
+    unigram counts off the sorted-run keyed sum (vocabulary
+    cardinality, never a Ray per-group aggregate); PMI
+    ln(c₁₂·Nᵤ² / (N_b·c₁·c₂)) is evaluated as ONE float expression
+    over exact integer counts — identical operand order in engine and
+    SQL, so the e6-rounded scores reproduce.  Tokenisation = the
+    ``word_frequencies`` convention; adjacency is over the
+    empty-filtered token list.  Deterministic (pmi DESC, w1, w2)
+    tie-break."""
+    from ..functions.text import word_count_partial
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bpart(t: pa.Table) -> pd.DataFrame:
+        w1l: list[str] = []
+        w2l: list[str] = []
+        for x in t.column("text").to_pylist():
+            toks = [w for w in (x or "").split(" ") if w]
+            if len(toks) >= 2:
+                w1l.extend(toks[:-1])
+                w2l.extend(toks[1:])
+        if not w1l:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"w1": w1l, "w2": w2l, "n": 1}) \
+            .groupby(["w1", "w2"], as_index=False).sum()
+
+    def upart(t: pa.Table) -> pd.DataFrame:
+        return word_count_partial(
+            t.column("text").to_numpy(zero_copy_only=False))
+
+    big = sorted_sum_by_key(ds.map_batches(bpart, batch_format="pyarrow"),
+                            ["w1", "w2"], ["n"])
+    uni = sorted_sum_by_key(ds.map_batches(upart, batch_format="pyarrow"),
+                            ["word"], ["n"])
+    empty = dict(w1=object, w2=object, n="int64", pmi_e6="int64",
+                 rk="int64")
+    if big.empty or uni.empty:
+        return _empty_result(**empty)
+    nb, nu = int(big["n"].sum()), int(uni["n"].sum())
+    cand = big[big["n"] >= 5]
+    if cand.empty:
+        return _empty_result(**empty)
+    umap = uni.set_index("word")["n"]
+    c1 = umap.reindex(cand["w1"]).to_numpy(dtype=np.int64) \
+        .astype(np.float64)
+    c2 = umap.reindex(cand["w2"]).to_numpy(dtype=np.int64) \
+        .astype(np.float64)
+    c12 = cand["n"].to_numpy(dtype=np.int64)
+    num = c12.astype(np.float64) * np.float64(nu) * np.float64(nu)
+    den = np.float64(nb) * c1 * c2
+    pmi_e6 = _round_half_away(1e6 * np.log(num / den)).astype(np.int64)
+    out = pd.DataFrame({"w1": cand["w1"].to_numpy(),
+                        "w2": cand["w2"].to_numpy(),
+                        "n": c12, "pmi_e6": pmi_e6})
+    out = out.sort_values(["pmi_e6", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(25).reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -266,6 +266,16 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "retention_cohorts": ["cohort_day", "offset_days", "n_users"],
         "value_quantiles_by_type": ["event_type", "q50", "q90"],
         "skew_join_events": ["event_type", "n_rows", "sum_ncust"],
+        "daily_drift": ["day", "n_prev", "n_cur", "psi_e6", "ks_e6"],
+        "inter_event_gaps": ["user_id", "n_gaps", "sum_gap_us",
+                             "max_gap_us"],
+        "latest_event_per_user": ["user_id", "event_id", "ts",
+                                  "event_type", "value"],
+        "corr_chars_tokens": ["lang", "n_pairs", "corr_e6"],
+        "cube_lang_source": ["lang", "source", "grp", "n_docs",
+                             "total_chars"],
+        "token_entropy": ["lang", "n_tokens", "vocab", "ent_e6"],
+        "pmi_bigrams": ["w1", "w2", "n", "pmi_e6", "rk"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -321,6 +331,20 @@ NASTY_QUERIES = [
     # skew-aware join: NULL user_id -> NULL key matches nothing; NULL
     # event_type is a rollup group
     "skew_join_events",
+    # day-over-day drift: NULL ts/value excluded; pre-1970 days must
+    # floor identically to date_trunc; isolated days pair with nothing
+    "daily_drift",
+    # LAG gaps / latest-snapshot: NULL users and timestamps excluded,
+    # NULL payload columns ride through the top-k untouched
+    "inter_event_gaps", "latest_event_per_user",
+    # grouped moments on nullable n_chars/text pairs + NULL lang group;
+    # single-doc groups exercise the zero-variance NULL path
+    "corr_chars_tokens",
+    # CUBE adds the lang-aggregated set over genuine NULL lang/source
+    # groups, which must stay distinct from '__all__'
+    "cube_lang_source",
+    # tokenizer family on exotic whitespace / empty strings
+    "token_entropy", "pmi_bigrams",
 ]
 
 
