@@ -65,6 +65,26 @@ _URL_CANON_CTE = r"""
         FROM s1)
 """
 
+# integer-exact PageRank oracle: the 5 synchronous iterations unroll
+# into chained CTEs — every quantity is an int64 (floor-division
+# contributions, integer damping), so the engine matches hash-exactly
+def _pagerank_iter_ctes(n: int = 5) -> str:
+    parts = []
+    for k in range(1, n + 1):
+        parts.append(f"""
+            r{k} AS (
+                SELECT n.host,
+                       CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT ew.dst AS host,
+                           CAST(sum((p.r * ew.w) // ew.deg)
+                                AS BIGINT) AS s
+                    FROM ew JOIN r{k - 1} p ON p.host = ew.src
+                    GROUP BY ew.dst) c ON c.host = n.host)""")
+    return ",".join(parts)
+
+
 # exact char-5-shingle Jaccard of the seeded (doc, perturbed-copy) pairs;
 # shingles are distinct 5-char windows (short strings pad — the PAD:
 # namespace can never equal a real 5-char window).  Shared by the
@@ -415,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_lang_source": q.cube_lang_source,
         "token_entropy": q.token_entropy,
         "pmi_bigrams": q.pmi_bigrams,
+        "pagerank_hosts": q.pagerank_hosts,
     }
 
 
@@ -2314,5 +2335,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (
                        ORDER BY pmi_e6 DESC, w1, w2) AS BIGINT) AS rk
             FROM sc QUALIFY rk <= 25 ORDER BY rk
+        """,
+        # deterministic crawl-adjacency host graph + 5 unrolled
+        # integer-exact PageRank iterations (scale 1e9, damping 85/100,
+        # base (15*1e9)//100 = 150000000); dangling mass dropped
+        "pagerank_hosts": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            nodes AS (SELECT DISTINCT host FROM hx
+                      WHERE host IS NOT NULL),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                      FROM e0 GROUP BY src, dst),
+            deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            ew AS (SELECT e.src, e.dst, e.w, d.deg
+                   FROM edges e JOIN deg d ON d.src = e.src),
+            r0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS r
+                   FROM nodes),
+        """ + _pagerank_iter_ctes(5) + """
+            SELECT n.host,
+                   CAST(coalesce(d.deg, 0) AS BIGINT) AS out_deg,
+                   r5.r AS rank
+            FROM nodes n JOIN r5 ON r5.host = n.host
+            LEFT JOIN deg d ON d.src = n.host
+            ORDER BY n.host
         """,
     }

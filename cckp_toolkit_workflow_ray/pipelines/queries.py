@@ -4105,3 +4105,103 @@ def pmi_bigrams(sf_dir: str) -> pa.Table:
                           kind="mergesort").head(25).reset_index(drop=True)
     out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def pagerank_hosts(sf_dir: str) -> pa.Table:
+    """Integer-exact PageRank over the canonical-host link graph
+    (``stages/graph.py``): nodes are the distinct non-null hosts of the
+    canonicalized derived-URL corpus; a doc links its host to the host
+    of the doc_id+1 successor (the deterministic crawl-adjacency graph
+    — both hosts must be non-null; self-loops kept).  Edge derivation
+    is the sorted-run adjacency motif: ONE range sort by doc_id,
+    block-interior consecutive pairs count vectorized in place, and
+    each block ships exactly its FIRST and LAST row (tagged with the
+    block's first doc_id as block key) so the driver reconstructs only
+    the cross-block pairs — O(2 × blocks) driver rows.  Ranks are
+    fixed-point 1e-9 ints with floor-division contributions, so 5
+    iterations reproduce bit-identically in SQL's unrolled CTEs.
+    NULL-source docs yield NULL urls → NULL hosts → no node, no edge
+    (documented propagation)."""
+    import ray.data as rd
+
+    from ..functions.urls import canonicalize_urls, url_hosts
+    from ..stages.graph import pagerank_int
+    from ..stages.groupagg import sorted_distinct_keys, \
+        sorted_reduce_by_key_ds
+
+    urls = _derived_url_corpus(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        cu = canonicalize_urls(t.column("url"))
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "host": url_hosts(cu)})
+
+    hx = urls.map_batches(canon, batch_format="pyarrow")
+    sorted_hx = hx.sort("doc_id").materialize()
+    empty = dict(host=object, out_deg="int64", rank="int64")
+
+    _EDGE_EMPTY = pd.DataFrame({"src": pd.Series([], dtype=object),
+                                "dst": pd.Series([], dtype=object),
+                                "w": pd.Series([], dtype="int64")})
+
+    def pair_counts(ids: np.ndarray, hosts: np.ndarray) -> pd.DataFrame:
+        if len(ids) < 2:
+            return _EDGE_EMPTY
+        adj = ids[1:] == ids[:-1] + 1
+        src, dst = hosts[:-1][adj], hosts[1:][adj]
+        keep = pd.notna(src) & pd.notna(dst)
+        if not keep.any():
+            return _EDGE_EMPTY
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep],
+                             "w": 1}).groupby(
+            ["src", "dst"], as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EDGE_EMPTY
+        return pair_counts(df["doc_id"].to_numpy(dtype=np.int64),
+                           df["host"].to_numpy(dtype=object))
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "host": pd.Series([], dtype=object),
+                                 "bkey": pd.Series([], dtype="int64")})
+        out = df.iloc[[0, len(df) - 1]].copy()
+        out["bkey"] = np.int64(df["doc_id"].iloc[0])
+        return out
+
+    inter_parts = sorted_hx.map_batches(
+        interior, batch_format="pandas", batch_size=None)
+    bnd = sorted_hx.map_batches(
+        boundary, batch_format="pandas", batch_size=None).to_pandas()
+    edges_parts = inter_parts
+    if len(bnd):
+        b = bnd.sort_values("doc_id").reset_index(drop=True)
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        hosts = b["host"].to_numpy(dtype=object)
+        bkey = b["bkey"].to_numpy(dtype=np.int64)
+        # cross-block pairs ONLY — a same-block consecutive pair was
+        # already counted by the interior pass
+        adj = (ids[1:] == ids[:-1] + 1) & (bkey[1:] != bkey[:-1])
+        src, dst = hosts[:-1][adj], hosts[1:][adj]
+        keep = pd.notna(src) & pd.notna(dst)
+        if keep.any():
+            cross = pd.DataFrame({"src": src[keep], "dst": dst[keep],
+                                  "w": 1}).groupby(
+                ["src", "dst"], as_index=False).sum()
+            edges_parts = edges_parts.union(rd.from_pandas(cross))
+    edges = sorted_reduce_by_key_ds(edges_parts, ["src", "dst"],
+                                    {"w": "sum"}).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["host"].notna()][["host"]].drop_duplicates()
+
+    nodes = sorted_distinct_keys(
+        hx.map_batches(node_partial, batch_format="pandas"),
+        ["host"]).materialize()
+    out = pagerank_int(edges, nodes, n_iters=5).to_pandas()
+    if not len(out):
+        return _empty_result(**empty)
+    return out[["host", "out_deg", "rank"]].sort_values("host") \
+        .reset_index(drop=True)

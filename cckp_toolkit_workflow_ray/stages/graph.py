@@ -1,0 +1,178 @@
+"""Distributed graph analytics over keyed edge streams.
+
+Integer-exact PageRank (Page et al. 1999): every quantity is an int64
+— ranks in fixed-point ``scale`` units, per-edge contribution
+``(r_src * w) // deg_src`` (floor division on positive ints), damping
+applied as the integer ``base + (85 * Σ) // 100`` — so results are
+bit-identical at any parallelism / block order and reproducible in
+ANSI SQL by unrolled-iteration CTEs.  Dangling-node mass is dropped
+(the simplified PageRank variant; every rank still gets the
+``(1−d)·scale`` base, so no node vanishes).  Provenance: the reference
+workflow has no graph operator (`/root/reference/main.nf` is a linear
+validation DAG); this extends the curation family with the standard
+link-authority signal used for crawl-frontier prioritisation.
+
+Scale shape — the shared two-regime convention:
+
+* node set ≤ ``broadcast_limit``: the O(nodes) rank/degree tables live
+  on the driver and broadcast ONCE PER ITERATION via ``ray.put``; the
+  edge Dataset (the big side — edges ≫ nodes on web graphs) streams
+  through one ``map_batches`` contribution pass + one sorted-run keyed
+  sum per iteration and is never collected.
+* beyond the limit: ranks and degrees stay Datasets; each iteration is
+  a bucketed ``hash_join`` (edges ⋈ ranks on src) + sorted-run keyed
+  sum + LEFT join back onto the node set — two keyed exchanges per
+  iteration, no driver table at node cardinality.  Both regimes are
+  row-identical (pytest-pinned).
+
+Overflow bound (int64): ``damping_num · Σ contrib ≤ 100 · n_nodes ·
+scale`` must stay below 2^63 — at the default ``scale`` 1e9 that is
+~10^8 nodes; raise/shrink ``scale`` past that (documented, loud
+assert below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
+                 damping_num: int = 85, damping_den: int = 100,
+                 broadcast_limit: int = 2_000_000):
+    """Integer-exact PageRank over an aggregated edge Dataset.
+
+    ``edges``: Dataset with columns ``(src, dst, w)`` — already
+    key-aggregated, positive int weights.  ``nodes``: Dataset with the
+    distinct node column ``host`` (no NULLs).  Returns a Dataset of
+    ``(host, out_deg, rank)`` — ``rank`` after ``n_iters`` synchronous
+    iterations from the uniform ``scale`` start, ``out_deg`` the total
+    out-edge weight (0 for dangling nodes).
+    """
+    import ray
+    import ray.data as rd
+
+    from .groupagg import sorted_reduce_by_key_ds, sorted_sum_by_key
+    from .joins import hash_join
+
+    base = (damping_den - damping_num) * scale // damping_den
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "out_deg": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64")}))
+    assert damping_den * n_nodes * scale < 2**62, (
+        "pagerank_int int64 overflow bound: shrink scale for "
+        f"{n_nodes} nodes")
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"src": pd.Series([], dtype=object),
+                                 "deg": pd.Series([], dtype="int64")})
+        g = df.groupby("src", as_index=False)["w"].sum()
+        return g.rename(columns={"w": "deg"})
+
+    if n_nodes <= broadcast_limit:
+        deg_df = sorted_sum_by_key(
+            edges.map_batches(deg_partial, batch_format="pandas"),
+            ["src"], ["deg"])
+        deg_ref = ray.put(deg_df)
+        ew = edges.map_batches(
+            lambda df: df.merge(ray.get(deg_ref), on="src"),
+            batch_format="pandas").materialize()
+        hosts_df = nodes.to_pandas()
+        ranks = pd.DataFrame({"host": hosts_df["host"],
+                              "r": np.full(len(hosts_df), scale,
+                                           dtype=np.int64)})
+        for _ in range(n_iters):
+            r_ref = ray.put(ranks)
+
+            def contrib(df: pd.DataFrame, _ref=r_ref) -> pd.DataFrame:
+                m = df.merge(ray.get(_ref), left_on="src",
+                             right_on="host", how="inner")
+                if m.empty:
+                    return pd.DataFrame({
+                        "dst": pd.Series([], dtype=object),
+                        "s": pd.Series([], dtype="int64")})
+                s = (m["r"].to_numpy(dtype=np.int64)
+                     * m["w"].to_numpy(dtype=np.int64)) \
+                    // m["deg"].to_numpy(dtype=np.int64)
+                return pd.DataFrame({"dst": m["dst"], "s": s}) \
+                    .groupby("dst", as_index=False).sum()
+
+            sums = sorted_sum_by_key(
+                ew.map_batches(contrib, batch_format="pandas"),
+                ["dst"], ["s"])
+            merged = hosts_df.merge(
+                sums.rename(columns={"dst": "host"}), on="host",
+                how="left")
+            sval = merged["s"].fillna(0).to_numpy(dtype=np.int64) \
+                if "s" in merged else np.zeros(len(merged),
+                                               dtype=np.int64)
+            ranks = pd.DataFrame({
+                "host": merged["host"],
+                "r": base + (damping_num * sval) // damping_den})
+        out = hosts_df[["host"]].merge(
+            deg_df.rename(columns={"src": "host", "deg": "out_deg"}),
+            on="host", how="left")
+        out["out_deg"] = out["out_deg"].fillna(0).astype(np.int64) \
+            if "out_deg" in out else np.zeros(len(out), dtype=np.int64)
+        out = out.merge(ranks.rename(columns={"r": "rank"}), on="host")
+        out["rank"] = out["rank"].astype(np.int64)
+        return rd.from_pandas(
+            out.sort_values("host").reset_index(drop=True))
+
+    # ---- bucketed regime: no driver table at node cardinality ----
+    deg_ds = sorted_reduce_by_key_ds(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        ["src"], {"deg": "sum"})
+    ew = hash_join(edges, deg_ds, on="src").materialize()
+    ranks_ds = nodes.map_batches(
+        lambda df: pd.DataFrame({
+            "src": df["host"],
+            "r": np.full(len(df), scale, dtype=np.int64)}),
+        batch_format="pandas").materialize()
+    for _ in range(n_iters):
+        joined = hash_join(ew, ranks_ds, on="src")
+
+        def contrib_b(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"dst": pd.Series([], dtype=object),
+                                     "s": pd.Series([], dtype="int64")})
+            s = (df["r"].to_numpy(dtype=np.int64)
+                 * df["w"].to_numpy(dtype=np.int64)) \
+                // df["deg"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({"dst": df["dst"], "s": s}) \
+                .groupby("dst", as_index=False).sum()
+
+        sums_ds = sorted_reduce_by_key_ds(
+            joined.map_batches(contrib_b, batch_format="pandas"),
+            ["dst"], {"s": "sum"}).map_batches(
+                lambda df: df.rename(columns={"dst": "src"}),
+                batch_format="pandas")
+        ranks_ds = hash_join(nodes.map_batches(
+            lambda df: df.rename(columns={"host": "src"}),
+            batch_format="pandas"), sums_ds, on="src", how="left") \
+            .map_batches(
+                lambda df: pd.DataFrame({
+                    "src": df["src"],
+                    "r": base + (damping_num * df["s"].fillna(0)
+                                 .to_numpy(dtype=np.int64))
+                    // damping_den}),
+                batch_format="pandas").materialize()
+    out_ds = hash_join(
+        ranks_ds.map_batches(
+            lambda df: df.rename(columns={"src": "host", "r": "rank"}),
+            batch_format="pandas"),
+        deg_ds.map_batches(
+            lambda df: df.rename(columns={"src": "host",
+                                          "deg": "out_deg"}),
+            batch_format="pandas"),
+        on="host", how="left")
+    return out_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "host": df["host"],
+            "out_deg": df["out_deg"].fillna(0).astype(np.int64),
+            "rank": df["rank"].astype(np.int64)}),
+        batch_format="pandas")

@@ -1,0 +1,76 @@
+"""pagerank_int: regime equivalence + semantics pins.
+
+The query-level result is SQL-oracled (``pagerank_hosts`` in the
+conformance sweep); these tests pin what the oracle cannot see — that
+the bucketed no-driver-table regime is row-identical to the broadcast
+regime, and the integer semantics of dangling/isolated nodes.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from cckp_toolkit_workflow_ray.stages.graph import pagerank_int
+
+SCALE = 10**9
+BASE = 15 * SCALE // 100
+
+
+def _fixture():
+    # a -> b (2), a -> c (1), b -> c (1); d isolated (no edges at all),
+    # c dangling (in-edges only)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["a", "a", "b"],
+        "dst": ["b", "c", "c"],
+        "w": np.array([2, 1, 1], dtype=np.int64)}))
+    nodes = rd.from_pandas(pd.DataFrame({"host": ["a", "b", "c", "d"]}))
+    return edges, nodes
+
+
+def _run(broadcast_limit, n_iters=3):
+    edges, nodes = _fixture()
+    return pagerank_int(edges, nodes, n_iters=n_iters,
+                        broadcast_limit=broadcast_limit).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+
+
+def test_regimes_row_identical(ray_session):
+    a = _run(broadcast_limit=2_000_000)
+    b = _run(broadcast_limit=0)  # forces the bucketed no-driver path
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_integer_semantics(ray_session):
+    out = _run(broadcast_limit=2_000_000, n_iters=1).set_index("host")
+    # isolated + dangling nodes keep the base mass only
+    assert out.loc["a", "rank"] == BASE
+    assert out.loc["d", "rank"] == BASE
+    assert out.loc["d", "out_deg"] == 0
+    # one iteration from uniform start: b gets a's 2/3 share,
+    # c gets a's 1/3 + b's all — exact floor arithmetic
+    assert out.loc["b", "rank"] == BASE + (85 * ((SCALE * 2) // 3)) // 100
+    assert out.loc["c", "rank"] == BASE + (
+        85 * ((SCALE * 1) // 3 + SCALE)) // 100
+    assert out.loc["a", "out_deg"] == 3
+
+
+def test_empty_graph(ray_session):
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": pd.Series([], dtype=object),
+        "dst": pd.Series([], dtype=object),
+        "w": pd.Series([], dtype="int64")}))
+    nodes = rd.from_pandas(pd.DataFrame({
+        "host": pd.Series([], dtype=object)}))
+    out = pagerank_int(edges, nodes).to_pandas()
+    # Ray drops the schema of fully-empty datasets — the typed-empty
+    # column guarantee lives at the query surface (see the
+    # pagerank_hosts entry in test_queries_survive_empty_corpus)
+    assert len(out) == 0
+
+
+def test_overflow_guard(ray_session):
+    edges, nodes = _fixture()
+    with pytest.raises(AssertionError, match="overflow"):
+        pagerank_int(edges, nodes, scale=2**62)

@@ -276,6 +276,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                              "total_chars"],
         "token_entropy": ["lang", "n_tokens", "vocab", "ent_e6"],
         "pmi_bigrams": ["w1", "w2", "n", "pmi_e6", "rk"],
+        "pagerank_hosts": ["host", "out_deg", "rank"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -345,6 +346,9 @@ NASTY_QUERIES = [
     "cube_lang_source",
     # tokenizer family on exotic whitespace / empty strings
     "token_entropy", "pmi_bigrams",
+    # NULL source -> NULL host: no node, and no edge THROUGH the doc —
+    # adjacency must skip null-host endpoints identically to SQL
+    "pagerank_hosts",
 ]
 
 
