@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q.token_entropy,
         "pmi_bigrams": q.pmi_bigrams,
         "pagerank_hosts": q.pagerank_hosts,
+        "host_components": q.host_components,
+        "event_rate_anomaly": q.event_rate_anomaly,
     }
 
 
@@ -2367,5 +2369,65 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n JOIN r5 ON r5.host = n.host
             LEFT JOIN deg d ON d.src = n.host
             ORDER BY n.host
+        """,
+        # connected components of the same host graph, rep = min host
+        # (recursive min-label transitive closure)
+        "host_components": _URL_CANON_CTE.replace(
+            "WITH urls", "WITH RECURSIVE urls", 1) + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            nodes AS (SELECT DISTINCT host FROM hx
+                      WHERE host IS NOT NULL),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            ue AS (SELECT src, dst FROM e0
+                   UNION SELECT dst, src FROM e0),
+            reach AS (
+                SELECT host, host AS label FROM nodes
+                UNION
+                SELECT e.dst AS host, r.label
+                FROM reach r JOIN ue e ON e.src = r.host),
+            comp AS (SELECT host, min(label) AS component
+                     FROM reach GROUP BY host),
+            sz AS (SELECT component,
+                          CAST(count(*) AS BIGINT) AS comp_size
+                   FROM comp GROUP BY component)
+            SELECT c.host, c.component, s.comp_size
+            FROM comp c JOIN sz s ON s.component = c.component
+            ORDER BY c.host
+        """,
+        # trailing-7-observed-days z-score on exact integer moments
+        "event_rate_anomaly": """
+            WITH e AS (
+                SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                       count(*) AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            w AS (
+                SELECT day_us, c,
+                       CAST(count(*) OVER win AS BIGINT) AS cnt,
+                       CAST(sum(c) OVER win AS BIGINT) AS s,
+                       CAST(sum(c * c) OVER win AS BIGINT) AS q
+                FROM e
+                WINDOW win AS (ORDER BY day_us
+                               ROWS BETWEEN 7 PRECEDING
+                               AND 1 PRECEDING))
+            SELECT make_timestamp(day_us) AS day,
+                   CAST(c AS BIGINT) AS n_events,
+                   CASE WHEN cnt = 7
+                             AND (7.0 * q - CAST(s AS DOUBLE) * s)
+                                 / 49.0 > 0
+                        THEN CAST(round(1000000 * ((CAST(c AS DOUBLE)
+                                  - CAST(s AS DOUBLE) / 7.0)
+                                  / sqrt((7.0 * q
+                                          - CAST(s AS DOUBLE) * s)
+                                         / 49.0))) AS BIGINT)
+                        ELSE NULL END AS z_e6
+            FROM w ORDER BY day
         """,
     }

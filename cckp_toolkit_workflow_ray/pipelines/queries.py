@@ -4205,3 +4205,138 @@ def pagerank_hosts(sf_dir: str) -> pa.Table:
         return _empty_result(**empty)
     return out[["host", "out_deg", "rank"]].sort_values("host") \
         .reset_index(drop=True)
+
+
+def host_components(sf_dir: str) -> pa.Table:
+    """Connected components of the canonical-host crawl-adjacency graph
+    (``stages/graph.py:connected_components_str``): the standalone
+    graph-clustering face of the dedup family's CC machinery, string
+    keys, component rep = lexicographic MIN host (the recursive-CTE-
+    reproducible choice).  Reuses ``pagerank_hosts``' sorted-run edge
+    derivation; isolated hosts are their own component.  Output also
+    carries the component size (tiny second keyed sum)."""
+    import ray.data as rd
+
+    from ..functions.urls import canonicalize_urls, url_hosts
+    from ..stages.graph import connected_components_str
+    from ..stages.groupagg import sorted_distinct_keys, \
+        sorted_reduce_by_key_ds
+
+    urls = _derived_url_corpus(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        cu = canonicalize_urls(t.column("url"))
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                         "host": url_hosts(cu)})
+
+    hx = urls.map_batches(canon, batch_format="pyarrow")
+    sorted_hx = hx.sort("doc_id").materialize()
+    empty = dict(host=object, component=object, comp_size="int64")
+
+    _EDGE_EMPTY = pd.DataFrame({"src": pd.Series([], dtype=object),
+                                "dst": pd.Series([], dtype=object),
+                                "w": pd.Series([], dtype="int64")})
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _EDGE_EMPTY
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        h = df["host"].to_numpy(dtype=object)
+        adj = ids[1:] == ids[:-1] + 1
+        src, dst = h[:-1][adj], h[1:][adj]
+        keep = pd.notna(src) & pd.notna(dst)
+        if not keep.any():
+            return _EDGE_EMPTY
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep],
+                             "w": 1}).groupby(["src", "dst"],
+                                              as_index=False).sum()
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "host": pd.Series([], dtype=object),
+                                 "bkey": pd.Series([], dtype="int64")})
+        out = df.iloc[[0, len(df) - 1]].copy()
+        out["bkey"] = np.int64(df["doc_id"].iloc[0])
+        return out
+
+    edges_parts = sorted_hx.map_batches(
+        interior, batch_format="pandas", batch_size=None)
+    bnd = sorted_hx.map_batches(
+        boundary, batch_format="pandas", batch_size=None).to_pandas()
+    if len(bnd):
+        b = bnd.sort_values("doc_id").reset_index(drop=True)
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        hosts = b["host"].to_numpy(dtype=object)
+        bkey = b["bkey"].to_numpy(dtype=np.int64)
+        adj = (ids[1:] == ids[:-1] + 1) & (bkey[1:] != bkey[:-1])
+        src, dst = hosts[:-1][adj], hosts[1:][adj]
+        keep = pd.notna(src) & pd.notna(dst)
+        if keep.any():
+            cross = pd.DataFrame({"src": src[keep], "dst": dst[keep],
+                                  "w": 1}).groupby(
+                ["src", "dst"], as_index=False).sum()
+            edges_parts = edges_parts.union(rd.from_pandas(cross))
+    edges = sorted_reduce_by_key_ds(edges_parts, ["src", "dst"],
+                                    {"w": "sum"}).materialize()
+    nodes = sorted_distinct_keys(
+        hx.map_batches(
+            lambda df: df[df["host"].notna()][["host"]].drop_duplicates(),
+            batch_format="pandas"),
+        ["host"]).materialize()
+    comp = connected_components_str(edges, nodes).to_pandas()
+    if not len(comp):
+        return _empty_result(**empty)
+    sizes = comp.groupby("component", as_index=False).size() \
+        .rename(columns={"size": "comp_size"})
+    out = comp.merge(sizes, on="component")
+    out["comp_size"] = out["comp_size"].astype(np.int64)
+    return out[["host", "component", "comp_size"]].sort_values("host") \
+        .reset_index(drop=True)
+
+
+def event_rate_anomaly(sf_dir: str) -> pa.Table:
+    """Daily-volume anomaly detection (the monitoring face of the
+    drift family): each day's event count z-scored against the
+    TRAILING 7 observed days (rows, not calendar — SQL ``ROWS BETWEEN
+    7 PRECEDING AND 1 PRECEDING``).  Day counts are a distributed
+    combiner sum; the rolling moments live on the O(days)
+    calendar-bounded driver table.  All moments are exact int64 —
+    the z closed form is ONE float expression with SQL-identical
+    operand order, e6-rounded; days with an incomplete window or
+    zero variance yield NULL.  NULL timestamps are excluded."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"day_us": (us // _DAY_US) * _DAY_US,
+                           "n_events": 1})
+        return pa.Table.from_pandas(
+            df.groupby("day_us", as_index=False).sum(),
+            preserve_index=False)
+
+    counts = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["day_us"], ["n_events"]).to_pandas()
+    if counts.empty or "n_events" not in counts:
+        return _empty_result(day="datetime64[ns]", n_events="int64",
+                             z_e6="float64")
+    counts = counts.sort_values("day_us").reset_index(drop=True)
+    c = counts["n_events"].to_numpy(dtype=np.int64)
+    n = len(c)
+    z_e6 = np.full(n, np.nan)
+    for i in range(7, n):          # O(days) — calendar-bounded
+        win = c[i - 7:i]
+        s, q = int(win.sum()), int((win * win).sum())
+        var = (7.0 * q - float(s) * s) / 49.0
+        if var > 0:
+            z = (float(c[i]) - float(s) / 7.0) / np.sqrt(var)
+            z_e6[i] = _round_half_away(np.array([1e6 * z]))[0]
+    out = pd.DataFrame({
+        "day": pd.to_datetime(counts["day_us"], unit="us"),
+        "n_events": counts["n_events"].astype(np.int64),
+        "z_e6": _int_or_float64(pd.Series(z_e6)),
+    })
+    return out.sort_values("day").reset_index(drop=True)

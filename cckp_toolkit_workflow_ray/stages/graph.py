@@ -176,3 +176,98 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
             "out_deg": df["out_deg"].fillna(0).astype(np.int64),
             "rank": df["rank"].astype(np.int64)}),
         batch_format="pandas")
+
+
+def connected_components_str(edges, nodes, max_rounds: int = 64,
+                             driver_limit: int = 2_000_000):
+    """Connected components over STRING-keyed undirected edges →
+    Dataset ``(host, component)`` with component = lexicographic MIN
+    host of the component (the SQL-recursive-CTE-reproducible rep).
+
+    Two regimes (the ``cluster_near_dups`` convention, string keys):
+    at or below ``driver_limit`` edges, a driver union-find with path
+    compression (the pair set is already aggregated/bounded); beyond
+    it, iterative distributed min-label propagation — each round
+    attaches labels to edge sources (bucketed hash join), edges forward
+    ``label`` to their targets, and a sorted-run keyed MIN produces the
+    new labels.  Labels decrease monotonically (lexicographically) to
+    the component minimum; RAISES after ``max_rounds`` without
+    convergence rather than returning possibly-wrong components (the
+    dedup-CC policy).  Both regimes are row-identical (pytest-pinned).
+    """
+    import ray.data as rd
+
+    from .groupagg import sorted_reduce_by_key_ds
+    from .joins import hash_join
+
+    if nodes.count() == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "component": pd.Series([], dtype=object)}))
+
+    # undirected: every edge both ways, weights irrelevant
+    und = edges.map_batches(
+        lambda df: pd.concat([
+            df[["src", "dst"]],
+            df[["src", "dst"]].rename(
+                columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+        ], ignore_index=True).drop_duplicates() if len(df) else
+        pd.DataFrame({"src": pd.Series([], dtype=object),
+                      "dst": pd.Series([], dtype=object)}),
+        batch_format="pandas").materialize()
+
+    if und.count() <= driver_limit:
+        e = und.to_pandas()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(e["src"], e["dst"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        hosts = nodes.to_pandas()["host"]
+        out = pd.DataFrame({
+            "host": hosts,
+            "component": [find(h) for h in hosts]})
+        return rd.from_pandas(
+            out.sort_values("host").reset_index(drop=True))
+
+    labels = nodes.map_batches(
+        lambda df: pd.DataFrame({"src": df["host"],
+                                 "label": df["host"]}),
+        batch_format="pandas").materialize()
+    for _ in range(max_rounds):
+        # forward each node's label across its out-edges, keep the
+        # per-node min of (own label, incoming labels)
+        fwd = hash_join(und, labels, on="src").map_batches(
+            lambda df: pd.DataFrame({"src": df["dst"],
+                                     "label": df["label"]}),
+            batch_format="pandas")
+        new_labels = sorted_reduce_by_key_ds(
+            labels.union(fwd), ["src"], {"label": "min"}).materialize()
+        changed = hash_join(
+            new_labels.map_batches(
+                lambda df: df.rename(columns={"label": "new"}),
+                batch_format="pandas"),
+            labels, on="src").map_batches(
+                lambda df: pd.DataFrame(
+                    {"c": np.array([int((df["new"] != df["label"])
+                                        .sum())], dtype=np.int64)}),
+                batch_format="pandas").sum("c")
+        labels = new_labels
+        if not changed:
+            return labels.map_batches(
+                lambda df: pd.DataFrame({"host": df["src"],
+                                         "component": df["label"]}),
+                batch_format="pandas")
+    raise RuntimeError(
+        f"connected_components_str: no convergence in {max_rounds} "
+        "rounds — raise max_rounds (graph diameter exceeds it)")

@@ -74,3 +74,40 @@ def test_overflow_guard(ray_session):
     edges, nodes = _fixture()
     with pytest.raises(AssertionError, match="overflow"):
         pagerank_int(edges, nodes, scale=2**62)
+
+
+# ---------------------------------------------------------------------------
+# connected_components_str
+# ---------------------------------------------------------------------------
+
+from cckp_toolkit_workflow_ray.stages.graph import connected_components_str
+
+
+def _cc_fixture():
+    # two components {a,b,c} (chain) and {x,y}; z isolated
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["b", "c", "y"],
+        "dst": ["a", "b", "x"],
+        "w": np.array([1, 1, 1], dtype=np.int64)}))
+    nodes = rd.from_pandas(pd.DataFrame({
+        "host": ["a", "b", "c", "x", "y", "z"]}))
+    return edges, nodes
+
+
+def test_cc_regimes_row_identical(ray_session):
+    edges, nodes = _cc_fixture()
+    a = connected_components_str(edges, nodes).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    edges2, nodes2 = _cc_fixture()
+    b = connected_components_str(edges2, nodes2, driver_limit=0) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert a.set_index("host")["component"].to_dict() == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_cc_nonconvergence_raises(ray_session):
+    edges, nodes = _cc_fixture()
+    with pytest.raises(RuntimeError, match="convergence"):
+        connected_components_str(edges, nodes, driver_limit=0,
+                                 max_rounds=1)

@@ -277,6 +277,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "token_entropy": ["lang", "n_tokens", "vocab", "ent_e6"],
         "pmi_bigrams": ["w1", "w2", "n", "pmi_e6", "rk"],
         "pagerank_hosts": ["host", "out_deg", "rank"],
+        "host_components": ["host", "component", "comp_size"],
+        "event_rate_anomaly": ["day", "n_events", "z_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -348,7 +350,10 @@ NASTY_QUERIES = [
     "token_entropy", "pmi_bigrams",
     # NULL source -> NULL host: no node, and no edge THROUGH the doc —
     # adjacency must skip null-host endpoints identically to SQL
-    "pagerank_hosts",
+    "pagerank_hosts", "host_components",
+    # NULL ts excluded; the nasty pre-1970 / isolated days land in
+    # incomplete trailing windows and must yield NULL z identically
+    "event_rate_anomaly",
 ]
 
 
