@@ -438,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": q.pagerank_hosts,
         "host_components": q.host_components,
         "event_rate_anomaly": q.event_rate_anomaly,
+        "snapshot_diff": q.snapshot_diff,
+        "dataset_split": q.dataset_split,
     }
 
 
@@ -2429,5 +2431,41 @@ def oracle_sql() -> dict[str, str]:
                                          / 49.0))) AS BIGINT)
                         ELSE NULL END AS z_e6
             FROM w ORDER BY day
+        """,
+        # snapshot-diff classification over the deterministically
+        # derived next crawl (drop %7, rewrite %10, re-add %11 at +20M);
+        # NULL IS DISTINCT FROM semantics matches the engine's
+        # null-marker hash
+        "snapshot_diff": """
+            WITH newc AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN 'rev2 ' || coalesce(text, '')
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents
+                WHERE doc_id % 11 = 0),
+            cls AS (
+                SELECT CASE WHEN b.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN n.text IS DISTINCT FROM b.text
+                                 THEN 'changed'
+                            ELSE 'unchanged' END AS change_class
+                FROM documents b FULL OUTER JOIN newc n
+                  ON n.doc_id = b.doc_id)
+            SELECT change_class, CAST(count(*) AS BIGINT) AS n_docs
+            FROM cls GROUP BY 1 ORDER BY 1
+        """,
+        # the shared Knuth shuffle key drives the stable 90/5/5 split
+        "dataset_split": """
+            SELECT lang,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                        THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+                        THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -110,6 +110,21 @@ BENCH_QUERIES = [
     "funnel_conversion",
     # r4: skew-aware join (hot keys broadcast, cold keys bucketed)
     "skew_join_events",
+    # r4 continuation: drift/sequence/statistical/phrase family
+    "daily_drift",
+    "inter_event_gaps",
+    "latest_event_per_user",
+    "corr_chars_tokens",
+    "cube_lang_source",
+    "token_entropy",
+    "pmi_bigrams",
+    # r4 continuation: graph family (integer-exact PageRank + string CC)
+    "pagerank_hosts",
+    "host_components",
+    "event_rate_anomaly",
+    # r4 continuation: CDC snapshot diff + stable corpus splitting
+    "snapshot_diff",
+    "dataset_split",
 ]
 
 

@@ -4340,3 +4340,129 @@ def event_rate_anomaly(sf_dir: str) -> pa.Table:
         "z_e6": _int_or_float64(pd.Series(z_e6)),
     })
     return out.sort_values("day").reset_index(drop=True)
+
+
+def snapshot_diff(sf_dir: str) -> pa.Table:
+    """Corpus snapshot diff (the CDC / table-versioning op): classify
+    every doc_id across two crawl snapshots as added / removed /
+    changed / unchanged.  The new snapshot derives deterministically
+    from `documents` (SQL-mirrored exactly): every doc_id % 7 == 0 is
+    DROPPED, every remaining % 10 == 0 gets its text rewritten
+    ('rev2 ' prefix), every % 11 == 0 re-appears under id + 20M
+    (added).  Scale shape: each side maps to an ints-only (doc_id,
+    side, text-hash) stream — the wide text column never enters the
+    exchange — then ONE range sort classifies: a doc_id interior to a
+    block holds its ≤2 rows in place and classifies vectorized; the
+    ≤2 block-edge doc_ids ship pre-combined rows to the driver (the
+    sorted-run contract), instead of the three bucketed joins a naive
+    full-outer diff would pay.  Text equality rides the 64-bit
+    SipHash-style content hash with a NULL marker (per-doc-pair
+    comparison, so collision exposure is n · 2⁻⁶⁴ — the repo's
+    128-bit-equality convention applies)."""
+    from ..functions.hashing import hash_strings
+    from ..stages.ranking import _edge_mask
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _NULLT = "\x00__NULLTEXT__"
+
+    def _h(texts: pd.Series) -> np.ndarray:
+        return hash_strings(
+            texts.fillna(_NULLT).to_numpy(dtype=object)).astype(np.int64)
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = pd.Series(t.column("text").to_numpy(zero_copy_only=False))
+        h = _h(txt)
+        base = pd.DataFrame({"doc_id": ids, "side": np.int64(0), "h": h})
+        keep = ids % 7 != 0
+        chg = keep & (ids % 10 == 0)
+        new_txt = txt.where(~chg, "rev2 " + txt.fillna(""))
+        hn = _h(new_txt)
+        new = pd.DataFrame({"doc_id": ids[keep], "side": np.int64(1),
+                            "h": hn[keep]})
+        addm = ids % 11 == 0
+        add = pd.DataFrame({"doc_id": ids[addm] + 20_000_000,
+                            "side": np.int64(1), "h": h[addm]})
+        return pd.concat([base, new, add], ignore_index=True)
+
+    sorted_ds = ds.map_batches(keys, batch_format="pyarrow") \
+                  .sort("doc_id").materialize()
+    _CLS = ["added", "changed", "removed", "unchanged"]
+    _EMPTY = pd.DataFrame({c: pd.Series([], dtype="int64") for c in _CLS})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id").agg(
+            n=("side", "size"), ssum=("side", "sum"),
+            hmin=("h", "min"), hmax=("h", "max"))
+        removed = int(((g["n"] == 1) & (g["ssum"] == 0)).sum())
+        added = int(((g["n"] == 1) & (g["ssum"] == 1)).sum())
+        changed = int(((g["n"] == 2) & (g["hmin"] != g["hmax"])).sum())
+        unchanged = int(((g["n"] == 2) & (g["hmin"] == g["hmax"])).sum())
+        return pd.DataFrame({"added": [np.int64(added)],
+                             "changed": [np.int64(changed)],
+                             "removed": [np.int64(removed)],
+                             "unchanged": [np.int64(unchanged)]})
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        inner = df[~_edge_mask(df, ["doc_id"])]
+        return classify(inner) if len(inner) else _EMPTY
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["doc_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    tot = {c: (int(parts[c].sum()) if c in parts else 0) for c in _CLS}
+    if len(edge_rows):
+        e = classify(edge_rows)
+        for c in _CLS:
+            tot[c] += int(e[c].iloc[0])
+    out = pd.DataFrame({"change_class": _CLS,
+                        "n_docs": [tot[c] for c in _CLS]})
+    out = out[out["n_docs"] > 0]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("change_class").reset_index(drop=True)
+
+
+def dataset_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split assignment (the standard
+    pre-training corpus partitioning op): split by the shared Knuth
+    shuffle key — ``(doc_id * 2654435761) % 2^32 % 100`` → <90 train,
+    <95 val, else test — so membership is stable under re-runs,
+    re-partitioning and corpus growth, and spelled out verbatim in
+    SQL.  One combiner pass; output is the per-(lang, split)
+    composition (counts + char mass).  NULL lang is a group."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = _shuffle_key(ids) % 100
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "split": split,
+            "n_docs": 1,
+            "sum_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "split"], as_index=False).sum(),
+            preserve_index=False)
+
+    out = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["lang", "split"], ["n_docs", "sum_chars"]
+                      ).to_pandas()
+    if out.empty or "n_docs" not in out:
+        return _empty_result(lang=object, split=object, n_docs="int64",
+                             sum_chars="int64")
+    out = _restore_null_keys(out, ["lang", "split"])
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out[["lang", "split", "n_docs", "sum_chars"]].sort_values(
+        ["lang", "split"], na_position="last").reset_index(drop=True)

@@ -279,6 +279,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "pagerank_hosts": ["host", "out_deg", "rank"],
         "host_components": ["host", "component", "comp_size"],
         "event_rate_anomaly": ["day", "n_events", "z_e6"],
+        "snapshot_diff": ["change_class", "n_docs"],
+        "dataset_split": ["lang", "split", "n_docs", "sum_chars"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -354,6 +356,11 @@ NASTY_QUERIES = [
     # NULL ts excluded; the nasty pre-1970 / isolated days land in
     # incomplete trailing windows and must yield NULL z identically
     "event_rate_anomaly",
+    # NULL-text docs must diff as unchanged (NULL vs NULL) yet changed
+    # when rewritten ('rev2 ' vs NULL) — IS DISTINCT FROM parity
+    "snapshot_diff",
+    # NULL lang split groups + NULL n_chars mass
+    "dataset_split",
 ]
 
 
