@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rate_anomaly": q.event_rate_anomaly,
         "snapshot_diff": q.snapshot_diff,
         "dataset_split": q.dataset_split,
+        "bigram_logprob": q.bigram_logprob,
     }
 
 
@@ -2467,5 +2468,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # add-one bigram LM trained and scored on the corpus; per-type
+        # ln rounded once to micro-nats (exact int accumulation)
+        "bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS l
+                FROM documents),
+            big AS (SELECT lang, l[i.i] AS w1, l[i.i + 1] AS w2
+                    FROM toks,
+                         LATERAL (SELECT unnest(range(1, len(l))) AS i) i),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                   FROM big GROUP BY w1, w2),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                   FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+            v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uc),
+            lp AS (SELECT b.w1, b.w2,
+                          CAST(round(1000000 * ln(
+                              (CAST(b.c12 AS DOUBLE) + 1.0)
+                              / (CAST(u.c1 AS DOUBLE) + vv.vocab)))
+                               AS BIGINT) AS lp_e6
+                   FROM bc b JOIN uc u ON u.w = b.w1 CROSS JOIN v vv),
+            sc AS (SELECT g.lang, l.lp_e6
+                   FROM big g JOIN lp l
+                     ON l.w1 = g.w1 AND l.w2 = g.w2),
+            agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6
+                    FROM sc GROUP BY lang),
+            docs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM documents GROUP BY lang)
+            SELECT d.lang, d.n_docs,
+                   coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   coalesce(a.sum_lp_e6, 0) AS sum_lp_e6
+            FROM docs d LEFT JOIN agg a
+              ON a.lang IS NOT DISTINCT FROM d.lang
+            ORDER BY d.lang
         """,
     }

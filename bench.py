@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     # r4 continuation: CDC snapshot diff + stable corpus splitting
     "snapshot_diff",
     "dataset_split",
+    # r4 continuation: add-one bigram LM (order-2 fluency scoring)
+    "bigram_logprob",
 ]
 
 

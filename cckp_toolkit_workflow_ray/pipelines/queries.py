@@ -3745,7 +3745,13 @@ def daily_drift(sf_dir: str) -> pa.Table:
         n_cur, n_prev = int(c_cur.sum()), int(c_prev.sum())
         p_cur = (c_cur + 0.5) / (n_cur + 10.0)
         p_prev = (c_prev + 0.5) / (n_prev + 10.0)
-        psi = float(np.cumsum((p_cur - p_prev) * np.log(p_cur / p_prev))[-1])
+        # libm math.log per bucket, not np.log: DuckDB's ln() is libm's
+        # log and numpy's SIMD path can differ by an ulp (the
+        # lm_score.py convention) — 20 scalar calls per day pair
+        import math
+        lg = np.array([math.log(r) for r in p_cur / p_prev],
+                      dtype=np.float64)
+        psi = float(np.cumsum((p_cur - p_prev) * lg)[-1])
         f_cur = np.cumsum(c_cur).astype(np.float64) / n_cur
         f_prev = np.cumsum(c_prev).astype(np.float64) / n_prev
         ks = float(np.max(np.abs(f_cur - f_prev)))
@@ -4025,15 +4031,25 @@ def token_entropy(sf_dir: str) -> pa.Table:
     if counts.empty:
         return _empty_result(lang=object, n_tokens="int64", vocab="int64",
                              ent_e6="int64")
+    import math
+
     c = counts["n"].to_numpy(dtype=np.int64)
-    counts = counts.assign(
-        s=c * _round_half_away(1e6 * np.log(c)).astype(np.int64))
+    # libm math.log per DISTINCT count value (lm_score.py ln-parity
+    # convention — numpy's SIMD log can differ from DuckDB's libm ln by
+    # an ulp); distinct counts ≪ vocabulary size
+    uc = np.unique(c)
+    lnmap = {int(v): _round_half_away(
+        np.array([1e6 * math.log(v)]))[0] for v in uc}
+    lnc_e6 = np.array([lnmap[int(v)] for v in c], dtype=np.int64)
+    counts = counts.assign(s=c * lnc_e6)
     g = counts.groupby("lang", as_index=False, dropna=False).agg(
         n_tokens=("n", "sum"), vocab=("n", "size"), s=("s", "sum"))
-    nf = g["n_tokens"].to_numpy(dtype=np.int64).astype(np.float64)
+    nint = g["n_tokens"].to_numpy(dtype=np.int64)
+    nf = nint.astype(np.float64)
     g["ent_e6"] = _round_half_away(
-        1e6 * np.log(nf) - g["s"].to_numpy(dtype=np.int64)
-        .astype(np.float64) / nf).astype(np.int64)
+        1e6 * np.array([math.log(v) for v in nint], dtype=np.float64)
+        - g["s"].to_numpy(dtype=np.int64).astype(np.float64) / nf
+    ).astype(np.int64)
     g = _restore_null_keys(g, ["lang"])
     for col in ("n_tokens", "vocab"):
         g[col] = g[col].astype(np.int64)
@@ -4094,9 +4110,15 @@ def pmi_bigrams(sf_dir: str) -> pa.Table:
     c2 = umap.reindex(cand["w2"]).to_numpy(dtype=np.int64) \
         .astype(np.float64)
     c12 = cand["n"].to_numpy(dtype=np.int64)
+    import math
+
     num = c12.astype(np.float64) * np.float64(nu) * np.float64(nu)
     den = np.float64(nb) * c1 * c2
-    pmi_e6 = _round_half_away(1e6 * np.log(num / den)).astype(np.int64)
+    # libm math.log per candidate (min-count-bounded set; the
+    # lm_score.py ln-parity convention vs DuckDB's libm ln)
+    pmi_e6 = _round_half_away(1e6 * np.array(
+        [math.log(r) for r in num / den], dtype=np.float64)
+    ).astype(np.int64)
     out = pd.DataFrame({"w1": cand["w1"].to_numpy(),
                         "w2": cand["w2"].to_numpy(),
                         "n": c12, "pmi_e6": pmi_e6})
@@ -4466,3 +4488,26 @@ def dataset_split(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype(np.int64)
     return out[["lang", "split", "n_docs", "sum_chars"]].sort_values(
         ["lang", "split"], na_position="last").reset_index(drop=True)
+
+
+def bigram_logprob(sf_dir: str) -> pa.Table:
+    """Bigram-LM fluency scoring rolled up per lang
+    (``stages/lm_score.py:bigram_logprob_rollup``): add-one-smoothed
+    P(w2|w1) trained and scored on the corpus in one machinery pass —
+    the order-2 sibling of ``unigram_logprob``, all-integer micro-nat
+    accumulation, two-regime model attachment (broadcast / bucketed
+    composite-key join).  NULL lang is a group; token-less docs count
+    in ``n_docs`` with zero bigrams."""
+    from ..stages.lm_score import bigram_logprob_rollup
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    sent = ds.map_batches(
+        lambda df: df.assign(lang=_sentinel_nulls(df["lang"])),
+        batch_format="pandas")
+    out = bigram_logprob_rollup(sent, group_col="lang", text_col="text")
+    if out.empty:
+        return _empty_result(lang=object, n_docs="int64",
+                             n_bigrams="int64", sum_lp_e6="int64")
+    out = _restore_null_keys(out, ["lang"])
+    return out[["lang", "n_docs", "n_bigrams", "sum_lp_e6"]] \
+        .sort_values("lang", na_position="last").reset_index(drop=True)

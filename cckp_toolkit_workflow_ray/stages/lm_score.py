@@ -209,3 +209,147 @@ def train_unigram_models_pair(ds, text_col: str = "text",
     base_model = _model(counts, "n_base")
     target_model = _model(counts[counts["n_target"] > 0], "n_target")
     return target_model, base_model
+
+
+def bigram_logprob_rollup(ds, group_col: str = "lang",
+                          text_col: str = "text",
+                          broadcast_limit: int = 2_000_000,
+                          batch_size: int = 8192):
+    """Add-one-smoothed bigram-LM corpus scoring rolled up per group —
+    the KenLM-style fluency signal one order above ``unigram_logprob``:
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), scored on the SAME corpus
+    the model is trained on (every scored bigram exists in the model,
+    so no OOV path; cross-corpus scoring would need one).  Exactness
+    discipline: each bigram TYPE's ln is computed once with libm
+    ``math.log`` (the ln-parity convention above) and rounded to
+    integer micro-nats, so all corpus accumulation is exact int64.
+
+    Two regimes on the model side: at or below ``broadcast_limit``
+    bigram types the (w1, w2, lp_e6) table broadcasts once via
+    ``ray.put`` and every scoring batch merges locally; beyond it the
+    instance stream (group, w1, w2) attaches scores through the
+    bucketed ``hash_join`` on the composite key — the model never
+    re-pickles per task and never caps silently.  Groups are counted
+    over ALL docs (``n_docs``), including token-less ones.
+    ``group_col`` must be pre-sentineled by the caller (NULL-group
+    convention)."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.numeric import round_half_away
+    from ..functions.text import word_count_partial
+    from .groupagg import sorted_sum_by_key
+    from .joins import hash_join
+
+    def bpart(t: pa.Table) -> pd.DataFrame:
+        w1l: list[str] = []
+        w2l: list[str] = []
+        for x in t.column(text_col).to_pylist():
+            toks = [w for w in (x or "").split(" ") if w]
+            if len(toks) >= 2:
+                w1l.extend(toks[:-1])
+                w2l.extend(toks[1:])
+        if not w1l:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"w1": w1l, "w2": w2l, "n": 1}) \
+            .groupby(["w1", "w2"], as_index=False).sum()
+
+    def upart(t: pa.Table) -> pd.DataFrame:
+        return word_count_partial(
+            t.column(text_col).to_numpy(zero_copy_only=False))
+
+    def dpart(t: pa.Table) -> pd.DataFrame:
+        g = pd.Series(t.column(group_col).to_numpy(zero_copy_only=False))
+        return pd.DataFrame({group_col: g, "n_docs": 1}) \
+            .groupby(group_col, as_index=False).sum()
+
+    docs = sorted_sum_by_key(
+        ds.select_columns([group_col]).map_batches(
+            dpart, batch_format="pyarrow", batch_size=batch_size),
+        [group_col], ["n_docs"])
+    _zero = pd.DataFrame({
+        group_col: docs[group_col] if len(docs) else
+        pd.Series([], dtype=object),
+        "n_docs": docs["n_docs"].astype(np.int64) if len(docs) else
+        pd.Series([], dtype="int64"),
+        "n_bigrams": np.zeros(len(docs), dtype=np.int64),
+        "sum_lp_e6": np.zeros(len(docs), dtype=np.int64)})
+    big = sorted_sum_by_key(
+        ds.select_columns([text_col]).map_batches(
+            bpart, batch_format="pyarrow", batch_size=batch_size),
+        ["w1", "w2"], ["n"])
+    if big.empty:
+        return _zero
+    uni = sorted_sum_by_key(
+        ds.select_columns([text_col]).map_batches(
+            upart, batch_format="pyarrow", batch_size=batch_size),
+        ["word"], ["n"])
+    vocab = len(uni)
+    model = big.merge(
+        uni.rename(columns={"word": "w1", "n": "c1"}), on="w1")
+    ratios = (model["n"].to_numpy(dtype=np.float64) + 1.0) \
+        / (model["c1"].to_numpy(dtype=np.float64) + float(vocab))
+    model = model.assign(lp_e6=round_half_away(1e6 * np.array(
+        [math.log(r) for r in ratios], dtype=np.float64))
+        .astype(np.int64))[["w1", "w2", "lp_e6"]]
+
+    _SCORE_EMPTY = pd.DataFrame({
+        group_col: pd.Series([], dtype=object),
+        "n_bigrams": pd.Series([], dtype="int64"),
+        "sum_lp_e6": pd.Series([], dtype="int64")})
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        gl: list = []
+        w1l: list[str] = []
+        w2l: list[str] = []
+        for g, x in zip(t.column(group_col).to_pylist(),
+                        t.column(text_col).to_pylist()):
+            toks = [w for w in (x or "").split(" ") if w]
+            if len(toks) >= 2:
+                gl.extend([g] * (len(toks) - 1))
+                w1l.extend(toks[:-1])
+                w2l.extend(toks[1:])
+        return pd.DataFrame({group_col: pd.Series(gl, dtype=object),
+                             "w1": pd.Series(w1l, dtype=object),
+                             "w2": pd.Series(w2l, dtype=object)})
+
+    if len(model) <= broadcast_limit:
+        ref = ray.put(model)
+
+        def score(t: pa.Table, _ref=ref) -> pd.DataFrame:
+            inst = explode(t)
+            if inst.empty:
+                return _SCORE_EMPTY
+            m = inst.merge(ray.get(_ref), on=["w1", "w2"])
+            return m.groupby(group_col, as_index=False).agg(
+                n_bigrams=("lp_e6", "size"), sum_lp_e6=("lp_e6", "sum"))
+
+        rollup = sorted_sum_by_key(
+            ds.select_columns([group_col, text_col]).map_batches(
+                score, batch_format="pyarrow", batch_size=batch_size),
+            [group_col], ["n_bigrams", "sum_lp_e6"])
+    else:
+        inst_ds = ds.select_columns([group_col, text_col]).map_batches(
+            explode, batch_format="pyarrow", batch_size=batch_size)
+        joined = hash_join(inst_ds, rd.from_pandas(model),
+                           on=["w1", "w2"])
+
+        def jpart(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _SCORE_EMPTY
+            return df.groupby(group_col, as_index=False).agg(
+                n_bigrams=("lp_e6", "size"), sum_lp_e6=("lp_e6", "sum"))
+
+        rollup = sorted_sum_by_key(
+            joined.map_batches(jpart, batch_format="pandas"),
+            [group_col], ["n_bigrams", "sum_lp_e6"])
+    if rollup.empty:
+        return _zero
+    out = docs.merge(rollup, on=group_col, how="left")
+    for c in ("n_docs", "n_bigrams", "sum_lp_e6"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    return out

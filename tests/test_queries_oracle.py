@@ -281,6 +281,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "event_rate_anomaly": ["day", "n_events", "z_e6"],
         "snapshot_diff": ["change_class", "n_docs"],
         "dataset_split": ["lang", "split", "n_docs", "sum_chars"],
+        "bigram_logprob": ["lang", "n_docs", "n_bigrams", "sum_lp_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -361,6 +362,9 @@ NASTY_QUERIES = [
     "snapshot_diff",
     # NULL lang split groups + NULL n_chars mass
     "dataset_split",
+    # bigram LM: NULL lang group, NULL/exotic-whitespace texts, and the
+    # NULL-safe LEFT join of token-less groups
+    "bigram_logprob",
 ]
 
 
