@@ -441,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.snapshot_diff,
         "dataset_split": q.dataset_split,
         "bigram_logprob": q.bigram_logprob,
+        "event_transitions": q.event_transitions,
+        "triangle_count": q.triangle_count,
     }
 
 
@@ -2505,5 +2507,61 @@ def oracle_sql() -> dict[str, str]:
             FROM docs d LEFT JOIN agg a
               ON a.lang IS NOT DISTINCT FROM d.lang
             ORDER BY d.lang
+        """,
+        # Markov transitions: LAG pairs per user; a NULL event_type is a
+        # STATE (sentinel round-trip) while the first row of a user has
+        # no transition — disambiguated via lag(event_id)
+        "event_transitions": """
+            WITH o AS (
+                SELECT user_id,
+                       coalesce(event_type, chr(0) || '__null__') AS et,
+                       epoch_us(ts) AS us, event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            p AS (
+                SELECT et AS t2,
+                       lag(et) OVER w AS t1,
+                       lag(event_id) OVER w AS prev_id
+                FROM o
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            c AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE prev_id IS NOT NULL GROUP BY t1, t2),
+            tt AS (SELECT t1, CAST(sum(n) AS BIGINT) AS tot
+                   FROM c GROUP BY t1)
+            SELECT NULLIF(c.t1, chr(0) || '__null__') AS from_type,
+                   NULLIF(c.t2, chr(0) || '__null__') AS to_type,
+                   c.n,
+                   CAST(round(1000000 * (CAST(c.n AS DOUBLE)
+                                         / CAST(t.tot AS DOUBLE)))
+                        AS BIGINT) AS prob_e6
+            FROM c JOIN tt t ON t.t1 = c.t1
+            ORDER BY from_type, to_type
+        """,
+        # triangle census on the canonical simple undirected host graph;
+        # each triangle u<v<z counted once via the ordered 3-way join
+        "triangle_count": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            nodes AS (SELECT DISTINCT host FROM hx
+                      WHERE host IS NOT NULL),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            ce AS (SELECT DISTINCT least(src, dst) AS u,
+                          greatest(src, dst) AS v
+                   FROM e0 WHERE src <> dst)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes)
+                       AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ce) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM ce e1
+                    JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v)
+                       AS n_triangles
         """,
     }

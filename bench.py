@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "dataset_split",
     # r4 continuation: add-one bigram LM (order-2 fluency scoring)
     "bigram_logprob",
+    # r4 continuation: Markov transitions + triangle census
+    "event_transitions",
+    "triangle_count",
 ]
 
 

@@ -4129,25 +4129,24 @@ def pmi_bigrams(sf_dir: str) -> pa.Table:
     return out
 
 
-def pagerank_hosts(sf_dir: str) -> pa.Table:
-    """Integer-exact PageRank over the canonical-host link graph
-    (``stages/graph.py``): nodes are the distinct non-null hosts of the
-    canonicalized derived-URL corpus; a doc links its host to the host
-    of the doc_id+1 successor (the deterministic crawl-adjacency graph
-    — both hosts must be non-null; self-loops kept).  Edge derivation
-    is the sorted-run adjacency motif: ONE range sort by doc_id,
-    block-interior consecutive pairs count vectorized in place, and
-    each block ships exactly its FIRST and LAST row (tagged with the
-    block's first doc_id as block key) so the driver reconstructs only
-    the cross-block pairs — O(2 × blocks) driver rows.  Ranks are
-    fixed-point 1e-9 ints with floor-division contributions, so 5
-    iterations reproduce bit-identically in SQL's unrolled CTEs.
-    NULL-source docs yield NULL urls → NULL hosts → no node, no edge
-    (documented propagation)."""
+def _host_graph(sf_dir: str):
+    """(edges Dataset (src, dst, w), nodes Dataset (host)) of the
+    deterministic crawl-adjacency host graph — shared by
+    ``pagerank_hosts`` / ``host_components`` / ``triangle_count``.
+
+    Nodes are the distinct non-null hosts of the canonicalized
+    derived-URL corpus; a doc links its host to the host of the
+    doc_id+1 successor (both hosts non-null; self-loops kept).  Edge
+    derivation is the sorted-run adjacency motif: ONE range sort by
+    doc_id, block-interior consecutive pairs count vectorized in
+    place, and each block ships exactly its FIRST and LAST row (tagged
+    with the block's first doc_id as block key) so the driver
+    reconstructs only the cross-block pairs — O(2 × blocks) driver
+    rows.  NULL-source docs yield NULL urls → NULL hosts → no node,
+    no edge (documented propagation)."""
     import ray.data as rd
 
     from ..functions.urls import canonicalize_urls, url_hosts
-    from ..stages.graph import pagerank_int
     from ..stages.groupagg import sorted_distinct_keys, \
         sorted_reduce_by_key_ds
 
@@ -4160,16 +4159,20 @@ def pagerank_hosts(sf_dir: str) -> pa.Table:
 
     hx = urls.map_batches(canon, batch_format="pyarrow")
     sorted_hx = hx.sort("doc_id").materialize()
-    empty = dict(host=object, out_deg="int64", rank="int64")
 
     _EDGE_EMPTY = pd.DataFrame({"src": pd.Series([], dtype=object),
                                 "dst": pd.Series([], dtype=object),
                                 "w": pd.Series([], dtype="int64")})
 
-    def pair_counts(ids: np.ndarray, hosts: np.ndarray) -> pd.DataFrame:
+    def pair_counts(ids: np.ndarray, hosts: np.ndarray,
+                    bkey: np.ndarray | None = None) -> pd.DataFrame:
         if len(ids) < 2:
             return _EDGE_EMPTY
         adj = ids[1:] == ids[:-1] + 1
+        if bkey is not None:
+            # cross-block pairs ONLY — a same-block consecutive pair
+            # was already counted by the interior pass
+            adj &= bkey[1:] != bkey[:-1]
         src, dst = hosts[:-1][adj], hosts[1:][adj]
         keep = pd.notna(src) & pd.notna(dst)
         if not keep.any():
@@ -4193,38 +4196,39 @@ def pagerank_hosts(sf_dir: str) -> pa.Table:
         out["bkey"] = np.int64(df["doc_id"].iloc[0])
         return out
 
-    inter_parts = sorted_hx.map_batches(
+    edges_parts = sorted_hx.map_batches(
         interior, batch_format="pandas", batch_size=None)
     bnd = sorted_hx.map_batches(
         boundary, batch_format="pandas", batch_size=None).to_pandas()
-    edges_parts = inter_parts
     if len(bnd):
         b = bnd.sort_values("doc_id").reset_index(drop=True)
-        ids = b["doc_id"].to_numpy(dtype=np.int64)
-        hosts = b["host"].to_numpy(dtype=object)
-        bkey = b["bkey"].to_numpy(dtype=np.int64)
-        # cross-block pairs ONLY — a same-block consecutive pair was
-        # already counted by the interior pass
-        adj = (ids[1:] == ids[:-1] + 1) & (bkey[1:] != bkey[:-1])
-        src, dst = hosts[:-1][adj], hosts[1:][adj]
-        keep = pd.notna(src) & pd.notna(dst)
-        if keep.any():
-            cross = pd.DataFrame({"src": src[keep], "dst": dst[keep],
-                                  "w": 1}).groupby(
-                ["src", "dst"], as_index=False).sum()
+        cross = pair_counts(b["doc_id"].to_numpy(dtype=np.int64),
+                            b["host"].to_numpy(dtype=object),
+                            b["bkey"].to_numpy(dtype=np.int64))
+        if len(cross):
             edges_parts = edges_parts.union(rd.from_pandas(cross))
     edges = sorted_reduce_by_key_ds(edges_parts, ["src", "dst"],
                                     {"w": "sum"}).materialize()
-
-    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["host"].notna()][["host"]].drop_duplicates()
-
     nodes = sorted_distinct_keys(
-        hx.map_batches(node_partial, batch_format="pandas"),
+        hx.map_batches(
+            lambda df: df[df["host"].notna()][["host"]].drop_duplicates(),
+            batch_format="pandas"),
         ["host"]).materialize()
+    return edges, nodes
+
+
+def pagerank_hosts(sf_dir: str) -> pa.Table:
+    """Integer-exact PageRank over the canonical-host link graph
+    (``stages/graph.py:pagerank_int`` on the shared ``_host_graph``
+    edge derivation).  Ranks are fixed-point 1e-9 ints with
+    floor-division contributions, so 5 iterations reproduce
+    bit-identically in SQL's unrolled CTEs."""
+    from ..stages.graph import pagerank_int
+
+    edges, nodes = _host_graph(sf_dir)
     out = pagerank_int(edges, nodes, n_iters=5).to_pandas()
     if not len(out):
-        return _empty_result(**empty)
+        return _empty_result(host=object, out_deg="int64", rank="int64")
     return out[["host", "out_deg", "rank"]].sort_values("host") \
         .reset_index(drop=True)
 
@@ -4237,75 +4241,10 @@ def host_components(sf_dir: str) -> pa.Table:
     reproducible choice).  Reuses ``pagerank_hosts``' sorted-run edge
     derivation; isolated hosts are their own component.  Output also
     carries the component size (tiny second keyed sum)."""
-    import ray.data as rd
-
-    from ..functions.urls import canonicalize_urls, url_hosts
     from ..stages.graph import connected_components_str
-    from ..stages.groupagg import sorted_distinct_keys, \
-        sorted_reduce_by_key_ds
 
-    urls = _derived_url_corpus(sf_dir)
-
-    def canon(t: pa.Table) -> pa.Table:
-        cu = canonicalize_urls(t.column("url"))
-        return pa.table({"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                         "host": url_hosts(cu)})
-
-    hx = urls.map_batches(canon, batch_format="pyarrow")
-    sorted_hx = hx.sort("doc_id").materialize()
     empty = dict(host=object, component=object, comp_size="int64")
-
-    _EDGE_EMPTY = pd.DataFrame({"src": pd.Series([], dtype=object),
-                                "dst": pd.Series([], dtype=object),
-                                "w": pd.Series([], dtype="int64")})
-
-    def interior(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return _EDGE_EMPTY
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
-        h = df["host"].to_numpy(dtype=object)
-        adj = ids[1:] == ids[:-1] + 1
-        src, dst = h[:-1][adj], h[1:][adj]
-        keep = pd.notna(src) & pd.notna(dst)
-        if not keep.any():
-            return _EDGE_EMPTY
-        return pd.DataFrame({"src": src[keep], "dst": dst[keep],
-                             "w": 1}).groupby(["src", "dst"],
-                                              as_index=False).sum()
-
-    def boundary(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "host": pd.Series([], dtype=object),
-                                 "bkey": pd.Series([], dtype="int64")})
-        out = df.iloc[[0, len(df) - 1]].copy()
-        out["bkey"] = np.int64(df["doc_id"].iloc[0])
-        return out
-
-    edges_parts = sorted_hx.map_batches(
-        interior, batch_format="pandas", batch_size=None)
-    bnd = sorted_hx.map_batches(
-        boundary, batch_format="pandas", batch_size=None).to_pandas()
-    if len(bnd):
-        b = bnd.sort_values("doc_id").reset_index(drop=True)
-        ids = b["doc_id"].to_numpy(dtype=np.int64)
-        hosts = b["host"].to_numpy(dtype=object)
-        bkey = b["bkey"].to_numpy(dtype=np.int64)
-        adj = (ids[1:] == ids[:-1] + 1) & (bkey[1:] != bkey[:-1])
-        src, dst = hosts[:-1][adj], hosts[1:][adj]
-        keep = pd.notna(src) & pd.notna(dst)
-        if keep.any():
-            cross = pd.DataFrame({"src": src[keep], "dst": dst[keep],
-                                  "w": 1}).groupby(
-                ["src", "dst"], as_index=False).sum()
-            edges_parts = edges_parts.union(rd.from_pandas(cross))
-    edges = sorted_reduce_by_key_ds(edges_parts, ["src", "dst"],
-                                    {"w": "sum"}).materialize()
-    nodes = sorted_distinct_keys(
-        hx.map_batches(
-            lambda df: df[df["host"].notna()][["host"]].drop_duplicates(),
-            batch_format="pandas"),
-        ["host"]).materialize()
+    edges, nodes = _host_graph(sf_dir)
     comp = connected_components_str(edges, nodes).to_pandas()
     if not len(comp):
         return _empty_result(**empty)
@@ -4511,3 +4450,165 @@ def bigram_logprob(sf_dir: str) -> pa.Table:
     out = _restore_null_keys(out, ["lang"])
     return out[["lang", "n_docs", "n_bigrams", "sum_lp_e6"]] \
         .sort_values("lang", na_position="last").reset_index(drop=True)
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """First-order Markov transition matrix over the event stream: for
+    every user's consecutive event pair under ORDER BY (ts, event_id),
+    count (from_type → to_type) and the row-normalized transition
+    probability (ONE float division, e6-rounded — SQL-identical).  The
+    ``inter_event_gaps`` sorted-run motif carrying a string payload:
+    block-interior users pair vectorized in place, ≤2 edge users per
+    block ship raw rows.  NULL event_type is a STATE (sentinel
+    convention — SQL keeps the NULL group); NULL users/timestamps are
+    excluded (event-time policy).  Output cardinality is (types+1)²,
+    driver-bounded."""
+    from ..stages.ranking import _edge_mask
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "event_id": t.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+        })
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                           "to_type": pd.Series([], dtype=object),
+                           "n": pd.Series([], dtype="int64")})
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        et = df["event_type"].to_numpy(dtype=object)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return _EMPTY
+        return pd.DataFrame({"from_type": et[:-1][same],
+                             "to_type": et[1:][same],
+                             "n": 1}).groupby(
+            ["from_type", "to_type"], as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return pair_counts(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    counts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        e = pair_counts(edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True))
+        counts = pd.concat([counts, e], ignore_index=True)
+    if counts.empty or "n" not in counts:
+        return _empty_result(from_type=object, to_type=object,
+                             n="int64", prob_e6="int64")
+    out = counts.groupby(["from_type", "to_type"], as_index=False)["n"] \
+        .sum()
+    tot = out.groupby("from_type", as_index=False)["n"].sum() \
+        .rename(columns={"n": "tot"})
+    out = out.merge(tot, on="from_type")
+    out["prob_e6"] = _round_half_away(
+        1e6 * (out["n"].to_numpy(dtype=np.int64).astype(np.float64)
+               / out["tot"].to_numpy(dtype=np.int64)
+               .astype(np.float64))).astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out = _restore_null_keys(out.drop(columns="tot"),
+                             ["from_type", "to_type"])
+    return out[["from_type", "to_type", "n", "prob_e6"]].sort_values(
+        ["from_type", "to_type"], na_position="last"
+    ).reset_index(drop=True)
+
+
+def triangle_count(sf_dir: str) -> pa.Table:
+    """Triangle census of the canonical-host crawl graph (the standard
+    clustering-structure metric beside `pagerank_hosts` /
+    `host_components`): edges canonicalize to the simple undirected
+    (u < v, self-loops dropped) form via the sorted-run distinct, and
+    every triangle u < v < z is counted ONCE at its (u, v) edge as a
+    common neighbor z > v.  The adjacency index broadcasts ONCE via
+    ``ray.put`` (host → sorted neighbor array) and the edge Dataset
+    streams through a per-batch intersect pass — the per-edge
+    ``np.intersect1d(assume_unique=True)`` is the measured-fastest
+    cache-resident shape (the LSH-verify precedent, BASELINE.md).
+    RAISES loudly past ``2M`` canonical edges where the broadcast
+    index stops fitting (the documented scale path is the two-round
+    wedge join — emit (u,z) wedges keyed by (v,z), join against the
+    edge set; not implemented because every in-repo graph is
+    host-cardinality).  Exact integers end to end."""
+    import ray
+
+    from ..stages.groupagg import sorted_distinct_keys
+
+    edges, nodes = _host_graph(sf_dir)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        # SQL's scalar subqueries yield one (0, 0, 0) row on an empty
+        # corpus — match it (the funnel_conversion single-row policy)
+        return pd.DataFrame({"n_nodes": pd.Series([0], dtype="int64"),
+                             "n_edges": pd.Series([0], dtype="int64"),
+                             "n_triangles": pd.Series([0],
+                                                      dtype="int64")})
+
+    def canon_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object)})
+        s = df["src"].to_numpy(dtype=object)
+        d = df["dst"].to_numpy(dtype=object)
+        keep = s != d
+        u = np.where(s[keep] < d[keep], s[keep], d[keep])
+        v = np.where(s[keep] < d[keep], d[keep], s[keep])
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    ce = sorted_distinct_keys(
+        edges.map_batches(canon_pairs, batch_format="pandas"),
+        ["u", "v"]).materialize()
+    n_edges = ce.count()
+    if n_edges == 0:
+        return pd.DataFrame({"n_nodes": pd.Series([n_nodes], dtype="int64"),
+                             "n_edges": pd.Series([0], dtype="int64"),
+                             "n_triangles": pd.Series([0], dtype="int64")})
+    if n_edges > 2_000_000:
+        raise ValueError(
+            "triangle_count: broadcast adjacency regime capped at 2M "
+            f"canonical edges, got {n_edges} — use the wedge-join path")
+    cedf = ce.to_pandas()
+    adj: dict[str, np.ndarray] = {
+        h: np.sort(g.to_numpy(dtype=object)) for h, g in pd.concat([
+            cedf.rename(columns={"u": "h", "v": "nb"}),
+            cedf.rename(columns={"v": "h", "u": "nb"})[["h", "nb"]],
+        ], ignore_index=True).groupby("h")["nb"]}
+    adj_ref = ray.put(adj)
+
+    def tri_partial(df: pd.DataFrame, _ref=adj_ref) -> pd.DataFrame:
+        a = ray.get(_ref)
+        tot = 0
+        for u, v in zip(df["u"].to_numpy(dtype=object),
+                        df["v"].to_numpy(dtype=object)):
+            common = np.intersect1d(a[u], a[v], assume_unique=True)
+            tot += int((common > v).sum())
+        return pd.DataFrame({"t": pd.Series([tot], dtype="int64")})
+
+    n_tri = ce.map_batches(tri_partial, batch_format="pandas").sum("t")
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_triangles": pd.Series([int(n_tri or 0)], dtype="int64")})

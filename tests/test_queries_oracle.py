@@ -282,6 +282,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "snapshot_diff": ["change_class", "n_docs"],
         "dataset_split": ["lang", "split", "n_docs", "sum_chars"],
         "bigram_logprob": ["lang", "n_docs", "n_bigrams", "sum_lp_e6"],
+        "event_transitions": ["from_type", "to_type", "n", "prob_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -365,6 +366,11 @@ NASTY_QUERIES = [
     # bigram LM: NULL lang group, NULL/exotic-whitespace texts, and the
     # NULL-safe LEFT join of token-less groups
     "bigram_logprob",
+    # Markov transitions: NULL event_type is a STATE (sentinel
+    # round-trip) distinct from "no previous event"
+    "event_transitions",
+    # triangle census over NULL-host-pruned edges
+    "triangle_count",
 ]
 
 
