@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": q.bigram_logprob,
         "event_transitions": q.event_transitions,
         "triangle_count": q.triangle_count,
+        "value_mad_by_type": q.value_mad_by_type,
     }
 
 
@@ -2563,5 +2564,21 @@ def oracle_sql() -> dict[str, str]:
                     JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
                     JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v)
                        AS n_triangles
+        """,
+        # robust dispersion: exact discrete median, then exact discrete
+        # median of absolute deviations (both actual data values)
+        "value_mad_by_type": """
+            WITH m AS (SELECT event_type,
+                              quantile_disc(value, 0.5) AS med
+                       FROM events GROUP BY event_type),
+            d AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+                  FROM events e JOIN m
+                    ON m.event_type IS NOT DISTINCT FROM e.event_type),
+            a AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                  FROM d GROUP BY event_type)
+            SELECT m.event_type, m.med, a.mad
+            FROM m JOIN a
+              ON a.event_type IS NOT DISTINCT FROM m.event_type
+            ORDER BY m.event_type
         """,
     }

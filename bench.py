@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # r4 continuation: Markov transitions + triangle census
     "event_transitions",
     "triangle_count",
+    # r4 continuation: chained distributed selections (robust MAD)
+    "value_mad_by_type",
 ]
 
 

@@ -4612,3 +4612,46 @@ def triangle_count(sf_dir: str) -> pa.Table:
         "n_nodes": pd.Series([n_nodes], dtype="int64"),
         "n_edges": pd.Series([n_edges], dtype="int64"),
         "n_triangles": pd.Series([int(n_tri or 0)], dtype="int64")})
+
+
+def value_mad_by_type(sf_dir: str) -> pa.Table:
+    """Robust dispersion per event type: median absolute deviation —
+    TWO chained distributed selections (``stages/selection.py``): the
+    grouped exact median first, then the grouped exact median of
+    |value − med| with the per-group medians broadcast once.  Each
+    selection costs one min/max/count pass + ≤6 pruned refinement
+    passes for ALL groups simultaneously; no sort, no all-to-all.  The
+    deviations are float subtractions of exact data values, so the MAD
+    is an actual data-derived value, bit-exact vs SQL.  NULL
+    event_type is a group; all-null-value groups yield NULL med/mad."""
+    import ray
+
+    from ..functions.nulls import sentinel_nulls
+    from ..stages.selection import exact_quantiles_unbounded_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    sent = ds.map_batches(
+        lambda df: df.assign(event_type=sentinel_nulls(df["event_type"])),
+        batch_format="pandas").materialize()
+    med = exact_quantiles_unbounded_grouped(
+        sent, "event_type", "value", [0.5])
+    if med.empty:
+        return _empty_result(event_type=object, med="float64",
+                             mad="float64")
+    medmap = med.set_index("event_type")["value"]
+    ref = ray.put(medmap)
+
+    def dev(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m = df["event_type"].map(ray.get(_ref))
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "value": (df["value"] - m).abs()})
+
+    mad = exact_quantiles_unbounded_grouped(
+        sent.map_batches(dev, batch_format="pandas"),
+        "event_type", "value", [0.5])
+    out = med.rename(columns={"value": "med"})[["event_type", "med"]] \
+        .merge(mad.rename(columns={"value": "mad"})[
+            ["event_type", "mad"]], on="event_type", how="left")
+    out = _restore_null_keys(out, ["event_type"])
+    return out[["event_type", "med", "mad"]].sort_values(
+        "event_type", na_position="last").reset_index(drop=True)

@@ -283,6 +283,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "dataset_split": ["lang", "split", "n_docs", "sum_chars"],
         "bigram_logprob": ["lang", "n_docs", "n_bigrams", "sum_lp_e6"],
         "event_transitions": ["from_type", "to_type", "n", "prob_e6"],
+        "value_mad_by_type": ["event_type", "med", "mad"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -371,6 +372,9 @@ NASTY_QUERIES = [
     "event_transitions",
     # triangle census over NULL-host-pruned edges
     "triangle_count",
+    # chained selections: NULL event_type group + all-null-value groups
+    # must yield NULL med AND NULL mad
+    "value_mad_by_type",
 ]
 
 
