@@ -129,8 +129,14 @@ def main() -> int:
     chunks = [names[i : i + args.chunk] for i in range(0, len(names), args.chunk)]
     merged: dict[str, dict] = {}
     for i, chunk in enumerate(chunks):
-        part = os.path.join(args.state_dir, f"chunk_{i:03d}.json")
-        if os.path.exists(part):
+        # --only runs always execute fresh and use a side-car state file:
+        # reusing a cached full-sweep chunk here served a STALE failure
+        # for a since-fixed query, and an --only rerun must never
+        # overwrite the resumable full-sweep chunks either
+        part = os.path.join(
+            args.state_dir,
+            f"only_{i:03d}.json" if args.only else f"chunk_{i:03d}.json")
+        if os.path.exists(part) and not args.only:
             with open(part) as f:
                 got = json.load(f)
             if set(got) == set(chunk):
