@@ -4209,8 +4209,10 @@ def _host_graph(sf_dir: str):
             edges_parts = edges_parts.union(rd.from_pandas(cross))
     edges = sorted_reduce_by_key_ds(edges_parts, ["src", "dst"],
                                     {"w": "sum"}).materialize()
+    # nodes come off the MATERIALIZED sorted stream — reading the hx
+    # lineage would re-execute the URL derivation + canonicalization
     nodes = sorted_distinct_keys(
-        hx.map_batches(
+        sorted_hx.map_batches(
             lambda df: df[df["host"].notna()][["host"]].drop_duplicates(),
             batch_format="pandas"),
         ["host"]).materialize()
