@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q.event_transitions,
         "triangle_count": q.triangle_count,
         "value_mad_by_type": q.value_mad_by_type,
+        "keyword_matrix": q.keyword_matrix,
+        "value_histogram": q.value_histogram,
+        "daily_type_growth": q.daily_type_growth,
     }
 
 
@@ -2580,5 +2583,52 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN a
               ON a.event_type IS NOT DISTINCT FROM m.event_type
             ORDER BY m.event_type
+        """,
+        # multi-pattern scan: the non-overlapping count identity
+        # (len - len(replace)) / len; none of the patterns self-overlap
+        "keyword_matrix": """
+            WITH kw AS (SELECT unnest(
+                ['data', 'the', 'and', 'ing', 'tion']) AS keyword),
+            c AS (
+                SELECT d.lang, k.keyword,
+                       CAST(sum((length(coalesce(d.text, ''))
+                                 - length(replace(coalesce(d.text, ''),
+                                                  k.keyword, '')))
+                                // length(k.keyword)) AS BIGINT) AS n
+                FROM documents d CROSS JOIN kw k
+                GROUP BY d.lang, k.keyword)
+            SELECT lang, keyword, n FROM c ORDER BY lang, keyword
+        """,
+        # sparse equal-width histogram over the global value range
+        "value_histogram": """
+            WITH ev AS (SELECT event_type, value FROM events
+                        WHERE value IS NOT NULL),
+            b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+            bk AS (SELECT event_type,
+                          CASE WHEN bb.vmax = bb.vmin THEN 0
+                               ELSE least(CAST(floor((value - bb.vmin)
+                                    / ((bb.vmax - bb.vmin) / 10.0))
+                                    AS BIGINT), 9) END AS bin
+                   FROM ev, b bb)
+            SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+            FROM bk GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # day-over-day growth per type vs the previous OBSERVED day
+        "daily_type_growth": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(date_trunc('day', ts)) AS day_us,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            g AS (SELECT event_type, day_us, n,
+                         lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY day_us) AS p
+                  FROM c)
+            SELECT event_type, make_timestamp(day_us) AS day, n,
+                   CASE WHEN p IS NULL THEN NULL
+                        ELSE CAST(round(1000000 * (CAST(n AS DOUBLE)
+                                        / CAST(p AS DOUBLE)))
+                             AS BIGINT) END AS growth_e6
+            FROM g ORDER BY event_type, day
         """,
     }

@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "triangle_count",
     # r4 continuation: chained distributed selections (robust MAD)
     "value_mad_by_type",
+    # r4 continuation: multi-pattern scan, histogram, per-type growth
+    "keyword_matrix",
+    "value_histogram",
+    "daily_type_growth",
 ]
 
 

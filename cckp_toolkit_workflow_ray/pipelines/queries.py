@@ -4657,3 +4657,142 @@ def value_mad_by_type(sf_dir: str) -> pa.Table:
     out = _restore_null_keys(out, ["event_type"])
     return out[["event_type", "med", "mad"]].sort_values(
         "event_type", na_position="last").reset_index(drop=True)
+
+
+def keyword_matrix(sf_dir: str) -> pa.Table:
+    """Multi-pattern substring scan (the Aho–Corasick-class op in its
+    vectorized Arrow form): total occurrence counts of a broadcast
+    keyword list per (lang, keyword), via ``pc.count_substring`` — one
+    zero-copy kernel per pattern per batch, no per-row Python.  Counts
+    are exact ints (overlapping occurrences follow the non-overlapping
+    left-to-right convention both engines share: Arrow counts
+    non-overlapping matches exactly like SQL's
+    (len − len(replace)) / len trick).  NULL lang is a group; NULL
+    text contributes zero."""
+    _KWS = ["data", "the", "and", "ing", "tion"]
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        lang = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False)))
+        frames = []
+        for kw in _KWS:
+            n = pc.count_substring(txt, kw).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            frames.append(pd.DataFrame({"lang": lang, "keyword": kw,
+                                        "n": n}))
+        df = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "keyword"], as_index=False).sum(),
+            preserve_index=False)
+
+    out = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["lang", "keyword"], ["n"]).to_pandas()
+    if out.empty or "n" not in out:
+        return _empty_result(lang=object, keyword=object, n="int64")
+    out = _restore_null_keys(out, ["lang"])
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "keyword", "n"]].sort_values(
+        ["lang", "keyword"], na_position="last").reset_index(drop=True)
+
+
+def value_histogram(sf_dir: str) -> pa.Table:
+    """Equal-width 10-bin histogram of the event value per event_type
+    over the GLOBAL value range (one min/max pass, one combiner pass —
+    the ``daily_drift`` binning contract as a standalone op).  Bin
+    edges derive from exact data min/max, the bin index from ONE float
+    expression with SQL-identical operand order; empty bins are
+    absent (sparse form).  NULL event_type is a group; NULL values are
+    excluded."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pa.table({
+            "event_type": pa.array(_sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+                type=pa.string()),
+            "value": pc.cast(t.column("value"), pa.float64()),
+        })
+
+    filt = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    empty = dict(event_type=object, bin="int64", n="int64")
+    if filt.count() == 0:
+        return _empty_result(**empty)
+    agg = filt.aggregate(Min("value"), Max("value"))
+    vmin, vmax = float(agg["min(value)"]), float(agg["max(value)"])
+    w = (vmax - vmin) / 10.0
+
+    def hpart(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        if w > 0.0:
+            b = np.minimum(np.floor((v - vmin) / w), 9.0).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "bin": b, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "bin"], as_index=False).sum(),
+            preserve_index=False)
+
+    out = _sum_by_key(filt.map_batches(hpart, batch_format="pyarrow"),
+                      ["event_type", "bin"], ["n"]).to_pandas()
+    out = _restore_null_keys(out, ["event_type"])
+    for c in ("bin", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "bin", "n"]].sort_values(
+        ["event_type", "bin"], na_position="last").reset_index(drop=True)
+
+
+def daily_type_growth(sf_dir: str) -> pa.Table:
+    """Day-over-day volume growth per event type: each (type, day)
+    count vs the type's PREVIOUS OBSERVED day (LAG over observed rows,
+    like ``event_rate_anomaly``'s window), growth as e6 fixed-point
+    from ONE float division of exact integer counts.  The distributed
+    part is the (type, day) combiner sum; the LAG runs on the
+    O(types × days) calendar-bounded driver table.  First observed day
+    per type has no growth (NULL).  NULL event_type is a group; NULL
+    timestamps are excluded."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day_us": (us // _DAY_US) * _DAY_US,
+            "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "day_us"], as_index=False).sum(),
+            preserve_index=False)
+
+    counts = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type", "day_us"], ["n"]).to_pandas()
+    if counts.empty or "n" not in counts:
+        return _empty_result(event_type=object, day="datetime64[ns]",
+                             n="int64", growth_e6="float64")
+    counts = counts.sort_values(["event_type", "day_us"]) \
+        .reset_index(drop=True)
+    prev = counts.groupby("event_type", dropna=False)["n"].shift()
+    cur = counts["n"].to_numpy(dtype=np.int64).astype(np.float64)
+    growth = np.where(
+        prev.notna(),
+        _round_half_away(1e6 * (cur / prev.to_numpy(dtype=np.float64))),
+        np.nan)
+    out = pd.DataFrame({
+        "event_type": counts["event_type"],
+        "day": pd.to_datetime(counts["day_us"], unit="us"),
+        "n": counts["n"].astype(np.int64),
+        "growth_e6": _int_or_float64(pd.Series(growth)),
+    })
+    out = _restore_null_keys(out, ["event_type"])
+    return out.sort_values(["event_type", "day"], na_position="last") \
+        .reset_index(drop=True)

@@ -284,6 +284,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "bigram_logprob": ["lang", "n_docs", "n_bigrams", "sum_lp_e6"],
         "event_transitions": ["from_type", "to_type", "n", "prob_e6"],
         "value_mad_by_type": ["event_type", "med", "mad"],
+        "keyword_matrix": ["lang", "keyword", "n"],
+        "value_histogram": ["event_type", "bin", "n"],
+        "daily_type_growth": ["event_type", "day", "n", "growth_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -375,6 +378,12 @@ NASTY_QUERIES = [
     # chained selections: NULL event_type group + all-null-value groups
     # must yield NULL med AND NULL mad
     "value_mad_by_type",
+    # multi-pattern scan over NULL/exotic texts and NULL lang groups
+    "keyword_matrix",
+    # global-range binning with NULL event_type groups / NULL values
+    "value_histogram",
+    # LAG growth within the NULL event_type partition too
+    "daily_type_growth",
 ]
 
 
