@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_matrix": q.keyword_matrix,
         "value_histogram": q.value_histogram,
         "daily_type_growth": q.daily_type_growth,
+        "rolling_active_users": q.rolling_active_users,
+        "rfm_segments": q.rfm_segments,
     }
 
 
@@ -2630,5 +2632,52 @@ def oracle_sql() -> dict[str, str]:
                                         / CAST(p AS DOUBLE)))
                              AS BIGINT) END AS growth_e6
             FROM g ORDER BY event_type, day
+        """,
+        # exact trailing-7-calendar-day distinct actives per observed day
+        "rolling_active_users": """
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(date_trunc('day', ts)) AS day_us
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            d AS (SELECT DISTINCT day_us FROM p)
+            SELECT make_timestamp(d.day_us) AS day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+            FROM d JOIN p
+              ON p.day_us BETWEEN d.day_us - 6 * 86400000000
+                              AND d.day_us
+            GROUP BY d.day_us ORDER BY day
+        """,
+        # RFM quartile segmentation over exact per-user metrics and
+        # exact quantile_disc thresholds (actual data values)
+        "rfm_segments": """
+            WITH u AS (
+                SELECT user_id, epoch_us(max(ts)) AS r,
+                       CAST(count(*) AS BIGINT) AS f,
+                       CAST(coalesce(sum(CAST(round(1000000 * value)
+                                              AS BIGINT)), 0)
+                            AS BIGINT) AS m
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY user_id),
+            t AS (SELECT
+                quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+                quantile_disc(r, 0.75) AS r3,
+                quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+                quantile_disc(f, 0.75) AS f3,
+                quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+                quantile_disc(m, 0.75) AS m3
+                FROM u),
+            b AS (SELECT
+                CAST(u.r > t.r1 AS BIGINT) + CAST(u.r > t.r2 AS BIGINT)
+                    + CAST(u.r > t.r3 AS BIGINT) AS r_bucket,
+                CAST(u.f > t.f1 AS BIGINT) + CAST(u.f > t.f2 AS BIGINT)
+                    + CAST(u.f > t.f3 AS BIGINT) AS f_bucket,
+                CAST(u.m > t.m1 AS BIGINT) + CAST(u.m > t.m2 AS BIGINT)
+                    + CAST(u.m > t.m3 AS BIGINT) AS m_bucket
+                FROM u, t)
+            SELECT r_bucket, f_bucket, m_bucket,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
     }

@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "keyword_matrix",
     "value_histogram",
     "daily_type_growth",
+    # r4 continuation: rolling distinct actives + RFM segmentation
+    "rolling_active_users",
+    "rfm_segments",
 ]
 
 

@@ -4796,3 +4796,151 @@ def daily_type_growth(sf_dir: str) -> pa.Table:
     out = _restore_null_keys(out, ["event_type"])
     return out.sort_values(["event_type", "day"], na_position="last") \
         .reset_index(drop=True)
+
+
+def rolling_active_users(sf_dir: str) -> pa.Table:
+    """Rolling 7-day active users: for every OBSERVED day d, the exact
+    count of distinct users active in [d − 6 days, d].  Scale shape:
+    the distinct (user, day) activity pairs come off the sorted-run
+    distinct (user-day cardinality, ints only); each pair then expands
+    to the ≤7 OBSERVED window days it serves (the observed-day set is
+    calendar-bounded and broadcast once), and a SECOND sorted-run
+    distinct + keyed count collapses (window_day, user) — a bounded 7×
+    expansion instead of a quadratic range join.  NULL users and
+    timestamps are excluded (event-time policy)."""
+    import ray
+
+    from ..stages.groupagg import sorted_distinct_keys, sorted_sum_by_key
+
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "day_us": (us // _DAY_US) * _DAY_US,
+        }).drop_duplicates()
+
+    pairs = sorted_distinct_keys(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"),
+        ["user_id", "day_us"]).materialize()
+    empty = dict(day="datetime64[ns]", n_active="int64")
+    if pairs.count() == 0:
+        return _empty_result(**empty)
+    days = np.sort(pairs.map_batches(
+        lambda df: df[["day_us"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["day_us"].unique())
+    days_ref = ray.put(days)
+
+    def expand(df: pd.DataFrame, _ref=days_ref) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "window_us": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64")})
+        obs = ray.get(_ref)
+        d = df["day_us"].to_numpy(dtype=np.int64)
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        # candidate window days d .. d+6; keep only OBSERVED ones
+        cand = (d[:, None] + np.arange(7, dtype=np.int64)[None, :]
+                * _DAY_US).ravel()
+        uu = np.repeat(u, 7)
+        idx = np.searchsorted(obs, cand)
+        idx_c = np.clip(idx, 0, len(obs) - 1)
+        hit = obs[idx_c] == cand
+        return pd.DataFrame({"window_us": cand[hit],
+                             "user_id": uu[hit]}).drop_duplicates()
+
+    wpairs = sorted_distinct_keys(
+        pairs.map_batches(expand, batch_format="pandas"),
+        ["window_us", "user_id"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_us", as_index=False).size()
+        return g.rename(columns={"size": "n_active"})
+
+    out = sorted_sum_by_key(
+        wpairs.map_batches(count_partial, batch_format="pandas"),
+        ["window_us"], ["n_active"])
+    out["day"] = pd.to_datetime(out.pop("window_us"), unit="us")
+    out["n_active"] = out["n_active"].astype(np.int64)
+    return out[["day", "n_active"]].sort_values("day") \
+        .reset_index(drop=True)
+
+
+def rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic marketing rollup as a three-stage distributed composition:
+    per-user metrics off the sorted-run keyed reduce (user
+    cardinality; monetary uses per-row e6-rounded ints so the sum has
+    no float order), exact quartile thresholds per metric via the
+    distributed selection (actual data values, ≤6 shared refinement
+    passes each), then broadcast-threshold bucketing
+    b = (x>q25)+(x>q50)+(x>q75) and a tiny (4×4×4) segment count.
+    NULL users/timestamps excluded; a user whose values are all NULL
+    gets monetary 0 (SQL COALESCE parity)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.selection import exact_quantiles_unbounded
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ve6 = np.where(np.isnan(v), 0,
+                       _round_half_away(1e6 * np.where(np.isnan(v), 0.0,
+                                                       v))).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "r": pc.cast(t.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "f": 1,
+            "m": ve6,
+        })
+        return df.groupby("user_id", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+
+    users = sorted_reduce_by_key_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], {"r": "max", "f": "sum", "m": "sum"}).materialize()
+    empty = dict(r_bucket="int64", f_bucket="int64", m_bucket="int64",
+                 n_users="int64")
+    if users.count() == 0:
+        return _empty_result(**empty)
+    qs = [0.25, 0.5, 0.75]
+    thresholds = {}
+    for col in ("r", "f", "m"):
+        fl = users.map_batches(
+            lambda df, c=col: pd.DataFrame(
+                {"x": df[c].to_numpy(dtype=np.int64)
+                 .astype(np.float64)}),
+            batch_format="pandas")
+        got = exact_quantiles_unbounded(fl, "x", qs)
+        thresholds[col] = [got[q] for q in qs]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for col in ("r", "f", "m"):
+            x = df[col].to_numpy(dtype=np.int64).astype(np.float64)
+            t1, t2, t3 = thresholds[col]
+            out[f"{col}_bucket"] = ((x > t1).astype(np.int64)
+                                    + (x > t2).astype(np.int64)
+                                    + (x > t3).astype(np.int64))
+        out["n_users"] = np.ones(len(df), dtype=np.int64)
+        return pd.DataFrame(out).groupby(
+            ["r_bucket", "f_bucket", "m_bucket"], as_index=False).sum()
+
+    out = _sum_by_key(users.map_batches(bucket, batch_format="pandas"),
+                      ["r_bucket", "f_bucket", "m_bucket"],
+                      ["n_users"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["r_bucket", "f_bucket", "m_bucket"]) \
+        .reset_index(drop=True)

@@ -287,6 +287,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "keyword_matrix": ["lang", "keyword", "n"],
         "value_histogram": ["event_type", "bin", "n"],
         "daily_type_growth": ["event_type", "day", "n", "growth_e6"],
+        "rolling_active_users": ["day", "n_active"],
+        "rfm_segments": ["r_bucket", "f_bucket", "m_bucket", "n_users"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -384,6 +386,11 @@ NASTY_QUERIES = [
     "value_histogram",
     # LAG growth within the NULL event_type partition too
     "daily_type_growth",
+    # rolling distinct: NULL users/ts excluded; isolated pre-1970 days
+    # must window correctly
+    "rolling_active_users",
+    # RFM: NULL value rows contribute 0 monetary (COALESCE parity)
+    "rfm_segments",
 ]
 
 
