@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_type_growth": q.daily_type_growth,
         "rolling_active_users": q.rolling_active_users,
         "rfm_segments": q.rfm_segments,
+        "dup_rate_by_source": q.dup_rate_by_source,
+        "gap_quantiles": q.gap_quantiles,
     }
 
 
@@ -2679,5 +2681,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_bucket, f_bucket, m_bucket,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # duplicate-rate report: COUNT(DISTINCT text) skips NULLs; the
+        # engine's 128-bit content keys are the exact-equality stand-in
+        "dup_rate_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(text) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+                   CASE WHEN count(text) > 0
+                        THEN CAST(round(1000000 *
+                             (CAST(count(text) - count(DISTINCT text)
+                                   AS DOUBLE)
+                              / CAST(count(text) AS DOUBLE)))
+                             AS BIGINT)
+                        ELSE NULL END AS dup_rate_e6
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # exact discrete quantiles of the LAG gap distribution
+        "gap_quantiles": """
+            WITH o AS (
+                SELECT epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS gap
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT CAST(quantile_disc(gap, 0.5) AS BIGINT) AS q50_us,
+                   CAST(quantile_disc(gap, 0.9) AS BIGINT) AS q90_us,
+                   CAST(quantile_disc(gap, 0.99) AS BIGINT) AS q99_us
+            FROM o WHERE gap IS NOT NULL
         """,
     }

@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     # r4 continuation: rolling distinct actives + RFM segmentation
     "rolling_active_users",
     "rfm_segments",
+    # r4 continuation: dup-rate report + derived-stream selection
+    "dup_rate_by_source",
+    "gap_quantiles",
 ]
 
 

@@ -4944,3 +4944,158 @@ def rfm_segments(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["r_bucket", "f_bucket", "m_bucket"]) \
         .reset_index(drop=True)
+
+
+def dup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Exact-duplicate rate per source (the dedup REPORTING face of the
+    exact-dedup family): per source, total docs, docs with non-null
+    text, DISTINCT texts (128-bit content keys — the repo's
+    exact-equality convention — so the wide text column never enters
+    the exchange), and the duplicate count n_nonnull − n_distinct with
+    its e6 rate.  Distinct (source, text-key) pairs ride the
+    sorted-run distinct at corpus cardinality; everything else is tiny
+    keyed sums.  NULL source is a group; NULL texts count in n_docs
+    but not in the distinct set (SQL COUNT(DISTINCT text)
+    semantics)."""
+    from ..functions.hashing import hash_strings
+
+    from ..stages.groupagg import sorted_distinct_keys
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        df = pd.DataFrame({
+            "source": _sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False))),
+            "n_docs": 1,
+            "n_nonnull": pc.is_valid(txt).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False)
+
+    base = _sum_by_key(ds.map_batches(base_partial, batch_format="pyarrow"),
+                       ["source"], ["n_docs", "n_nonnull"]).to_pandas()
+    if base.empty or "n_docs" not in base:
+        return _empty_result(source=object, n_docs="int64",
+                             n_nonnull="int64", n_distinct="int64",
+                             dup_rate_e6="float64")
+
+    def key_partial(t: pa.Table) -> pd.DataFrame:
+        keep = pc.is_valid(t.column("text")).to_numpy(
+            zero_copy_only=False)
+        txt = pd.Series(t.column("text").to_numpy(
+            zero_copy_only=False))[keep]
+        src = _sentinel_nulls(pd.Series(t.column("source").to_numpy(
+            zero_copy_only=False))[keep])
+        if not len(txt):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "source": src.to_numpy(dtype=object),
+            "h": hash_strings(txt.to_numpy(dtype=object))
+            .astype(np.int64)}).drop_duplicates()
+
+    pairs = sorted_distinct_keys(
+        ds.map_batches(key_partial, batch_format="pyarrow"),
+        ["source", "h"])
+
+    def dcount(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).size()
+        return g.rename(columns={"size": "n_distinct"})
+
+    dist = _sum_by_key(pairs.map_batches(dcount, batch_format="pandas"),
+                       ["source"], ["n_distinct"]).to_pandas()
+    out = base.merge(dist, on="source", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    nn = out["n_nonnull"].to_numpy(dtype=np.int64)
+    nd = out["n_distinct"].to_numpy(dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rate = np.where(
+            nn > 0,
+            _round_half_away(1e6 * ((nn - nd).astype(np.float64)
+                                    / np.where(nn > 0, nn, 1)
+                                    .astype(np.float64))),
+            np.nan)
+    out["dup_rate_e6"] = _int_or_float64(pd.Series(rate))
+    out = _restore_null_keys(out, ["source"])
+    for c in ("n_docs", "n_nonnull"):
+        out[c] = out[c].astype(np.int64)
+    return out[["source", "n_docs", "n_nonnull", "n_distinct",
+                "dup_rate_e6"]].sort_values(
+        "source", na_position="last").reset_index(drop=True)
+
+
+def gap_quantiles(sf_dir: str) -> pa.Table:
+    """Exact quantiles of the inter-event gap DISTRIBUTION — the
+    distributed selection applied to a DERIVED stream: the
+    ``inter_event_gaps`` sorted-run pass emits raw gap values (block-
+    interior pairs in place, edge-user gaps reconciled from the ≤2
+    shipped users per block), and ``exact_quantiles_unbounded``
+    descends on the result with no sort and no driver row set.  Gaps
+    are int64 microseconds ≪ 2⁵³, so the float64 selection keys are
+    exact and the answers are actual data values.  NULL
+    users/timestamps excluded; single-event users have no gap."""
+    import ray.data as rd
+
+    from ..stages.ranking import _edge_mask
+    from ..stages.selection import exact_quantiles_unbounded
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+        })
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _G_EMPTY = pd.DataFrame({"gap": pd.Series([], dtype="float64")})
+
+    def gaps_of(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _G_EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        tsv = df["ts_us"].to_numpy(dtype=np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return _G_EMPTY
+        return pd.DataFrame({
+            "gap": (tsv[1:] - tsv[:-1])[same].astype(np.float64)})
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _G_EMPTY
+        return gaps_of(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    gap_ds = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None)
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        e = gaps_of(edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True))
+        if len(e):
+            gap_ds = gap_ds.union(rd.from_pandas(e))
+    gap_ds = gap_ds.materialize()
+    if gap_ds.count() == 0:
+        # SQL's aggregate over the empty stream yields ONE all-NULL row
+        # (the value_quantiles_exact single-row policy)
+        return pd.DataFrame({
+            "q50_us": pd.Series([np.nan], dtype="float64"),
+            "q90_us": pd.Series([np.nan], dtype="float64"),
+            "q99_us": pd.Series([np.nan], dtype="float64")})
+    got = exact_quantiles_unbounded(gap_ds, "gap", [0.5, 0.9, 0.99])
+    return pd.DataFrame({
+        "q50_us": pd.Series([int(got[0.5])], dtype="int64"),
+        "q90_us": pd.Series([int(got[0.9])], dtype="int64"),
+        "q99_us": pd.Series([int(got[0.99])], dtype="int64")})

@@ -65,6 +65,16 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
     assert damping_den * n_nodes * scale < 2**62, (
         "pagerank_int int64 overflow bound: shrink scale for "
         f"{n_nodes} nodes")
+    if edges.count() == 0:
+        # edgeless graph: every node keeps the base mass only — and an
+        # EMPTY edge Dataset has no schema, which would crash the joins
+        # (hypothesis finding)
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({
+                "host": df["host"],
+                "out_deg": np.zeros(len(df), dtype=np.int64),
+                "rank": np.full(len(df), base, dtype=np.int64)}),
+            batch_format="pandas")
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -215,6 +225,15 @@ def connected_components_str(edges, nodes, max_rounds: int = 64,
         pd.DataFrame({"src": pd.Series([], dtype=object),
                       "dst": pd.Series([], dtype=object)}),
         batch_format="pandas").materialize()
+
+    if und.count() == 0:
+        # edgeless: every node is its own component (an empty Dataset
+        # has no schema, which would crash the propagation joins —
+        # hypothesis finding)
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({"host": df["host"],
+                                     "component": df["host"]}),
+            batch_format="pandas")
 
     if und.count() <= driver_limit:
         e = und.to_pandas()

@@ -111,3 +111,88 @@ def test_cc_nonconvergence_raises(ray_session):
     with pytest.raises(RuntimeError, match="convergence"):
         connected_components_str(edges, nodes, driver_limit=0,
                                  max_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# property-based regime equivalence on random graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _rand_graph(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    hosts = [f"h{i}" for i in range(n)]
+    edges = draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1),
+                  st.integers(1, 3)),
+        min_size=0, max_size=12))
+    return hosts, edges
+
+
+def _mk(hosts, edges):
+    if edges:
+        e = pd.DataFrame({"src": [f"h{a}" for a, _, _ in edges],
+                          "dst": [f"h{b}" for _, b, _ in edges],
+                          "w": np.array([w for _, _, w in edges],
+                                        dtype=np.int64)}) \
+            .groupby(["src", "dst"], as_index=False).sum()
+    else:
+        e = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object),
+                          "w": pd.Series([], dtype="int64")})
+    return rd.from_pandas(e), rd.from_pandas(pd.DataFrame({"host": hosts}))
+
+
+@settings(max_examples=12, deadline=None)
+@given(_rand_graph())
+def test_pagerank_regimes_on_random_graphs(ray_session, g):
+    hosts, edges = g
+    e1, n1 = _mk(hosts, edges)
+    a = pagerank_int(e1, n1, n_iters=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    e2, n2 = _mk(hosts, edges)
+    b = pagerank_int(e2, n2, n_iters=2, broadcast_limit=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # mass bounds: every rank >= base, total <= n * scale (dangling
+    # mass only ever leaks out, floor division only shrinks)
+    assert (a["rank"] >= BASE).all()
+    assert a["rank"].sum() <= len(hosts) * SCALE
+
+
+@settings(max_examples=12, deadline=None)
+@given(_rand_graph())
+def test_cc_regimes_on_random_graphs(ray_session, g):
+    hosts, edges = g
+    e1, n1 = _mk(hosts, edges)
+    a = connected_components_str(e1, n1).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    e2, n2 = _mk(hosts, edges)
+    b = connected_components_str(e2, n2, driver_limit=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # reference union-find over the same undirected edges
+    parent = {h: h for h in hosts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d, _ in edges:
+        ra, rb = find(f"h{s}"), find(f"h{d}")
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    want = {h: find(h) for h in hosts}
+    # min-label reps: canonicalize reference reps to component minima
+    comp = {}
+    for h in hosts:
+        comp.setdefault(want[h], []).append(h)
+    canon = {r: min(m) for r, m in comp.items()}
+    got = a.set_index("host")["component"].to_dict()
+    assert got == {h: canon[want[h]] for h in hosts}

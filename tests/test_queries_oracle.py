@@ -289,6 +289,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "daily_type_growth": ["event_type", "day", "n", "growth_e6"],
         "rolling_active_users": ["day", "n_active"],
         "rfm_segments": ["r_bucket", "f_bucket", "m_bucket", "n_users"],
+        "dup_rate_by_source": ["source", "n_docs", "n_nonnull",
+                               "n_distinct", "dup_rate_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -391,6 +393,11 @@ NASTY_QUERIES = [
     "rolling_active_users",
     # RFM: NULL value rows contribute 0 monetary (COALESCE parity)
     "rfm_segments",
+    # dup report: NULL source group; NULL texts in n_docs but not the
+    # distinct set; exact and normalized dup seeds in the nasty corpus
+    "dup_rate_by_source",
+    # derived-stream selection: gaps under NULL users/ts exclusion
+    "gap_quantiles",
 ]
 
 
