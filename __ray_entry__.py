@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q.rfm_segments,
         "dup_rate_by_source": q.dup_rate_by_source,
         "gap_quantiles": q.gap_quantiles,
+        "zorder_layout": q.zorder_layout,
     }
 
 
@@ -2710,5 +2711,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(gap, 0.9) AS BIGINT) AS q90_us,
                    CAST(quantile_disc(gap, 0.99) AS BIGINT) AS q99_us
             FROM o WHERE gap IS NOT NULL
+        """,
+        # Morton interleave: the classic five magic-number spread steps,
+        # bit-identical integer arithmetic in both engines
+        "zorder_layout": """
+            WITH s AS (
+                SELECT doc_id, (doc_id % 65536) AS a,
+                       (coalesce(n_chars, 0) % 65536) AS b
+                FROM documents),
+            sp AS (
+                SELECT doc_id,
+                       (((((a | (a << 8)) & 16711935)
+                          | (((a | (a << 8)) & 16711935) << 4))
+                         & 252645135) ) AS a4,
+                       (((((b | (b << 8)) & 16711935)
+                          | (((b | (b << 8)) & 16711935) << 4))
+                         & 252645135) ) AS b4
+                FROM s),
+            sp2 AS (
+                SELECT doc_id,
+                       (((a4 | (a4 << 2)) & 858993459)
+                        | ((((a4 | (a4 << 2)) & 858993459) << 1)))
+                       & 1431655765 AS am,
+                       (((b4 | (b4 << 2)) & 858993459)
+                        | ((((b4 | (b4 << 2)) & 858993459) << 1)))
+                       & 1431655765 AS bm
+                FROM sp)
+            SELECT doc_id, CAST(am | (bm << 1) AS BIGINT) AS morton,
+                   CAST(row_number() OVER (ORDER BY am | (bm << 1),
+                                           doc_id) AS BIGINT) AS rk
+            FROM sp2 QUALIFY rk <= 25 ORDER BY rk
         """,
     }

@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     # r4 continuation: dup-rate report + derived-stream selection
     "dup_rate_by_source",
     "gap_quantiles",
+    # r4 continuation: Z-order multi-dimensional layout clustering
+    "zorder_layout",
 ]
 
 

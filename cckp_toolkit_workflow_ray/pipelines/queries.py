@@ -5099,3 +5099,45 @@ def gap_quantiles(sf_dir: str) -> pa.Table:
         "q50_us": pd.Series([int(got[0.5])], dtype="int64"),
         "q90_us": pd.Series([int(got[0.9])], dtype="int64"),
         "q99_us": pd.Series([int(got[0.99])], dtype="int64")})
+
+
+def zorder_layout(sf_dir: str) -> pa.Table:
+    """Z-order (Morton) multi-dimensional clustering — the data-LAYOUT
+    op behind min/max-zone-map scan pruning: interleaving the bits of
+    two scan dimensions (here doc_id and n_chars, 16 bits each) makes
+    a single range sort co-locate rows that are close in BOTH
+    dimensions, so a predicate on either column prunes contiguous
+    block ranges instead of striping across every block.  The bit
+    spread is five vectorized mask-shift steps (the classic magic-
+    number interleave), bit-identical in SQL's integer arithmetic; the
+    result here is the first 25 rows of the Z-ordered corpus
+    (deterministic (morton, doc_id) tie-break) — the writer-side
+    layout is ``ds.sort("morton").write_parquet`` on the same key.
+    NULL n_chars sorts as bit pattern 0 (documented)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.int64) & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = pd.Series(t.column("n_chars").to_numpy(
+            zero_copy_only=False)).fillna(0).to_numpy(dtype=np.int64)
+        m = _spread(ids % 65536) | (_spread(nc % 65536) << 1)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "morton": pa.array(m, type=pa.int64())})
+
+    out = ds.map_batches(key, batch_format="pyarrow") \
+        .sort(["morton", "doc_id"]).limit(25).to_pandas()
+    if out.empty:
+        return _empty_result(doc_id="int64", morton="int64", rk="int64")
+    for c in ("doc_id", "morton"):
+        out[c] = out[c].astype(np.int64)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "morton", "rk"]]

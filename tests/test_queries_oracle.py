@@ -291,6 +291,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "rfm_segments": ["r_bucket", "f_bucket", "m_bucket", "n_users"],
         "dup_rate_by_source": ["source", "n_docs", "n_nonnull",
                                "n_distinct", "dup_rate_e6"],
+        "zorder_layout": ["doc_id", "morton", "rk"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -398,6 +399,8 @@ NASTY_QUERIES = [
     "dup_rate_by_source",
     # derived-stream selection: gaps under NULL users/ts exclusion
     "gap_quantiles",
+    # NULL n_chars interleaves as bit pattern 0 identically
+    "zorder_layout",
 ]
 
 
