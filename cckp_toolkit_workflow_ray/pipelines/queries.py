@@ -4544,19 +4544,14 @@ def triangle_count(sf_dir: str) -> pa.Table:
     clustering-structure metric beside `pagerank_hosts` /
     `host_components`): edges canonicalize to the simple undirected
     (u < v, self-loops dropped) form via the sorted-run distinct, and
-    every triangle u < v < z is counted ONCE at its (u, v) edge as a
-    common neighbor z > v.  The adjacency index broadcasts ONCE via
-    ``ray.put`` (host → sorted neighbor array) and the edge Dataset
-    streams through a per-batch intersect pass — the per-edge
-    ``np.intersect1d(assume_unique=True)`` is the measured-fastest
-    cache-resident shape (the LSH-verify precedent, BASELINE.md).
-    RAISES loudly past ``2M`` canonical edges where the broadcast
-    index stops fitting (the documented scale path is the two-round
-    wedge join — emit (u,z) wedges keyed by (v,z), join against the
-    edge set; not implemented because every in-repo graph is
-    host-cardinality).  Exact integers end to end."""
-    import ray
-
+    every triangle u < v < z is counted ONCE at its (u, v) edge.
+    Counting delegates to the two-regime
+    ``stages.graph.triangle_count_exact``: ≤2M canonical edges use the
+    broadcast sorted-adjacency intersect pass; beyond that the
+    distributed degree-oriented wedge join (O(m^1.5) wedge volume,
+    four keyed exchanges, no driver table) — regimes pytest-pinned
+    row-identical on random graphs.  Exact integers end to end."""
+    from ..stages.graph import triangle_count_exact
     from ..stages.groupagg import sorted_distinct_keys
 
     edges, nodes = _host_graph(sf_dir)
@@ -4588,32 +4583,11 @@ def triangle_count(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"n_nodes": pd.Series([n_nodes], dtype="int64"),
                              "n_edges": pd.Series([0], dtype="int64"),
                              "n_triangles": pd.Series([0], dtype="int64")})
-    if n_edges > 2_000_000:
-        raise ValueError(
-            "triangle_count: broadcast adjacency regime capped at 2M "
-            f"canonical edges, got {n_edges} — use the wedge-join path")
-    cedf = ce.to_pandas()
-    adj: dict[str, np.ndarray] = {
-        h: np.sort(g.to_numpy(dtype=object)) for h, g in pd.concat([
-            cedf.rename(columns={"u": "h", "v": "nb"}),
-            cedf.rename(columns={"v": "h", "u": "nb"})[["h", "nb"]],
-        ], ignore_index=True).groupby("h")["nb"]}
-    adj_ref = ray.put(adj)
-
-    def tri_partial(df: pd.DataFrame, _ref=adj_ref) -> pd.DataFrame:
-        a = ray.get(_ref)
-        tot = 0
-        for u, v in zip(df["u"].to_numpy(dtype=object),
-                        df["v"].to_numpy(dtype=object)):
-            common = np.intersect1d(a[u], a[v], assume_unique=True)
-            tot += int((common > v).sum())
-        return pd.DataFrame({"t": pd.Series([tot], dtype="int64")})
-
-    n_tri = ce.map_batches(tri_partial, batch_format="pandas").sum("t")
+    n_tri = triangle_count_exact(ce, n_edges=n_edges)
     return pd.DataFrame({
         "n_nodes": pd.Series([n_nodes], dtype="int64"),
         "n_edges": pd.Series([n_edges], dtype="int64"),
-        "n_triangles": pd.Series([int(n_tri or 0)], dtype="int64")})
+        "n_triangles": pd.Series([n_tri], dtype="int64")})
 
 
 def value_mad_by_type(sf_dir: str) -> pa.Table:

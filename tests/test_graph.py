@@ -196,3 +196,66 @@ def test_cc_regimes_on_random_graphs(ray_session, g):
     canon = {r: min(m) for r, m in comp.items()}
     got = a.set_index("host")["component"].to_dict()
     assert got == {h: canon[want[h]] for h in hosts}
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_exact: regime equivalence + brute-force reference
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from cckp_toolkit_workflow_ray.stages.graph import triangle_count_exact
+
+
+def _canon_edges(edges):
+    """Distinct canonical (u < v) pairs, self-loops dropped."""
+    seen = set()
+    for a, b, *_ in edges:
+        if a == b:
+            continue
+        u, v = (f"h{min(a, b)}", f"h{max(a, b)}")
+        seen.add((u, v))
+    return sorted(seen)
+
+def _brute_triangles(ce_pairs):
+    es = set(ce_pairs)
+    nodes = sorted({x for p in ce_pairs for x in p})
+    return sum(
+        1 for u, v, z in combinations(nodes, 3)
+        if (u, v) in es and (u, z) in es and (v, z) in es)
+
+
+def _tri_run(ce_pairs, **kw):
+    if ce_pairs:
+        ce = rd.from_pandas(pd.DataFrame(
+            {"u": [u for u, _ in ce_pairs],
+             "v": [v for _, v in ce_pairs]}))
+    else:
+        ce = rd.from_pandas(pd.DataFrame(
+            {"u": pd.Series([], dtype=object),
+             "v": pd.Series([], dtype=object)}))
+    return triangle_count_exact(ce, **kw)
+
+
+def test_triangle_regimes_fixture(ray_session):
+    # K4 plus a pendant: 4 triangles
+    pairs = _canon_edges([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+                          (2, 3), (3, 4)])
+    assert _tri_run(pairs) == 4
+    assert _tri_run(pairs, broadcast_limit=0) == 4
+
+
+def test_triangle_empty(ray_session):
+    assert _tri_run([]) == 0
+    assert _tri_run([("h0", "h1")], broadcast_limit=0) == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rand_graph())
+def test_triangle_regimes_on_random_graphs(ray_session, g):
+    hosts, edges = g
+    pairs = _canon_edges([(a, b) for a, b, _ in edges])
+    want = _brute_triangles(pairs)
+    assert _tri_run(pairs) == want
+    # broadcast_limit=0 forces the distributed wedge-join regime
+    assert _tri_run(pairs, broadcast_limit=0, n_buckets=4) == want
