@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q.dup_rate_by_source,
         "gap_quantiles": q.gap_quantiles,
         "zorder_layout": q.zorder_layout,
+        "event_type_trend": q.event_type_trend,
+        "chi2_lang_source": q.chi2_lang_source,
+        "edit_distance_pairs": q.edit_distance_pairs,
     }
 
 
@@ -2741,5 +2744,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY am | (bm << 1),
                                            doc_id) AS BIGINT) AS rk
             FROM sp2 QUALIFY rk <= 25 ORDER BY rk
+        """,
+        "event_type_trend": """
+            WITH e AS (
+                -- date_trunc floors pre-1970 days (bare `//` would
+                -- TRUNCATE toward zero and split them off by one);
+                -- the truncated epoch is an exact day multiple, so the
+                -- remaining division is exact
+                SELECT event_type,
+                       epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS day
+                FROM events WHERE ts IS NOT NULL),
+            d AS (
+                SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+                FROM e GROUP BY event_type, day),
+            m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(day) AS BIGINT) AS sx,
+                       CAST(sum(cnt) AS BIGINT) AS sy,
+                       CAST(sum(day * cnt) AS BIGINT) AS sxy,
+                       CAST(sum(day * day) AS BIGINT) AS sxx
+                FROM d GROUP BY event_type)
+            SELECT event_type, n_days, sy AS n_events,
+                   CASE WHEN CAST(n_days AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx > 0
+                        THEN CAST(round(1000000 * (
+                                 (CAST(n_days AS DOUBLE) * sxy
+                                  - CAST(sx AS DOUBLE) * sy)
+                                 / (CAST(n_days AS DOUBLE) * sxx
+                                    - CAST(sx AS DOUBLE) * sx)))
+                             AS BIGINT)
+                        ELSE NULL END AS slope_e6
+            FROM m ORDER BY event_type
+        """,
+        "chi2_lang_source": """
+            WITH cells AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang, source),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cells),
+            r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rn
+                  FROM cells GROUP BY lang),
+            c AS (SELECT source, CAST(sum(n) AS BIGINT) AS cn
+                  FROM cells GROUP BY source),
+            e AS (
+                SELECT cells.lang, cells.source, cells.n,
+                       CAST(r.rn AS DOUBLE) * c.cn / t.total AS e
+                FROM cells
+                CROSS JOIN t
+                JOIN r ON r.lang IS NOT DISTINCT FROM cells.lang
+                JOIN c ON c.source IS NOT DISTINCT FROM cells.source)
+            SELECT lang, source, n,
+                   CAST(round(1000000 * e) AS BIGINT) AS expected_e6,
+                   CAST(round(1000000 * ((CAST(n AS DOUBLE) - e)
+                                         * (CAST(n AS DOUBLE) - e) / e))
+                        AS BIGINT) AS chi2_e6
+            FROM e ORDER BY lang, source
+        """,
+        "edit_distance_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       CASE WHEN doc_id % 50 = 0
+                            THEN reverse(coalesce(text, ''))
+                            WHEN contains(coalesce(text, ''), ' ')
+                            THEN 'xqzv' || substr(coalesce(text, ''),
+                                 strpos(coalesce(text, ''), ' '))
+                            ELSE 'xqzv' END
+                FROM documents WHERE doc_id % 10 = 0),
+            b AS (
+                SELECT doc_id,
+                       substr(text, greatest(1, length(text) - 15),
+                              16) AS blk,
+                       substr(text, 1, 96) AS pre
+                FROM corpus WHERE text IS NOT NULL),
+            p AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                       CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS dist
+                FROM b x JOIN b y
+                  ON x.blk = y.blk AND x.doc_id < y.doc_id)
+            SELECT id_a, id_b, dist FROM p
+            WHERE dist <= 24 ORDER BY id_a, id_b
         """,
     }

@@ -5115,3 +5115,225 @@ def zorder_layout(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype(np.int64)
     out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["doc_id", "morton", "rk"]]
+
+
+def event_type_trend(sf_dir: str) -> pa.Table:
+    """Per-event-type OLS trend of DAILY event counts — the standard
+    volume-drift monitor beside `daily_drift` / `event_rate_anomaly`:
+    slope of count-per-day regressed on the epoch-day index, via EXACT
+    integer moment sums (n_days, Σday, Σcnt, Σday·cnt, Σday² — all
+    distributive over the daily-count rows), so the only float
+    arithmetic is the final closed form evaluated with the IDENTICAL
+    expression by engine and SQL (the `corr_chars_tokens` parity
+    convention).  Days with zero events are NOT regression points (SQL
+    GROUP BY semantics); NULL ts rows are excluded; NULL event_type is
+    a group (sentinel convention); a single-day type yields NULL slope
+    (zero variance).  Overflow bound: Σday·cnt ≤ max_epoch_day × total
+    events ~ 2·10⁴ × 10¹² < 2⁶³."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "day": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day": us // 86_400_000_000,
+            "cnt": np.ones(len(us), dtype=np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "day"], as_index=False).sum(),
+            preserve_index=False)
+
+    daily = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["event_type", "day"], ["cnt"]).to_pandas()
+    if daily.empty or "cnt" not in daily:
+        return _empty_result(event_type=object, n_days="int64",
+                             n_events="int64", slope_e6="float64")
+    day = daily["day"].to_numpy(dtype=np.int64)
+    cnt = daily["cnt"].to_numpy(dtype=np.int64)
+    m = pd.DataFrame({"event_type": daily["event_type"],
+                      "n_days": np.ones(len(daily), dtype=np.int64),
+                      "sx": day, "sy": cnt, "sxy": day * cnt,
+                      "sxx": day * day}) \
+        .groupby("event_type", as_index=False).sum()
+    m = _restore_null_keys(m, ["event_type"])
+    n = m["n_days"].to_numpy(dtype=np.int64).astype(np.float64)
+    sx = m["sx"].to_numpy(dtype=np.int64).astype(np.float64)
+    sy = m["sy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxy = m["sxy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxx = m["sxx"].to_numpy(dtype=np.int64).astype(np.float64)
+    den = n * sxx - sx * sx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope_e6 = np.where(
+            den > 0.0,
+            _round_half_away(1e6 * ((n * sxy - sx * sy)
+                                    / np.where(den > 0.0, den, 1.0))),
+            np.nan)
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n_days": m["n_days"].astype(np.int64),
+        "n_events": m["sy"].astype(np.int64),
+        "slope_e6": _int_or_float64(pd.Series(slope_e6))})
+    return out.sort_values("event_type", na_position="last") \
+              .reset_index(drop=True)
+
+
+def chi2_lang_source(sf_dir: str) -> pa.Table:
+    """Per-cell chi-squared decomposition of the lang × source
+    contingency table — the independence diagnostic beside
+    `cube_lang_source`: observed count, expected count under
+    independence (row·col/N), and the cell's χ² contribution
+    ((n−e)²/e), each e6-rounded PER CELL so no cross-cell float
+    summation order can diverge between engine and oracle (a total-χ²
+    scalar would sum doubles in engine-vs-SQL-specific order; the
+    per-cell table is deterministic and the total is recoverable as an
+    exact integer sum of the rounded cells).  Expected values compute
+    in float (row·col overflows int64 at 10¹²-row scale) with the
+    IDENTICAL operand order as the SQL.  NULL lang / source are groups
+    (sentinel convention)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "source": _sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False))),
+            "n": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False)
+
+    cells = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["lang", "source"], ["n"]).to_pandas()
+    if cells.empty or "n" not in cells:
+        return _empty_result(lang=object, source=object, n="int64",
+                             expected_e6="int64", chi2_e6="int64")
+    rows = cells.groupby("lang", as_index=False)["n"].sum() \
+        .rename(columns={"n": "r"})
+    cols = cells.groupby("source", as_index=False)["n"].sum() \
+        .rename(columns={"n": "c"})
+    cells = cells.merge(rows, on="lang").merge(cols, on="source")
+    total = float(cells["n"].sum())
+    r = cells["r"].to_numpy(dtype=np.int64).astype(np.float64)
+    c = cells["c"].to_numpy(dtype=np.int64).astype(np.float64)
+    n = cells["n"].to_numpy(dtype=np.int64).astype(np.float64)
+    e = r * c / total
+    d = n - e
+    out = pd.DataFrame({
+        "lang": cells["lang"], "source": cells["source"],
+        "n": cells["n"].astype(np.int64),
+        "expected_e6": _round_half_away(1e6 * e).astype(np.int64),
+        "chi2_e6": _round_half_away(1e6 * (d * d / e)).astype(np.int64)})
+    out = _restore_null_keys(out, ["lang", "source"])
+    return out.sort_values(["lang", "source"], na_position="last") \
+              .reset_index(drop=True)
+
+
+def edit_distance_pairs(sf_dir: str) -> pa.Table:
+    """Blocked edit-distance near-duplicate verification over the
+    derived corpus (originals ∪ perturbed copies) — the third
+    candidate-generation family beside MinHash-LSH and word-n-gram
+    Jaccard: docs block on their last-16-code-point suffix (the
+    perturbations edit the document HEAD, so true near-dups share the
+    tail), candidate pairs emit per block via the sorted-run motif,
+    and each pair verifies with byte-exact Levenshtein over the
+    first-96-code-point prefixes (``functions.editdist`` — vectorized
+    across the pair axis; DuckDB's ``levenshtein`` is byte-based, and
+    the kernel is fuzz-pinned byte-identical to it).  Pairs at
+    distance ≤ 24 survive.  NULL-text docs have no block key (SQL join
+    semantics) and are excluded; blocking is part of the operator's
+    CONTRACT (the oracle uses the identical key), not a silent cap."""
+    import ray.data as rd
+
+    from ..functions.editdist import levenshtein_bytes_batch
+    from ..stages.ranking import _edge_mask
+
+    corpus = _derived_text_corpus(sf_dir)
+
+    _K_EMPTY = pd.DataFrame({"blk": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "pre": pd.Series([], dtype=object)})
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        if t.num_rows == 0:
+            return _K_EMPTY
+        txt = t.column("text").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "blk": np.array([s[-16:] for s in txt], dtype=object),
+            "doc_id": t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "pre": np.array([s[:96] for s in txt], dtype=object)})
+
+    sorted_ds = corpus.map_batches(keyed, batch_format="pyarrow") \
+        .sort("blk").materialize()
+
+    _P_EMPTY = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "pre_a": pd.Series([], dtype=object),
+                             "pre_b": pd.Series([], dtype=object)})
+
+    def _emit(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _P_EMPTY
+        df = df.sort_values(["blk", "doc_id"], kind="mergesort")
+        blk = df["blk"].to_numpy(dtype=object)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        pre = df["pre"].to_numpy(dtype=object)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(blk[1:] != blk[:-1]) + 1, [len(blk)]])
+        parts = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            parts.append(pd.DataFrame({"id_a": ids[s:e][i],
+                                       "id_b": ids[s:e][j],
+                                       "pre_a": pre[s:e][i],
+                                       "pre_b": pre[s:e][j]}))
+        return pd.concat(parts, ignore_index=True) if parts else _P_EMPTY
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _P_EMPTY
+        return _emit(df[~_edge_mask(df, ["blk"])])
+
+    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["blk"])] if len(df) else df
+
+    pairs = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None)
+    edge = sorted_ds.map_batches(
+        boundary_rows, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge):
+        bp = _emit(edge)
+        if len(bp):
+            pairs = pairs.union(rd.from_pandas(bp))
+
+    _V_EMPTY = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="int64")})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _V_EMPTY
+        dist = levenshtein_bytes_batch(df["pre_a"].tolist(),
+                                       df["pre_b"].tolist())
+        keep = dist <= 24
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy(dtype=np.int64)[keep],
+            "id_b": df["id_b"].to_numpy(dtype=np.int64)[keep],
+            "dist": dist[keep]})
+
+    out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_result(id_a="int64", id_b="int64", dist="int64")
+    for c in ("id_a", "id_b", "dist"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -755,3 +755,35 @@ def test_bloom_anti_join_empty_frontier(ray_session):
         "text": pd.Series([], dtype="object")}))
     out = bloom_anti_join_texts(new, existing).to_pandas()
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# byte-Levenshtein kernel: fuzz-pinned to DuckDB's levenshtein()
+# ---------------------------------------------------------------------------
+
+def test_levenshtein_bytes_matches_duckdb():
+    import random
+    import string
+
+    import duckdb
+    import numpy as np
+
+    from cckp_toolkit_workflow_ray.functions.editdist import \
+        levenshtein_bytes_batch
+
+    con = duckdb.connect()
+    rng = random.Random(13)
+    pool = string.ascii_lowercase + " é日𝔘\t "
+    a = ["".join(rng.choices(pool, k=rng.randint(0, 24)))
+         for _ in range(200)]
+    b = ["".join(rng.choices(pool, k=rng.randint(0, 24)))
+         for _ in range(200)]
+    got = levenshtein_bytes_batch(a, b)
+    want = np.array([
+        con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+        for x, y in zip(a, b)])
+    assert (got == want).all()
+    # identity / empty edges
+    assert levenshtein_bytes_batch([], []).tolist() == []
+    assert levenshtein_bytes_batch(["abc"], ["abc"]).tolist() == [0]
+    assert levenshtein_bytes_batch(["", "é"], ["ab", ""]).tolist() == [2, 2]

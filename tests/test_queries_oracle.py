@@ -292,6 +292,11 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "dup_rate_by_source": ["source", "n_docs", "n_nonnull",
                                "n_distinct", "dup_rate_e6"],
         "zorder_layout": ["doc_id", "morton", "rk"],
+        "event_type_trend": ["event_type", "n_days", "n_events",
+                             "slope_e6"],
+        "chi2_lang_source": ["lang", "source", "n", "expected_e6",
+                             "chi2_e6"],
+        "edit_distance_pairs": ["id_a", "id_b", "dist"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -401,6 +406,15 @@ NASTY_QUERIES = [
     "gap_quantiles",
     # NULL n_chars interleaves as bit pattern 0 identically
     "zorder_layout",
+    # OLS daily trend: NULL ts excluded, NULL event_type is a group,
+    # single-day types exercise the zero-variance NULL slope
+    "event_type_trend",
+    # contingency decomposition: NULL lang AND NULL source are genuine
+    # cells whose row/col marginals must join NULL-safely
+    "chi2_lang_source",
+    # suffix blocking / byte-Levenshtein over NULL and exotic-unicode
+    # texts (multi-byte code points cost their byte length in DuckDB)
+    "edit_distance_pairs",
 ]
 
 
