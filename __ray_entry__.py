@@ -65,6 +65,27 @@ _URL_CANON_CTE = r"""
         FROM s1)
 """
 
+# k-core peeling oracle: the 8 synchronous peel rounds unroll into
+# chained CTEs (degree -> qualifying set -> surviving edges per round);
+# a converged round is a no-op, so the fixed unroll matches the
+# engine's early-exiting iteration exactly
+def _kcore_round_ctes(k: int = 2, n_rounds: int = 8) -> str:
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+            d{r} AS MATERIALIZED (
+                     SELECT h, CAST(count(*) AS BIGINT) AS n FROM (
+                         SELECT u AS h FROM g{r - 1}
+                         UNION ALL SELECT v AS h FROM g{r - 1})
+                     GROUP BY h),
+            k{r} AS MATERIALIZED (SELECT h FROM d{r} WHERE n >= {k}),
+            g{r} AS MATERIALIZED (
+                     SELECT u, v FROM g{r - 1}
+                     WHERE u IN (SELECT h FROM k{r})
+                       AND v IN (SELECT h FROM k{r}))""")
+    return ",".join(parts)
+
+
 # integer-exact PageRank oracle: the 5 synchronous iterations unroll
 # into chained CTEs — every quantity is an int64 (floor-division
 # contributions, integer damping), so the engine matches hash-exactly
@@ -453,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_quantiles": q.gap_quantiles,
         "zorder_layout": q.zorder_layout,
         "event_type_trend": q.event_type_trend,
+        "kcore_hosts": q.kcore_hosts,
         "chi2_lang_source": q.chi2_lang_source,
         "edit_distance_pairs": q.edit_distance_pairs,
     }
@@ -2744,6 +2766,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY am | (bm << 1),
                                            doc_id) AS BIGINT) AS rk
             FROM sp2 QUALIFY rk <= 25 ORDER BY rk
+        """,
+        "kcore_hosts": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            g0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+                          greatest(src, dst) AS v
+                   FROM e0 WHERE src <> dst),
+        """ + _kcore_round_ctes(k=2, n_rounds=8) + """
+            SELECT h AS host, CAST(count(*) AS BIGINT) AS core_deg
+            FROM (SELECT u AS h FROM g8 UNION ALL SELECT v AS h FROM g8)
+            GROUP BY h ORDER BY host
         """,
         "event_type_trend": """
             WITH e AS (

@@ -4539,30 +4539,13 @@ def event_transitions(sf_dir: str) -> pa.Table:
     ).reset_index(drop=True)
 
 
-def triangle_count(sf_dir: str) -> pa.Table:
-    """Triangle census of the canonical-host crawl graph (the standard
-    clustering-structure metric beside `pagerank_hosts` /
-    `host_components`): edges canonicalize to the simple undirected
-    (u < v, self-loops dropped) form via the sorted-run distinct, and
-    every triangle u < v < z is counted ONCE at its (u, v) edge.
-    Counting delegates to the two-regime
-    ``stages.graph.triangle_count_exact``: ≤2M canonical edges use the
-    broadcast sorted-adjacency intersect pass; beyond that the
-    distributed degree-oriented wedge join (O(m^1.5) wedge volume,
-    four keyed exchanges, no driver table) — regimes pytest-pinned
-    row-identical on random graphs.  Exact integers end to end."""
-    from ..stages.graph import triangle_count_exact
+def _canonical_host_edges(sf_dir: str):
+    """(canonical edge Dataset (u, v) — distinct, u < v, self-loops
+    dropped, materialized; nodes Dataset) of the crawl-adjacency host
+    graph — shared by `triangle_count` and `kcore_hosts`."""
     from ..stages.groupagg import sorted_distinct_keys
 
     edges, nodes = _host_graph(sf_dir)
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        # SQL's scalar subqueries yield one (0, 0, 0) row on an empty
-        # corpus — match it (the funnel_conversion single-row policy)
-        return pd.DataFrame({"n_nodes": pd.Series([0], dtype="int64"),
-                             "n_edges": pd.Series([0], dtype="int64"),
-                             "n_triangles": pd.Series([0],
-                                                      dtype="int64")})
 
     def canon_pairs(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -4578,6 +4561,32 @@ def triangle_count(sf_dir: str) -> pa.Table:
     ce = sorted_distinct_keys(
         edges.map_batches(canon_pairs, batch_format="pandas"),
         ["u", "v"]).materialize()
+    return ce, nodes
+
+
+def triangle_count(sf_dir: str) -> pa.Table:
+    """Triangle census of the canonical-host crawl graph (the standard
+    clustering-structure metric beside `pagerank_hosts` /
+    `host_components`): edges canonicalize to the simple undirected
+    (u < v, self-loops dropped) form via the sorted-run distinct, and
+    every triangle u < v < z is counted ONCE at its (u, v) edge.
+    Counting delegates to the two-regime
+    ``stages.graph.triangle_count_exact``: ≤2M canonical edges use the
+    broadcast sorted-adjacency intersect pass; beyond that the
+    distributed degree-oriented wedge join (O(m^1.5) wedge volume,
+    four keyed exchanges, no driver table) — regimes pytest-pinned
+    row-identical on random graphs.  Exact integers end to end."""
+    from ..stages.graph import triangle_count_exact
+
+    ce, nodes = _canonical_host_edges(sf_dir)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        # SQL's scalar subqueries yield one (0, 0, 0) row on an empty
+        # corpus — match it (the funnel_conversion single-row policy)
+        return pd.DataFrame({"n_nodes": pd.Series([0], dtype="int64"),
+                             "n_edges": pd.Series([0], dtype="int64"),
+                             "n_triangles": pd.Series([0],
+                                                      dtype="int64")})
     n_edges = ce.count()
     if n_edges == 0:
         return pd.DataFrame({"n_nodes": pd.Series([n_nodes], dtype="int64"),
@@ -5337,3 +5346,35 @@ def edit_distance_pairs(sf_dir: str) -> pa.Table:
     for c in ("id_a", "id_b", "dist"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def kcore_hosts(sf_dir: str) -> pa.Table:
+    """2-core of the canonical-host crawl graph — the standard
+    link-graph noise filter (degree-1 tendrils peel away, leaving the
+    loop-bearing backbone) beside `pagerank_hosts` / `host_components`
+    / `triangle_count`: iterative peeling via
+    ``stages.graph.kcore_edges`` for EXACTLY 8 synchronous rounds (the
+    fixed-round pagerank convention — reproducible by 8 unrolled SQL
+    CTE rounds whether or not peeling converged; 8 covers every
+    in-repo fixture, and the monotone fixed-point early-exit makes
+    extra rounds free).  Output: each surviving host with its degree
+    INSIDE the core, exact integers."""
+    from ..stages.graph import kcore_edges
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ce, _nodes = _canonical_host_edges(sf_dir)
+    core = kcore_edges(ce, k=2, n_rounds=8)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": np.concatenate([df["u"].to_numpy(dtype=object),
+                                    df["v"].to_numpy(dtype=object)]),
+            "core_deg": np.ones(2 * len(df), dtype=np.int64)})
+
+    deg = sorted_sum_by_key(
+        core.map_batches(endpoints, batch_format="pandas"),
+        ["host"], ["core_deg"])
+    if deg.empty or "core_deg" not in deg:
+        return _empty_result(host=object, core_deg="int64")
+    deg["core_deg"] = deg["core_deg"].astype(np.int64)
+    return deg.sort_values("host").reset_index(drop=True)

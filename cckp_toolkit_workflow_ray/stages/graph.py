@@ -453,3 +453,83 @@ def triangle_count_exact(ce, n_edges: int | None = None,
             [int(df["n"].sum())], dtype=np.int64)}),
         batch_format="pandas").sum("t")
     return int(n_tri or 0)
+
+
+def kcore_edges(ce, k: int = 2, n_rounds: int = 8,
+                broadcast_limit: int = 2_000_000):
+    """Iterative k-core peeling over a canonical undirected edge
+    Dataset ``ce`` (columns ``(u, v)``, distinct, u < v, no
+    self-loops): each round drops every node whose current degree is
+    below ``k`` and every edge touching one, for EXACTLY ``n_rounds``
+    synchronous rounds — the fixed-round convention of
+    ``pagerank_int``, so the result is reproducible by ``n_rounds``
+    unrolled SQL CTEs whether or not peeling has converged.  Peeling
+    is monotone, so a round that removes nothing is a fixed point and
+    iteration stops early (identical result, fewer exchanges).
+
+    Two regimes per round (the shared ``broadcast_limit`` convention):
+    a qualifying-node set at or below the limit broadcasts ONCE via
+    ``ray.put`` and the edge Dataset filters in one streaming pass;
+    beyond it the filter is two bucketed ``hash_join``s (edges ⋈ keep
+    on u, then on v) with no driver table.  Returns the surviving edge
+    Dataset."""
+    import ray
+
+    from .groupagg import sorted_reduce_by_key_ds
+    from .joins import hash_join
+
+    edges = ce.materialize()
+    n_prev = edges.count()
+    if n_prev == 0:
+        return edges
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": np.concatenate([df["u"].to_numpy(dtype=object),
+                                 df["v"].to_numpy(dtype=object)]),
+            "n": np.ones(2 * len(df), dtype=np.int64)})
+
+    for _ in range(n_rounds):
+        deg = sorted_reduce_by_key_ds(
+            edges.map_batches(endpoints, batch_format="pandas"),
+            ["h"], {"n": "sum"})
+        keep = deg.map_batches(lambda df: df[df["n"] >= k],
+                               batch_format="pandas")
+        n_keep = keep.count()
+        if n_keep == 0:
+            return edges.map_batches(lambda df: df.iloc[:0],
+                                     batch_format="pandas").materialize()
+        if n_keep <= broadcast_limit:
+            keep_ref = ray.put(np.sort(
+                keep.to_pandas()["h"].to_numpy(dtype=object)))
+
+            def filt(df: pd.DataFrame, _ref=keep_ref) -> pd.DataFrame:
+                if df.empty:
+                    return df
+                ks = ray.get(_ref)
+                iu = np.searchsorted(ks, df["u"].to_numpy(dtype=object))
+                iv = np.searchsorted(ks, df["v"].to_numpy(dtype=object))
+                ok_u = (iu < len(ks)) & (
+                    ks[np.minimum(iu, len(ks) - 1)]
+                    == df["u"].to_numpy(dtype=object))
+                ok_v = (iv < len(ks)) & (
+                    ks[np.minimum(iv, len(ks) - 1)]
+                    == df["v"].to_numpy(dtype=object))
+                return df[ok_u & ok_v]
+
+            edges = edges.map_batches(
+                filt, batch_format="pandas").materialize()
+        else:
+            keep_u = keep.map_batches(
+                lambda df: df[["h"]].rename(columns={"h": "u"}),
+                batch_format="pandas")
+            keep_v = keep.map_batches(
+                lambda df: df[["h"]].rename(columns={"h": "v"}),
+                batch_format="pandas")
+            edges = hash_join(hash_join(edges, keep_u, on="u"),
+                              keep_v, on="v").materialize()
+        n_now = edges.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return edges

@@ -259,3 +259,61 @@ def test_triangle_regimes_on_random_graphs(ray_session, g):
     assert _tri_run(pairs) == want
     # broadcast_limit=0 forces the distributed wedge-join regime
     assert _tri_run(pairs, broadcast_limit=0, n_buckets=4) == want
+
+
+# ---------------------------------------------------------------------------
+# kcore_edges: regime equivalence + reference peeling
+# ---------------------------------------------------------------------------
+
+from cckp_toolkit_workflow_ray.stages.graph import kcore_edges
+
+
+def _ref_kcore(pairs, k=2, n_rounds=8):
+    es = set(pairs)
+    for _ in range(n_rounds):
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {h for h, d in deg.items() if d >= k}
+        new = {(u, v) for u, v in es if u in keep and v in keep}
+        if new == es:
+            break
+        es = new
+    return sorted(es)
+
+
+def _kcore_run(pairs, **kw):
+    ce = rd.from_pandas(pd.DataFrame(
+        {"u": [u for u, _ in pairs] or pd.Series([], dtype=object),
+         "v": [v for _, v in pairs] or pd.Series([], dtype=object)}))
+    out = kcore_edges(ce, **kw).to_pandas()
+    return sorted(zip(out["u"], out["v"])) if len(out) else []
+
+
+def test_kcore_fixture(ray_session):
+    # triangle + two-tendril chain: tendrils peel in two rounds
+    pairs = _canon_edges([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    want = _ref_kcore(pairs)
+    assert want == [("h0", "h1"), ("h0", "h2"), ("h1", "h2")]
+    assert _kcore_run(pairs) == want
+    assert _kcore_run(pairs, broadcast_limit=0) == want
+
+
+def test_kcore_fully_peeled(ray_session):
+    # a pure chain has no 2-core
+    pairs = _canon_edges([(0, 1), (1, 2), (2, 3)])
+    assert _kcore_run(pairs) == []
+    assert _kcore_run(pairs, broadcast_limit=0) == []
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rand_graph())
+def test_kcore_regimes_on_random_graphs(ray_session, g):
+    hosts, edges = g
+    pairs = _canon_edges([(a, b) for a, b, _ in edges])
+    if not pairs:
+        return
+    want = _ref_kcore(pairs)
+    assert _kcore_run(pairs) == want
+    assert _kcore_run(pairs, broadcast_limit=0) == want

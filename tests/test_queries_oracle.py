@@ -297,6 +297,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "chi2_lang_source": ["lang", "source", "n", "expected_e6",
                              "chi2_e6"],
         "edit_distance_pairs": ["id_a", "id_b", "dist"],
+        "kcore_hosts": ["host", "core_deg"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -415,6 +416,8 @@ NASTY_QUERIES = [
     # suffix blocking / byte-Levenshtein over NULL and exotic-unicode
     # texts (multi-byte code points cost their byte length in DuckDB)
     "edit_distance_pairs",
+    # peeling over NULL-host-pruned edges (the pagerank/CC edge policy)
+    "kcore_hosts",
 ]
 
 
