@@ -475,9 +475,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": q.zorder_layout,
         "event_type_trend": q.event_type_trend,
         "kcore_hosts": q.kcore_hosts,
+        "rrf_fusion": q.rrf_fusion,
+        "value_winsorized": q.value_winsorized,
         "chi2_lang_source": q.chi2_lang_source,
         "edit_distance_pairs": q.edit_distance_pairs,
     }
+
+
+# Okapi BM25 CTE chain (probe queries -> tokenize -> tf/df/idf ->
+# integer-parity contributions -> per-(query, doc) scores) — shared by
+# the bm25_top_docs oracle and the rrf_fusion oracle's system A.
+_BM25_CTES = """
+            qt(query_id, w) AS (VALUES
+                (0, 'hash'), (0, 'join'),
+                (1, 'window'), (1, 'sort'),
+                (2, 'slow'), (2, 'scan'), (2, 'filter')),
+            words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split(coalesce(text, ''), ' '),
+                           w -> w <> '')) AS w
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT count(*) FROM words) AS s),
+            tf AS (SELECT q.query_id, q.w, wd.doc_id, count(*) AS tf
+                   FROM words wd JOIN qt q ON q.w = wd.w
+                   GROUP BY q.query_id, q.w, wd.doc_id),
+            dfq AS (SELECT w, count(DISTINCT doc_id) AS df
+                    FROM words WHERE w IN (SELECT w FROM qt) GROUP BY w),
+            idf AS (
+                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+                                    ELSE -floor(-x + 0.5) END AS BIGINT)
+                           AS idf_e6
+                FROM (SELECT w,
+                             1e6 * ln((n - df + 0.5) / (df + 0.5) + 1) AS x
+                      FROM dfq, stats)),
+            contrib AS (
+                SELECT t.query_id, t.doc_id,
+                       CAST(CASE WHEN c >= 0 THEN floor(c + 0.5)
+                                 ELSE -floor(-c + 0.5) END AS BIGINT) AS c
+                FROM (SELECT t.query_id, t.doc_id,
+                             (CAST(i.idf_e6 AS DOUBLE) * t.tf * 22 * s)
+                             / (10 * CAST(s AS DOUBLE) * t.tf
+                                + 3 * CAST(s AS DOUBLE)
+                                + 9 * CAST(d.dl AS DOUBLE) * n) AS c
+                      FROM tf t
+                      JOIN idf i ON i.w = t.w
+                      JOIN dl d ON d.doc_id = t.doc_id, stats) t),
+            scores AS (SELECT query_id, doc_id,
+                              CAST(sum(c) AS BIGINT) AS score_e6
+                       FROM contrib GROUP BY query_id, doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1746,53 +1795,49 @@ def oracle_sql() -> dict[str, str]:
         # float64 division per (term, doc) in the same literal operation
         # order as the engine, rounded half-away per TERM to micro-nats,
         # then summed exactly; ln() is libm on both sides
-        "bm25_top_docs": """
-            WITH qt(query_id, w) AS (VALUES
-                (0, 'hash'), (0, 'join'),
-                (1, 'window'), (1, 'sort'),
-                (2, 'slow'), (2, 'scan'), (2, 'filter')),
-            words AS (
-                SELECT doc_id,
-                       unnest(list_filter(
-                           string_split(coalesce(text, ''), ' '),
-                           w -> w <> '')) AS w
-                FROM documents),
-            dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
-            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-                             (SELECT count(*) FROM words) AS s),
-            tf AS (SELECT q.query_id, q.w, wd.doc_id, count(*) AS tf
-                   FROM words wd JOIN qt q ON q.w = wd.w
-                   GROUP BY q.query_id, q.w, wd.doc_id),
-            dfq AS (SELECT w, count(DISTINCT doc_id) AS df
-                    FROM words WHERE w IN (SELECT w FROM qt) GROUP BY w),
-            idf AS (
-                SELECT w, CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
-                                    ELSE -floor(-x + 0.5) END AS BIGINT)
-                           AS idf_e6
-                FROM (SELECT w,
-                             1e6 * ln((n - df + 0.5) / (df + 0.5) + 1) AS x
-                      FROM dfq, stats)),
-            contrib AS (
-                SELECT t.query_id, t.doc_id,
-                       CAST(CASE WHEN c >= 0 THEN floor(c + 0.5)
-                                 ELSE -floor(-c + 0.5) END AS BIGINT) AS c
-                FROM (SELECT t.query_id, t.doc_id,
-                             (CAST(i.idf_e6 AS DOUBLE) * t.tf * 22 * s)
-                             / (10 * CAST(s AS DOUBLE) * t.tf
-                                + 3 * CAST(s AS DOUBLE)
-                                + 9 * CAST(d.dl AS DOUBLE) * n) AS c
-                      FROM tf t
-                      JOIN idf i ON i.w = t.w
-                      JOIN dl d ON d.doc_id = t.doc_id, stats) t),
-            scores AS (SELECT query_id, doc_id,
-                              CAST(sum(c) AS BIGINT) AS score_e6
-                       FROM contrib GROUP BY query_id, doc_id)
+        "bm25_top_docs": "WITH " + _BM25_CTES + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_e6,
                    CAST(rk AS BIGINT) AS rk
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY query_id
                       ORDER BY score_e6 DESC, doc_id ASC) AS rk
                   FROM scores)
+            WHERE rk <= 10 ORDER BY query_id, rk
+        """,
+        "rrf_fusion": "WITH " + _BM25_CTES + """
+            , ranked_a AS (
+                SELECT query_id, doc_id, rk FROM (
+                    SELECT query_id, doc_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score_e6 DESC, doc_id ASC) AS rk
+                    FROM scores) WHERE rk <= 10),
+            tfm AS (SELECT query_id, doc_id,
+                           CAST(sum(tf) AS BIGINT) AS sum_tf
+                    FROM tf GROUP BY query_id, doc_id),
+            ranked_b AS (
+                SELECT query_id, doc_id, rk FROM (
+                    SELECT query_id, doc_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sum_tf DESC, doc_id ASC) AS rk
+                    FROM tfm) WHERE rk <= 10),
+            allp AS (SELECT query_id, doc_id FROM ranked_a
+                     UNION SELECT query_id, doc_id FROM ranked_b),
+            f AS (
+                SELECT p.query_id, p.doc_id,
+                       coalesce(1.0 / (60 + a.rk), 0)
+                       + coalesce(1.0 / (60 + b.rk), 0) AS rrf
+                FROM allp p
+                LEFT JOIN ranked_a a ON a.query_id = p.query_id
+                                    AND a.doc_id = p.doc_id
+                LEFT JOIN ranked_b b ON b.query_id = p.query_id
+                                    AND b.doc_id = p.doc_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   CAST(round(1000000 * rrf) AS BIGINT) AS rrf_e6,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY rrf DESC, doc_id ASC) AS rk
+                  FROM f)
             WHERE rk <= 10 ORDER BY query_id, rk
         """,
         # per-label centroid sums: elements pre-rounded to e6 ints so the
@@ -2841,6 +2886,26 @@ def oracle_sql() -> dict[str, str]:
                                          * (CAST(n AS DOUBLE) - e) / e))
                         AS BIGINT) AS chi2_e6
             FROM e ORDER BY lang, source
+        """,
+        "value_winsorized": """
+            WITH v AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL),
+            q AS (SELECT event_type,
+                         quantile_disc(value, 0.05) AS p05,
+                         quantile_disc(value, 0.95) AS p95
+                  FROM v GROUP BY event_type)
+            SELECT v.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value < p05 AS BIGINT)) AS BIGINT)
+                       AS n_lo,
+                   CAST(sum(CAST(value > p95 AS BIGINT)) AS BIGINT)
+                       AS n_hi,
+                   CAST(sum(CAST(round(1000000 *
+                            least(greatest(value, p05), p95))
+                            AS BIGINT)) AS BIGINT) AS sum_clamped_e6
+            FROM v JOIN q
+              ON q.event_type IS NOT DISTINCT FROM v.event_type
+            GROUP BY v.event_type ORDER BY v.event_type
         """,
         "edit_distance_pairs": """
             WITH corpus AS (

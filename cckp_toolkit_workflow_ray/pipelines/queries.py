@@ -5378,3 +5378,171 @@ def kcore_hosts(sf_dir: str) -> pa.Table:
         return _empty_result(host=object, core_deg="int64")
     deg["core_deg"] = deg["core_deg"].astype(np.int64)
     return deg.sort_values("host").reset_index(drop=True)
+
+
+def rrf_fusion(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09, k = 60) of two
+    retrieval systems over the `BM25_QUERIES` probe set: system A is
+    the Okapi BM25 top-10 (`bm25_top_docs`), system B ranks by total
+    matched-term frequency (Σtf over the query's terms, doc_id
+    tiebreak) — the classic lexical-mass baseline.  Fused score
+    ``1/(60+rank_A) + 1/(60+rank_B)`` with an absent system
+    contributing 0.0, summed in that FIXED order (two terms — no
+    float-sum-order ambiguity), ranked by the raw double (doc_id
+    tiebreak), top 10 per query, e6-rounded for the surface.  Both
+    system tables are top-10-bounded (≤ 30 rows each), so fusion is a
+    driver-side merge; the heavy work is the two bounded retrieval
+    pipelines."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.ranking import grouped_top_k
+
+    a = bm25_top_docs(sf_dir)
+    if isinstance(a, pa.Table):
+        a = a.to_pandas()
+
+    term_to_queries: dict[str, list[int]] = {}
+    for qid, terms in BM25_QUERIES.items():
+        for w in terms:
+            term_to_queries.setdefault(w, []).append(qid)
+    term_set = frozenset(term_to_queries)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _M_EMPTY = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "sum_tf": pd.Series([], dtype="int64")})
+
+    def match_partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = [[w for w in (x or "").split(" ") if w] for x in texts]
+        lens = np.array([len(p) for p in toks], dtype=np.int64)
+        if lens.sum() == 0:
+            return _M_EMPTY
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "term": np.concatenate(
+                [np.array(p, dtype=object) for p in toks if p])})
+        flat = flat[flat["term"].isin(term_set)]
+        if flat.empty:
+            return _M_EMPTY
+        reps = flat["term"].map(
+            lambda w: term_to_queries[w]).to_numpy(dtype=object)
+        counts = np.array([len(r) for r in reps], dtype=np.int64)
+        q = pd.DataFrame({
+            "query_id": np.concatenate(
+                [np.array(r, dtype=np.int64) for r in reps]),
+            "doc_id": np.repeat(flat["doc_id"].to_numpy(), counts),
+            "sum_tf": np.ones(int(counts.sum()), dtype=np.int64)})
+        return q.groupby(["query_id", "doc_id"], as_index=False).sum()
+
+    tfm = sorted_reduce_by_key_ds(
+        ds.map_batches(match_partial, batch_format="pyarrow"),
+        ["query_id", "doc_id"], {"sum_tf": "sum"})
+    b = grouped_top_k(tfm, ["query_id"], ["sum_tf", "doc_id"], k=10,
+                      descending=[True, False]).to_pandas()
+    if len(b):
+        b = b.sort_values(["query_id", "sum_tf", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        b["rk"] = (b.groupby("query_id").cumcount() + 1).astype(np.int64)
+    if a.empty and (b.empty if hasattr(b, "empty") else True):
+        return _empty_result(query_id="int64", doc_id="int64",
+                             rrf_e6="int64", rk="int64")
+    a_rk = a[["query_id", "doc_id", "rk"]].rename(columns={"rk": "ra"}) \
+        if len(a) else pd.DataFrame(columns=["query_id", "doc_id", "ra"])
+    b_rk = b[["query_id", "doc_id", "rk"]].rename(columns={"rk": "rb"}) \
+        if len(b) else pd.DataFrame(columns=["query_id", "doc_id", "rb"])
+    f = a_rk.merge(b_rk, on=["query_id", "doc_id"], how="outer")
+    ra = f["ra"].to_numpy(dtype=np.float64)
+    rb = f["rb"].to_numpy(dtype=np.float64)
+    # fixed A-then-B addition order; absent system contributes 0.0 —
+    # the identical coalesce(...) + coalesce(...) the SQL evaluates
+    rrf = (np.where(np.isnan(ra), 0.0, 1.0 / (60.0 + ra))
+           + np.where(np.isnan(rb), 0.0, 1.0 / (60.0 + rb)))
+    f = f.assign(rrf=rrf).sort_values(
+        ["query_id", "rrf", "doc_id"], ascending=[True, False, True],
+        kind="mergesort")
+    f["rk"] = (f.groupby("query_id").cumcount() + 1).astype(np.int64)
+    f = f[f["rk"] <= 10]
+    out = pd.DataFrame({
+        "query_id": f["query_id"].astype(np.int64),
+        "doc_id": f["doc_id"].astype(np.int64),
+        "rrf_e6": _round_half_away(1e6 * f["rrf"].to_numpy())
+        .astype(np.int64),
+        "rk": f["rk"]})
+    return out.reset_index(drop=True)
+
+
+def value_winsorized(sf_dir: str) -> pa.Table:
+    """Per-event-type winsorized value statistics — the robust
+    aggregate beside `value_mad_by_type`: exact discrete p05/p95
+    bounds from the grouped distributed selection, then ONE streaming
+    clamp pass reporting n, the strict out-of-bounds counts, and the
+    clamped mass as an exact int64 sum of PER-ROW e6-rounded clamped
+    values (the `rfm_segments` monetary idiom — no float-sum order
+    anywhere).  The tiny per-type bound table broadcasts via
+    ``ray.put``.  NULL event_type is a group (sentinel convention);
+    NULL values are excluded; a group with no non-null values drops
+    from the surface entirely (SQL value-level aggregation
+    semantics)."""
+    import ray
+
+    from ..functions.nulls import sentinel_nulls
+    from ..stages.selection import exact_quantiles_unbounded_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def sent(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()].copy()
+        df["event_type"] = sentinel_nulls(df["event_type"])
+        return df
+
+    clean = ds.map_batches(sent, batch_format="pandas").materialize()
+    qres = exact_quantiles_unbounded_grouped(
+        clean, "event_type", "value", [0.05, 0.95])
+    if qres.empty:
+        return _empty_result(event_type=object, n="int64", n_lo="int64",
+                             n_hi="int64", sum_clamped_e6="int64")
+    wide = qres.pivot(index="event_type", columns="q",
+                      values="value").reset_index()
+    wide.columns.name = None
+    wide = wide.rename(columns={0.05: "p05", 0.95: "p95"})
+    bounds = {r.event_type: (r.p05, r.p95) for r in wide.itertuples()}
+    b_ref = ray.put(bounds)
+
+    _EMPTY = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                           "n": pd.Series([], dtype="int64"),
+                           "n_lo": pd.Series([], dtype="int64"),
+                           "n_hi": pd.Series([], dtype="int64"),
+                           "sum_clamped_e6": pd.Series([], dtype="int64")})
+
+    def partial(df: pd.DataFrame, _ref=b_ref) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        bd = ray.get(_ref)
+        lo = df["event_type"].map(lambda t: bd[t][0]).to_numpy(
+            dtype=np.float64)
+        hi = df["event_type"].map(lambda t: bd[t][1]).to_numpy(
+            dtype=np.float64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        clamped = np.minimum(np.maximum(v, lo), hi)
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(dtype=object),
+            "n": np.ones(len(df), dtype=np.int64),
+            "n_lo": (v < lo).astype(np.int64),
+            "n_hi": (v > hi).astype(np.int64),
+            "sum_clamped_e6": _round_half_away(1e6 * clamped)
+            .astype(np.int64)})
+        return out.groupby("event_type", as_index=False).sum()
+
+    agg = _sum_by_key(clean.map_batches(partial, batch_format="pandas"),
+                      ["event_type"],
+                      ["n", "n_lo", "n_hi", "sum_clamped_e6"]).to_pandas()
+    if agg.empty or "n" not in agg:
+        return _empty_result(event_type=object, n="int64", n_lo="int64",
+                             n_hi="int64", sum_clamped_e6="int64")
+    for c in ("n", "n_lo", "n_hi", "sum_clamped_e6"):
+        agg[c] = agg[c].astype(np.int64)
+    agg = _restore_null_keys(agg, ["event_type"])
+    return agg[["event_type", "n", "n_lo", "n_hi", "sum_clamped_e6"]] \
+        .sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

@@ -298,6 +298,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                              "chi2_e6"],
         "edit_distance_pairs": ["id_a", "id_b", "dist"],
         "kcore_hosts": ["host", "core_deg"],
+        "rrf_fusion": ["query_id", "doc_id", "rrf_e6", "rk"],
+        "value_winsorized": ["event_type", "n", "n_lo", "n_hi",
+                             "sum_clamped_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -418,6 +421,12 @@ NASTY_QUERIES = [
     "edit_distance_pairs",
     # peeling over NULL-host-pruned edges (the pagerank/CC edge policy)
     "kcore_hosts",
+    # fusion consumes the BM25 tokenizer family (exotic whitespace /
+    # NULL texts) through both systems
+    "rrf_fusion",
+    # strict-bound counts and per-row e6 clamps over NULL event_type
+    # groups; all-NULL-value groups must DROP from the surface
+    "value_winsorized",
 ]
 
 
