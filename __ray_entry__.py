@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_winsorized": q.value_winsorized,
         "chi2_lang_source": q.chi2_lang_source,
         "edit_distance_pairs": q.edit_distance_pairs,
+        "degree_assortativity": q.degree_assortativity,
     }
 
 
@@ -2932,5 +2933,49 @@ def oracle_sql() -> dict[str, str]:
                   ON x.blk = y.blk AND x.doc_id < y.doc_id)
             SELECT id_a, id_b, dist FROM p
             WHERE dist <= 24 ORDER BY id_a, id_b
+        """,
+        # Newman degree assortativity: each edge contributes BOTH
+        # orientations, so the two marginals coincide (sy = sx,
+        # syy = sxx) and the Pearson closed form reduces to
+        # (n·sxy − sx²) / (n·sxx − sx²) — evaluated in DOUBLE with the
+        # engine's exact operand order on exact integer moments
+        "degree_assortativity": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            ce AS (SELECT DISTINCT least(src, dst) AS u,
+                          greatest(src, dst) AS v
+                   FROM e0 WHERE src <> dst),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM (SELECT u AS node FROM ce
+                          UNION ALL SELECT v AS node FROM ce)
+                    GROUP BY node),
+            p AS (SELECT d1.d AS x, d2.d AS y
+                  FROM ce JOIN deg d1 ON d1.node = ce.u
+                          JOIN deg d2 ON d2.node = ce.v),
+            m AS (SELECT CAST(2 * count(*) AS BIGINT) AS n_pairs,
+                         CAST(sum(x + y) AS BIGINT) AS sx,
+                         CAST(2 * sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x + y * y) AS BIGINT) AS sxx
+                  FROM p),
+            r AS (SELECT n_pairs,
+                         (CAST(n_pairs AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sx) AS num,
+                         (CAST(n_pairs AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx) AS den
+                  FROM m)
+            SELECT n_pairs,
+                   CASE WHEN den > 0
+                        THEN CAST(round(1000000 * (num / den))
+                                  AS BIGINT)
+                        ELSE NULL END AS assortativity_e6
+            FROM r WHERE n_pairs > 0
         """,
     }

@@ -5546,3 +5546,106 @@ def value_winsorized(sf_dir: str) -> pa.Table:
     return agg[["event_type", "n", "n_lo", "n_hi", "sum_clamped_e6"]] \
         .sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def degree_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity coefficient (Newman 2002) of the
+    canonical-host crawl graph — the mixing diagnostic beside
+    `triangle_count` / `kcore_hosts`: Pearson correlation of the
+    endpoint degrees over every edge counted in BOTH orientations.
+    Same exact-integer-moment shape as `corr_chars_tokens`: per-batch
+    moment partials (n, Σx, Σxy, Σx² — the two marginals coincide by
+    symmetry, so sy/syy fold into sx/sxx) sum distributively to one
+    row, and the only float arithmetic is the final closed form
+    evaluated with the IDENTICAL operand order as the SQL, so the
+    e6-rounded coefficient is bit-reproducible at any parallelism.
+    Degrees attach two-regime: a `ray.put` broadcast of the
+    (host, degree) table below 2M hosts, bucketed hash joins beyond.
+    A degree-regular graph (zero variance) yields NULL; an edgeless
+    graph yields no row (the SQL `WHERE n_pairs > 0` guard).
+    int64 moment bound: Σd² ≤ |E|·d_max² must stay below 2⁶³ —
+    ~10⁹ edges at web-host degree skew; shrink to per-bucket partials
+    past that."""
+    import ray
+
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    empty = dict(n_pairs="int64", assortativity_e6="float64")
+    ce, _nodes = _canonical_host_edges(sf_dir)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "d": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "host": np.concatenate([df["u"].to_numpy(dtype=object),
+                                    df["v"].to_numpy(dtype=object)]),
+            "d": np.ones(2 * len(df), dtype=np.int64)}) \
+            .groupby("host", as_index=False).sum()
+
+    deg_ds = sorted_reduce_by_key_ds(
+        ce.map_batches(endpoints, batch_format="pandas"),
+        ["host"], {"d": "sum"}).materialize()
+    n_hosts = deg_ds.count()
+    if n_hosts == 0:
+        return _empty_result(**empty)
+
+    _M_EMPTY = pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("n", "sx", "sxy", "sxx")})
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "x" not in df or "y" not in df:
+            return _M_EMPTY
+        x = df["x"].to_numpy(dtype=np.int64)
+        y = df["y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(2 * len(df))],
+            "sx": [np.int64((x + y).sum())],
+            "sxy": [np.int64(2 * (x * y).sum())],
+            "sxx": [np.int64((x * x + y * y).sum())]})
+
+    if n_hosts <= 2_000_000:
+        deg_df = deg_ds.to_pandas()
+        deg_ref = ray.put(deg_df)
+
+        def attach(df: pd.DataFrame, _ref=deg_ref) -> pd.DataFrame:
+            if df.empty:
+                return _M_EMPTY
+            dm = ray.get(_ref)
+            m = df.merge(dm.rename(columns={"host": "u", "d": "x"}),
+                         on="u") \
+                  .merge(dm.rename(columns={"host": "v", "d": "y"}),
+                         on="v")
+            return moments(m)
+
+        parts = ce.map_batches(attach, batch_format="pandas").to_pandas()
+    else:
+        from ..stages.joins import hash_join
+
+        ju = hash_join(ce, deg_ds.map_batches(
+            lambda df: df.rename(columns={"host": "u", "d": "x"}),
+            batch_format="pandas"), on="u")
+        jv = hash_join(ju, deg_ds.map_batches(
+            lambda df: df.rename(columns={"host": "v", "d": "y"}),
+            batch_format="pandas"), on="v")
+        parts = jv.map_batches(moments,
+                               batch_format="pandas").to_pandas()
+
+    if parts.empty or "n" not in parts:
+        return _empty_result(**empty)
+    n = int(parts["n"].sum())
+    if n == 0:
+        return _empty_result(**empty)
+    sx = np.int64(parts["sx"].sum())
+    sxy = np.int64(parts["sxy"].sum())
+    sxx = np.int64(parts["sxx"].sum())
+    num = np.float64(n) * np.float64(sxy) \
+        - np.float64(sx) * np.float64(sx)
+    den = np.float64(n) * np.float64(sxx) \
+        - np.float64(sx) * np.float64(sx)
+    e6 = float(_round_half_away(1e6 * (num / den))) if den > 0 \
+        else np.nan
+    out = pd.DataFrame({"n_pairs": pd.Series([n], dtype="int64"),
+                        "assortativity_e6": [e6]})
+    out["assortativity_e6"] = _int_or_float64(out["assortativity_e6"])
+    return out

@@ -301,6 +301,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "rrf_fusion": ["query_id", "doc_id", "rrf_e6", "rk"],
         "value_winsorized": ["event_type", "n", "n_lo", "n_hi",
                              "sum_clamped_e6"],
+        "degree_assortativity": ["n_pairs", "assortativity_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -427,6 +428,9 @@ NASTY_QUERIES = [
     # strict-bound counts and per-row e6 clamps over NULL event_type
     # groups; all-NULL-value groups must DROP from the surface
     "value_winsorized",
+    # degree mixing over NULL-host-pruned edges; the nasty graph's
+    # near-regular degree structure exercises the zero-variance NULL
+    "degree_assortativity",
 ]
 
 
