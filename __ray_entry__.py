@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_source": q.chi2_lang_source,
         "edit_distance_pairs": q.edit_distance_pairs,
         "degree_assortativity": q.degree_assortativity,
+        "welch_ttest_chars": q.welch_ttest_chars,
     }
 
 
@@ -2977,5 +2978,42 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                         ELSE NULL END AS assortativity_e6
             FROM r WHERE n_pairs > 0
+        """,
+        # Welch two-sample t on document length per lang pair: exact
+        # integer moments, Bessel-corrected variance and the t ratio
+        # in DOUBLE with the engine's exact operand order; n<2 or
+        # zero-variance pairs yield NULL
+        "welch_ttest_chars": """
+            WITH d AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS x
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM d GROUP BY lang),
+            p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                         a.n AS n_a, b.n AS n_b,
+                         CAST(a.sx AS DOUBLE) / a.n AS ma,
+                         CAST(b.sx AS DOUBLE) / b.n AS mb,
+                         CASE WHEN a.n >= 2 THEN
+                             (CAST(a.n AS DOUBLE) * a.sxx
+                              - CAST(a.sx AS DOUBLE) * a.sx)
+                             / (CAST(a.n AS DOUBLE) * (a.n - 1))
+                         END AS va,
+                         CASE WHEN b.n >= 2 THEN
+                             (CAST(b.n AS DOUBLE) * b.sxx
+                              - CAST(b.sx AS DOUBLE) * b.sx)
+                             / (CAST(b.n AS DOUBLE) * (b.n - 1))
+                         END AS vb
+                  FROM m a JOIN m b ON a.lang < b.lang)
+            SELECT lang_a, lang_b, n_a, n_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                             AND (va / n_a + vb / n_b) > 0
+                        THEN CAST(round(1000000 * ((ma - mb)
+                                 / sqrt(va / n_a + vb / n_b)))
+                                  AS BIGINT)
+                        ELSE NULL END AS t_e6
+            FROM p ORDER BY lang_a, lang_b
         """,
     }

@@ -5649,3 +5649,74 @@ def degree_assortativity(sf_dir: str) -> pa.Table:
                         "assortativity_e6": [e6]})
     out["assortativity_e6"] = _int_or_float64(out["assortativity_e6"])
     return out
+
+
+def welch_ttest_chars(sf_dir: str) -> pa.Table:
+    """Pairwise Welch two-sample t statistic (unequal variances) on
+    document length between every pair of languages — the
+    mean-comparison diagnostic beside `chi2_lang_source` /
+    `corr_chars_tokens`.  One corpus pass accumulates EXACT integer
+    moments (n, Σx, Σx²) per lang; the O(langs²) pair cross happens on
+    the driver's tiny moment table, and every float step — means,
+    Bessel-corrected variances, the standard error, the t ratio —
+    evaluates with the IDENTICAL operand order as the SQL, so the
+    e6-rounded statistic is bit-reproducible at any parallelism.
+    Policy (documented, oracle-matched): NULL lang and NULL n_chars
+    rows are EXCLUDED (a NULL lang cannot order in the a < b pair
+    predicate); a lang with n < 2 pairs but reports NULL t (no
+    variance estimate), as does a zero-variance pair."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("lang")),
+                             pc.is_valid(t.column("n_chars"))))
+        x = t.column("n_chars").to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n": np.int64(1), "sx": x, "sxx": x * x})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(),
+            preserve_index=False)
+
+    m = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], ["n", "sx", "sxx"]).to_pandas()
+    empty = dict(lang_a=object, lang_b=object, n_a="int64",
+                 n_b="int64", t_e6="float64")
+    if m.empty or "n" not in m or len(m) < 2:
+        return _empty_result(**empty)
+    m = m.sort_values("lang").reset_index(drop=True)
+    a_idx, b_idx = np.triu_indices(len(m), k=1)
+
+    def col(name, idx):
+        return m[name].to_numpy(dtype=np.int64)[idx]
+
+    n_a, n_b = col("n", a_idx), col("n", b_idx)
+    sx_a, sx_b = col("sx", a_idx), col("sx", b_idx)
+    sxx_a, sxx_b = col("sxx", a_idx), col("sxx", b_idx)
+    ma = sx_a.astype(np.float64) / n_a
+    mb = sx_b.astype(np.float64) / n_b
+    with np.errstate(invalid="ignore", divide="ignore"):
+        va = np.where(
+            n_a >= 2,
+            (n_a.astype(np.float64) * sxx_a
+             - sx_a.astype(np.float64) * sx_a)
+            / (n_a.astype(np.float64) * (n_a - 1)), np.nan)
+        vb = np.where(
+            n_b >= 2,
+            (n_b.astype(np.float64) * sxx_b
+             - sx_b.astype(np.float64) * sx_b)
+            / (n_b.astype(np.float64) * (n_b - 1)), np.nan)
+        se2 = va / n_a + vb / n_b
+        ok = (n_a >= 2) & (n_b >= 2) & (se2 > 0)
+        t_e6 = np.where(
+            ok,
+            _round_half_away(1e6 * ((ma - mb)
+                             / np.sqrt(np.where(ok, se2, 1.0)))),
+            np.nan)
+    langs = m["lang"].to_numpy(dtype=object)
+    out = pd.DataFrame({
+        "lang_a": langs[a_idx], "lang_b": langs[b_idx],
+        "n_a": n_a, "n_b": n_b, "t_e6": t_e6})
+    out["t_e6"] = _int_or_float64(out["t_e6"])
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)

@@ -302,6 +302,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "value_winsorized": ["event_type", "n", "n_lo", "n_hi",
                              "sum_clamped_e6"],
         "degree_assortativity": ["n_pairs", "assortativity_e6"],
+        "welch_ttest_chars": ["lang_a", "lang_b", "n_a", "n_b", "t_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -431,6 +432,9 @@ NASTY_QUERIES = [
     # degree mixing over NULL-host-pruned edges; the nasty graph's
     # near-regular degree structure exercises the zero-variance NULL
     "degree_assortativity",
+    # NULL lang / NULL n_chars exclusion parity; single-doc langs
+    # exercise the n<2 NULL-t path
+    "welch_ttest_chars",
 ]
 
 
