@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q.edit_distance_pairs,
         "degree_assortativity": q.degree_assortativity,
         "welch_ttest_chars": q.welch_ttest_chars,
+        "cusum_changepoint": q.cusum_changepoint,
     }
 
 
@@ -3015,5 +3016,36 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                         ELSE NULL END AS t_e6
             FROM p ORDER BY lang_a, lang_b
+        """,
+        # CUSUM changepoint per type: the cumulative deviation stays
+        # exact by scaling with the day count (S'_i = D·cum_i − i·T);
+        # argmax |S'| with the earliest-day tiebreak
+        "cusum_changepoint": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(date_trunc('day', ts)) AS day_us,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n_days
+                  FROM c GROUP BY event_type),
+            s AS (SELECT c.event_type, c.day_us, t.total, t.n_days,
+                         t.n_days * SUM(c.n) OVER (
+                             PARTITION BY c.event_type
+                             ORDER BY c.day_us)
+                         - (ROW_NUMBER() OVER (
+                             PARTITION BY c.event_type
+                             ORDER BY c.day_us)) * t.total AS dev
+                  FROM c JOIN t
+                    ON t.event_type IS NOT DISTINCT FROM c.event_type),
+            r AS (SELECT event_type, day_us, total, n_days,
+                         CAST(abs(dev) AS BIGINT) AS adev,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY event_type
+                             ORDER BY abs(dev) DESC, day_us) AS rk
+                  FROM s)
+            SELECT event_type, day_us AS cp_day_us, adev AS cusum_abs,
+                   n_days, total
+            FROM r WHERE rk = 1 ORDER BY event_type
         """,
     }

@@ -5720,3 +5720,66 @@ def welch_ttest_chars(sf_dir: str) -> pa.Table:
         "n_a": n_a, "n_b": n_b, "t_e6": t_e6})
     out["t_e6"] = _int_or_float64(out["t_e6"])
     return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def cusum_changepoint(sf_dir: str) -> pa.Table:
+    """Per-event-type CUSUM changepoint over the daily count series —
+    the level-shift detector beside `event_rate_anomaly` (trailing-z)
+    and `event_type_trend` (OLS slope): the classic cumulative-sum
+    statistic S_i = Σ_{j≤i}(n_j − mean) is kept EXACT by scaling with
+    the day count D (S'_i = D·Σ_{j≤i} n_j − i·T, T the type's total),
+    so no float ever appears; the changepoint is the day maximizing
+    |S'_i| with the earliest-day tiebreak.  The distributed part is
+    the (type, day) combiner sum; the argmax runs on the
+    O(types × days) calendar-bounded driver table (the
+    `daily_type_growth` shape).  int64 bound: D·T per type —
+    calendar-bounded days × row count, safe through ~10¹⁴ rows-days.
+    NULL event_type is a group (sentinel convention); NULL timestamps
+    are excluded."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day_us": (us // _DAY_US) * _DAY_US,
+            "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "day_us"], as_index=False).sum(),
+            preserve_index=False)
+
+    c = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["event_type", "day_us"], ["n"]).to_pandas()
+    if c.empty or "n" not in c:
+        return _empty_result(event_type=object, cp_day_us="int64",
+                             cusum_abs="int64", n_days="int64",
+                             total="int64")
+    c = c.sort_values(["event_type", "day_us"]).reset_index(drop=True)
+    g = c.groupby("event_type", sort=False)
+    c["cum"] = g["n"].cumsum().astype(np.int64)
+    c["i"] = (g.cumcount() + 1).astype(np.int64)
+    tot = g["n"].sum().rename("total")
+    nd = g["n"].size().rename("n_days")
+    c = c.merge(tot, on="event_type").merge(nd, on="event_type")
+    dev = c["n_days"].to_numpy(dtype=np.int64) \
+        * c["cum"].to_numpy(dtype=np.int64) \
+        - c["i"].to_numpy(dtype=np.int64) \
+        * c["total"].to_numpy(dtype=np.int64)
+    c["adev"] = np.abs(dev)
+    # argmax |S'| with earliest-day tiebreak: sort and take first
+    best = c.sort_values(["event_type", "adev", "day_us"],
+                         ascending=[True, False, True]) \
+        .groupby("event_type", sort=False).head(1)
+    out = pd.DataFrame({
+        "event_type": best["event_type"].to_numpy(dtype=object),
+        "cp_day_us": best["day_us"].to_numpy(dtype=np.int64),
+        "cusum_abs": best["adev"].to_numpy(dtype=np.int64),
+        "n_days": best["n_days"].to_numpy(dtype=np.int64),
+        "total": best["total"].to_numpy(dtype=np.int64)})
+    out = _restore_null_keys(out, ["event_type"])
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

@@ -303,6 +303,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                              "sum_clamped_e6"],
         "degree_assortativity": ["n_pairs", "assortativity_e6"],
         "welch_ttest_chars": ["lang_a", "lang_b", "n_a", "n_b", "t_e6"],
+        "cusum_changepoint": ["event_type", "cp_day_us", "cusum_abs",
+                              "n_days", "total"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -435,6 +437,9 @@ NASTY_QUERIES = [
     # NULL lang / NULL n_chars exclusion parity; single-doc langs
     # exercise the n<2 NULL-t path
     "welch_ttest_chars",
+    # CUSUM over NULL-type groups; NULL ts excluded; the nasty
+    # pre-1970 / isolated days must floor and rank identically
+    "cusum_changepoint",
 ]
 
 
