@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q.degree_assortativity,
         "welch_ttest_chars": q.welch_ttest_chars,
         "cusum_changepoint": q.cusum_changepoint,
+        "host_neighbor_jaccard": q.host_neighbor_jaccard,
     }
 
 
@@ -3047,5 +3048,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day_us AS cp_day_us, adev AS cusum_abs,
                    n_days, total
             FROM r WHERE rk = 1 ORDER BY event_type
+        """,
+        # neighborhood Jaccard: common-neighbor wedge counts via
+        # self-join on the center, |A∪B| = d_a + d_b − common, and an
+        # ALL-INTEGER e6 round-half-away ((2e6·c + u) // (2u))
+        "host_neighbor_jaccard": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            ce AS (SELECT DISTINCT least(src, dst) AS u,
+                          greatest(src, dst) AS v
+                   FROM e0 WHERE src <> dst),
+            nb AS (SELECT u AS c, v AS n FROM ce
+                   UNION ALL SELECT v AS c, u AS n FROM ce),
+            cm AS (SELECT a.n AS host_a, b.n AS host_b,
+                          CAST(count(*) AS BIGINT) AS common
+                   FROM nb a JOIN nb b
+                     ON b.c = a.c AND b.n > a.n
+                   GROUP BY 1, 2),
+            deg AS (SELECT c AS host, CAST(count(*) AS BIGINT) AS d
+                    FROM nb GROUP BY c)
+            SELECT cm.host_a, cm.host_b, cm.common,
+                   da.d + db.d - cm.common AS union_sz,
+                   (2000000 * cm.common
+                    + (da.d + db.d - cm.common))
+                   // (2 * (da.d + db.d - cm.common)) AS jaccard_e6
+            FROM cm JOIN deg da ON da.host = cm.host_a
+                    JOIN deg db ON db.host = cm.host_b
+            ORDER BY cm.host_a, cm.host_b
         """,
     }

@@ -5783,3 +5783,84 @@ def cusum_changepoint(sf_dir: str) -> pa.Table:
     out = _restore_null_keys(out, ["event_type"])
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def host_neighbor_jaccard(sf_dir: str) -> pa.Table:
+    """Link-based host similarity: for every pair of hosts sharing at
+    least one neighbor in the canonical crawl graph, the Jaccard
+    overlap of their neighbor SETS — the structural-equivalence
+    cousin of the text-shingle dedup family (two mirror hosts look
+    identical to the link structure even when their URLs share
+    nothing).  Common-neighbor counts come from the distributed
+    sorted-run wedge emission (``stages.graph.neighbor_pair_counts``);
+    degrees attach via a `ray.put` broadcast of the bounded
+    (host, degree) table; |A∪B| = d_a + d_b − common, and the
+    e6-rounded Jaccard is ALL-INTEGER arithmetic
+    ((2·10⁶·common + union) // (2·union) — round-half-away for
+    positive ints), so engine and SQL agree bit-exactly with no float
+    anywhere.  Wedge volume Σ C(d,2) is the operator's intrinsic
+    cost; hub capping exists in the stage but stays OFF here (the
+    oracle counts every wedge)."""
+    import ray
+
+    from ..stages.graph import neighbor_pair_counts
+    from ..stages.groupagg import sorted_sum_by_key
+
+    empty = dict(host_a=object, host_b=object, common="int64",
+                 union_sz="int64", jaccard_e6="int64")
+    ce, _nodes = _canonical_host_edges(sf_dir)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=object)})
+        u = df["u"].to_numpy(dtype=object)
+        v = df["v"].to_numpy(dtype=object)
+        return pd.DataFrame({"c": np.concatenate([u, v]),
+                             "n": np.concatenate([v, u])})
+
+    nb = ce.map_batches(both_dirs, batch_format="pandas")
+    pairs = neighbor_pair_counts(nb)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "d": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "host": np.concatenate([df["u"].to_numpy(dtype=object),
+                                    df["v"].to_numpy(dtype=object)]),
+            "d": np.ones(2 * len(df), dtype=np.int64)}) \
+            .groupby("host", as_index=False).sum()
+
+    deg = sorted_sum_by_key(
+        ce.map_batches(endpoints, batch_format="pandas"),
+        ["host"], ["d"])
+    if deg.empty or "d" not in deg:
+        return _empty_result(**empty)
+    deg_ref = ray.put(deg)
+
+    _EMPTY = _empty_result(**empty)
+
+    def finish(df: pd.DataFrame, _ref=deg_ref) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        dm = ray.get(_ref)
+        m = df.merge(dm.rename(columns={"host": "host_a", "d": "d_a"}),
+                     on="host_a") \
+              .merge(dm.rename(columns={"host": "host_b", "d": "d_b"}),
+                     on="host_b")
+        common = m["common"].to_numpy(dtype=np.int64)
+        union = m["d_a"].to_numpy(dtype=np.int64) \
+            + m["d_b"].to_numpy(dtype=np.int64) - common
+        return pd.DataFrame({
+            "host_a": m["host_a"].to_numpy(dtype=object),
+            "host_b": m["host_b"].to_numpy(dtype=object),
+            "common": common, "union_sz": union,
+            "jaccard_e6": (2_000_000 * common + union) // (2 * union)})
+
+    out = pairs.map_batches(finish, batch_format="pandas").to_pandas()
+    if out.empty or "common" not in out:
+        return _empty_result(**empty)
+    for c in ("common", "union_sz", "jaccard_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["host_a", "host_b"]).reset_index(drop=True)

@@ -317,3 +317,51 @@ def test_kcore_regimes_on_random_graphs(ray_session, g):
     want = _ref_kcore(pairs)
     assert _kcore_run(pairs) == want
     assert _kcore_run(pairs, broadcast_limit=0) == want
+
+
+# ---------------------------------------------------------------------------
+# neighbor_pair_counts: wedge counts match brute force on random graphs
+# ---------------------------------------------------------------------------
+
+from cckp_toolkit_workflow_ray.stages.graph import neighbor_pair_counts
+
+
+def _brute_common(ce: pd.DataFrame) -> pd.DataFrame:
+    adj: dict = {}
+    for u, v in zip(ce["u"], ce["v"]):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = []
+    hosts = sorted(adj)
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            c = len(adj[a] & adj[b])
+            if c:
+                rows.append((a, b, c))
+    return pd.DataFrame(rows, columns=["host_a", "host_b", "common"]) \
+        if rows else pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                                   "host_b": pd.Series([], dtype=object),
+                                   "common": pd.Series([], dtype="int64")})
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rand_graph())
+def test_neighbor_pair_counts_match_brute_force(ray_session, g):
+    hosts, edges = g
+    ce = pd.DataFrame({"u": [f"h{min(a, b)}" for a, b, _ in edges
+                             if a != b],
+                       "v": [f"h{max(a, b)}" for a, b, _ in edges
+                             if a != b]}).drop_duplicates()
+    if ce.empty:
+        return
+    nb = pd.DataFrame({
+        "c": pd.concat([ce["u"], ce["v"]], ignore_index=True),
+        "n": pd.concat([ce["v"], ce["u"]], ignore_index=True)})
+    # several blocks so both the interior and the block-edge paths run
+    got = neighbor_pair_counts(
+        rd.from_pandas(nb).repartition(3)).to_pandas() \
+        .sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    got["common"] = got["common"].astype(np.int64)
+    want = _brute_common(ce)
+    want["common"] = want["common"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_like=True)

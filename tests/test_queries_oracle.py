@@ -305,6 +305,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "welch_ttest_chars": ["lang_a", "lang_b", "n_a", "n_b", "t_e6"],
         "cusum_changepoint": ["event_type", "cp_day_us", "cusum_abs",
                               "n_days", "total"],
+        "host_neighbor_jaccard": ["host_a", "host_b", "common",
+                                  "union_sz", "jaccard_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -440,6 +442,8 @@ NASTY_QUERIES = [
     # CUSUM over NULL-type groups; NULL ts excluded; the nasty
     # pre-1970 / isolated days must floor and rank identically
     "cusum_changepoint",
+    # wedge counts over NULL-host-pruned edges; all-integer Jaccard
+    "host_neighbor_jaccard",
 ]
 
 
