@@ -89,6 +89,38 @@ def _kcore_round_ctes(k: int = 2, n_rounds: int = 8) -> str:
 # integer-exact PageRank oracle: the 5 synchronous iterations unroll
 # into chained CTEs — every quantity is an int64 (floor-division
 # contributions, integer damping), so the engine matches hash-exactly
+def _hits_iter_ctes(n: int = 2) -> str:
+    """Unrolled integer-exact HITS iterations: each half-step
+    renormalises by the integer divisor max(1, Σ // (n_nodes·1e6)) —
+    the float-free analog of the L2 norm (see stages/graph.py:
+    hits_int)."""
+    parts = []
+    for k in range(1, n + 1):
+        for raw, prev, out in ((f"h{k}", f"a{k - 1}", "h"),
+                               (f"a{k}", f"h{k}", "a")):
+            src_side, dst_side = ("src", "dst") if out == "h" \
+                else ("dst", "src")
+            prev_col = "a" if out == "h" else "h"
+            parts.append(f"""
+            {raw}r AS (
+                SELECT e.{src_side} AS host,
+                       CAST(sum(e.w * p.{prev_col}) AS BIGINT) AS s
+                FROM edges e JOIN {prev} p ON p.host = e.{dst_side}
+                GROUP BY e.{src_side}),
+            {raw}d AS (
+                SELECT greatest(CAST(1 AS BIGINT),
+                       CAST(coalesce(sum(s), 0) AS BIGINT)
+                       // ((SELECT n FROM nn) * 1000000)) AS d
+                FROM {raw}r),
+            {raw} AS (
+                SELECT n.host,
+                       CAST(coalesce(r.s, 0)
+                            // (SELECT d FROM {raw}d)
+                            AS BIGINT) AS {out}
+                FROM nodes n LEFT JOIN {raw}r r ON r.host = n.host)""")
+    return ",".join(parts)
+
+
 def _pagerank_iter_ctes(n: int = 5) -> str:
     parts = []
     for k in range(1, n + 1):
@@ -483,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest_chars": q.welch_ttest_chars,
         "cusum_changepoint": q.cusum_changepoint,
         "host_neighbor_jaccard": q.host_neighbor_jaccard,
+        "hits_hosts": q.hits_hosts,
     }
 
 
@@ -3083,5 +3116,32 @@ def oracle_sql() -> dict[str, str]:
             FROM cm JOIN deg da ON da.host = cm.host_a
                     JOIN deg db ON db.host = cm.host_b
             ORDER BY cm.host_a, cm.host_b
+        """,
+        # 2 unrolled integer-exact HITS iterations over the same host
+        # graph as pagerank (scale 1e6, integer renormalise per
+        # half-step)
+        "hits_hosts": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            nodes AS (SELECT DISTINCT host FROM hx
+                      WHERE host IS NOT NULL),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                      FROM e0 GROUP BY src, dst),
+            a0 AS (SELECT host, CAST(1000000 AS BIGINT) AS a
+                   FROM nodes),
+        """ + _hits_iter_ctes(2) + """
+            SELECT n.host, h2.h AS hub, a2.a AS auth
+            FROM nodes n JOIN h2 ON h2.host = n.host
+            JOIN a2 ON a2.host = n.host
+            ORDER BY n.host
         """,
     }

@@ -5864,3 +5864,24 @@ def host_neighbor_jaccard(sf_dir: str) -> pa.Table:
     for c in ("common", "union_sz", "jaccard_e6"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+
+
+def hits_hosts(sf_dir: str) -> pa.Table:
+    """Integer-exact HITS hubs/authorities over the canonical-host
+    crawl graph (``stages/graph.py:hits_int`` on the shared
+    ``_host_graph`` edge derivation) — the bipartite-authority signal
+    beside `pagerank_hosts`: a page hub score is the mass of the
+    authorities it links to, an authority score the mass of the hubs
+    linking in.  Classic HITS renormalises with a float L2 norm;
+    here each half-step floor-divides the whole score vector by
+    ``max(1, Σ // (n·10⁶))``, so 2 iterations reproduce
+    bit-identically in SQL's unrolled CTEs at any parallelism (the
+    `pagerank_hosts` fixed-point convention)."""
+    from ..stages.graph import hits_int
+
+    edges, nodes = _host_graph(sf_dir)
+    out = hits_int(edges, nodes, n_iters=2).to_pandas()
+    if not len(out):
+        return _empty_result(host=object, hub="int64", auth="int64")
+    return out[["host", "hub", "auth"]].sort_values("host") \
+        .reset_index(drop=True)

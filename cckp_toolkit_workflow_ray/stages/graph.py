@@ -644,3 +644,175 @@ def neighbor_pair_counts(nb, max_degree: int | None = None):
     return sorted_reduce_by_key_ds(ipairs.union(epairs),
                                    ["host_a", "host_b"],
                                    {"common": "sum"})
+
+
+def hits_int(edges, nodes, n_iters: int = 2, scale: int = 10**6,
+             broadcast_limit: int = 2_000_000):
+    """Integer-exact HITS hubs/authorities (Kleinberg 1999) over an
+    aggregated directed edge Dataset ``(src, dst, w)``.
+
+    Instead of the float L2 normalisation of classic HITS — whose
+    distributed float sums would be order-sensitive — each half-step
+    renormalises with an INTEGER divisor: after computing the raw
+    scores ``h_raw(u) = Σ_{u→v} w·a(v)`` the whole vector is floor-
+    divided by ``max(1, ΣH // (n·scale))``, which keeps every score in
+    O(n·scale) fixed-point units and is bit-reproducible in SQL's
+    unrolled CTEs at any parallelism (the ``pagerank_int``
+    convention).  ``a`` starts uniform at ``scale``.  Returns a
+    Dataset ``(host, hub, auth)`` after ``n_iters`` full iterations.
+
+    Regimes (the shared two-regime convention): node table broadcast
+    via ``ray.put`` once per half-step below ``broadcast_limit``
+    nodes, bucketed hash joins + sorted-run keyed sums beyond; both
+    pytest-pinned row-identical.  int64 overflow bound:
+    ``2·Σw·n·scale < 2⁶²`` (loud assert) — at the default 1e6 scale
+    that is ~10⁹ edge-weight × node product; shrink ``scale`` past
+    that."""
+    import ray
+    import ray.data as rd
+
+    from .groupagg import sorted_reduce_by_key_ds, sorted_sum_by_key
+    from .joins import hash_join
+
+    n_nodes = nodes.count()
+    empty = pd.DataFrame({"host": pd.Series([], dtype=object),
+                          "hub": pd.Series([], dtype="int64"),
+                          "auth": pd.Series([], dtype="int64")})
+    if n_nodes == 0:
+        return rd.from_pandas(empty)
+
+    def _zeros():
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({
+                "host": df["host"],
+                "hub": np.zeros(len(df), dtype=np.int64),
+                "auth": np.zeros(len(df), dtype=np.int64)}),
+            batch_format="pandas")
+
+    if edges.count() == 0:
+        # no edges: one half-step zeroes every score (empty edge
+        # Datasets also have no schema for the joins)
+        return _zeros()
+
+    total_w = int(edges.map_batches(
+        lambda df: pd.DataFrame({"w": [df["w"].sum()]}),
+        batch_format="pandas").to_pandas()["w"].sum())
+    assert 2 * total_w * n_nodes * scale < 2**62, (
+        "hits_int int64 overflow bound: shrink scale for "
+        f"{n_nodes} nodes / total edge weight {total_w}")
+    floor_div = n_nodes * scale
+
+    _S_EMPTY_SRC = pd.DataFrame({"src": pd.Series([], dtype=object),
+                                 "s": pd.Series([], dtype="int64")})
+    _S_EMPTY_DST = pd.DataFrame({"dst": pd.Series([], dtype=object),
+                                 "s": pd.Series([], dtype="int64")})
+
+    if n_nodes <= broadcast_limit:
+        hosts_df = nodes.to_pandas()
+
+        def half_step(score: pd.DataFrame, score_col: str,
+                      join_on: str, group_to: str) -> pd.DataFrame:
+            """raw = Σ w·score joined on ``join_on``, grouped to
+            ``group_to``; then the integer renormalise."""
+            ref = ray.put(score)
+            emp = _S_EMPTY_SRC if group_to == "src" else _S_EMPTY_DST
+
+            def contrib(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+                m = df.merge(ray.get(_ref), left_on=join_on,
+                             right_on="host", how="inner")
+                if m.empty:
+                    return emp
+                s = m["w"].to_numpy(dtype=np.int64) \
+                    * m[score_col].to_numpy(dtype=np.int64)
+                return pd.DataFrame({group_to: m[group_to], "s": s}) \
+                    .groupby(group_to, as_index=False).sum()
+
+            raw = sorted_sum_by_key(
+                edges.map_batches(contrib, batch_format="pandas"),
+                [group_to], ["s"])
+            total = int(raw["s"].sum()) if "s" in raw else 0
+            div = max(1, total // floor_div)
+            merged = hosts_df.merge(
+                raw.rename(columns={group_to: "host"}), on="host",
+                how="left")
+            sval = merged["s"].fillna(0).to_numpy(dtype=np.int64) \
+                if "s" in merged else np.zeros(len(merged),
+                                               dtype=np.int64)
+            return pd.DataFrame({"host": merged["host"],
+                                 "val": sval // div})
+
+        a = pd.DataFrame({"host": hosts_df["host"],
+                          "a": np.full(len(hosts_df), scale,
+                                       dtype=np.int64)})
+        h = None
+        for _ in range(n_iters):
+            h = half_step(a, "a", "dst", "src") \
+                .rename(columns={"val": "h"})
+            a = half_step(h, "h", "src", "dst") \
+                .rename(columns={"val": "a"})
+        out = hosts_df[["host"]].merge(
+            h.rename(columns={"h": "hub"}), on="host").merge(
+            a.rename(columns={"a": "auth"}), on="host")
+        out["hub"] = out["hub"].astype(np.int64)
+        out["auth"] = out["auth"].astype(np.int64)
+        return rd.from_pandas(
+            out.sort_values("host").reset_index(drop=True))
+
+    # ---- bucketed regime: no driver table at node cardinality ----
+    node_src = nodes.map_batches(
+        lambda df: df.rename(columns={"host": "src"}),
+        batch_format="pandas").materialize()
+    node_dst = nodes.map_batches(
+        lambda df: df.rename(columns={"host": "dst"}),
+        batch_format="pandas").materialize()
+
+    def half_step_b(score_ds, in_col: str, join_on: str,
+                    group_to: str, out_col: str):
+        joined = hash_join(edges, score_ds, on=join_on)
+        emp = _S_EMPTY_SRC if group_to == "src" else _S_EMPTY_DST
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return emp
+            s = df["w"].to_numpy(dtype=np.int64) \
+                * df[in_col].to_numpy(dtype=np.int64)
+            return pd.DataFrame({group_to: df[group_to], "s": s}) \
+                .groupby(group_to, as_index=False).sum()
+
+        raw = sorted_reduce_by_key_ds(
+            joined.map_batches(contrib, batch_format="pandas"),
+            [group_to], {"s": "sum"}).materialize()
+        total = int(raw.map_batches(
+            lambda df: pd.DataFrame({"s": [df["s"].sum()]}),
+            batch_format="pandas").to_pandas()["s"].sum())
+        div = max(1, total // floor_div)
+        side = node_src if group_to == "src" else node_dst
+        return hash_join(side, raw, on=group_to, how="left") \
+            .map_batches(
+                lambda df: pd.DataFrame({
+                    group_to: df[group_to],
+                    out_col: df["s"].fillna(0)
+                    .to_numpy(dtype=np.int64) // div}),
+                batch_format="pandas").materialize()
+
+    a_ds = node_dst.map_batches(
+        lambda df: pd.DataFrame({
+            "dst": df["dst"],
+            "a": np.full(len(df), scale, dtype=np.int64)}),
+        batch_format="pandas").materialize()
+    h_ds = None
+    for _ in range(n_iters):
+        h_ds = half_step_b(a_ds, "a", "dst", "src", "h")
+        a_ds = half_step_b(h_ds, "h", "src", "dst", "a")
+    hub = h_ds.map_batches(
+        lambda df: df.rename(columns={"src": "host", "h": "hub"}),
+        batch_format="pandas")
+    auth = a_ds.map_batches(
+        lambda df: df.rename(columns={"dst": "host", "a": "auth"}),
+        batch_format="pandas")
+    return hash_join(hub, auth, on="host").map_batches(
+        lambda df: pd.DataFrame({
+            "host": df["host"],
+            "hub": df["hub"].astype(np.int64),
+            "auth": df["auth"].astype(np.int64)}),
+        batch_format="pandas")

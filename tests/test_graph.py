@@ -365,3 +365,40 @@ def test_neighbor_pair_counts_match_brute_force(ray_session, g):
     want = _brute_common(ce)
     want["common"] = want["common"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+# ---------------------------------------------------------------------------
+# hits_int: regime equivalence, integer semantics, guards
+# ---------------------------------------------------------------------------
+
+from cckp_toolkit_workflow_ray.stages.graph import hits_int
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rand_graph())
+def test_hits_regimes_on_random_graphs(ray_session, g):
+    hosts, edges = g
+    e1, n1 = _mk(hosts, edges)
+    a = hits_int(e1, n1, n_iters=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    e2, n2 = _mk(hosts, edges)
+    b = hits_int(e2, n2, n_iters=2, broadcast_limit=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert (a["hub"] >= 0).all() and (a["auth"] >= 0).all()
+
+
+def test_hits_edgeless_and_empty(ray_session):
+    e, n = _mk(["h0", "h1"], [])
+    out = hits_int(e, n, n_iters=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    assert out["hub"].tolist() == [0, 0]
+    assert out["auth"].tolist() == [0, 0]
+    e0, n0 = _mk([], [])
+    assert len(hits_int(e0, n0).to_pandas()) == 0
+
+
+def test_hits_overflow_guard(ray_session):
+    e, n = _mk(["h0", "h1"], [(0, 1, 3)])
+    with pytest.raises(AssertionError, match="overflow"):
+        hits_int(e, n, scale=2**61)

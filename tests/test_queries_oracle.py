@@ -307,6 +307,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                               "n_days", "total"],
         "host_neighbor_jaccard": ["host_a", "host_b", "common",
                                   "union_sz", "jaccard_e6"],
+        "hits_hosts": ["host", "hub", "auth"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -444,6 +445,8 @@ NASTY_QUERIES = [
     "cusum_changepoint",
     # wedge counts over NULL-host-pruned edges; all-integer Jaccard
     "host_neighbor_jaccard",
+    # fixed-point HITS over NULL-host-pruned edges (pagerank policy)
+    "hits_hosts",
 ]
 
 
