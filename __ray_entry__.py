@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint": q.cusum_changepoint,
         "host_neighbor_jaccard": q.host_neighbor_jaccard,
         "hits_hosts": q.hits_hosts,
+        "event_type_cosine": q.event_type_cosine,
     }
 
 
@@ -3143,5 +3144,31 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n JOIN h2 ON h2.host = n.host
             JOIN a2 ON a2.host = n.host
             ORDER BY n.host
+        """,
+        # co-occurrence Gram matrix: exact integer dots over per-user
+        # type-count vectors; the only float is dot / sqrt(qa·qb) in
+        # the engine's exact operand order
+        "event_type_cosine": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2),
+            d AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+                  FROM c a JOIN c b
+                    ON b.user_id = a.user_id
+                   AND b.event_type > a.event_type
+                  GROUP BY 1, 2),
+            q AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS q
+                  FROM c GROUP BY event_type)
+            SELECT d.type_a, d.type_b, d.dot,
+                   CAST(round(1000000 * (CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(qa.q AS DOUBLE) * qb.q)))
+                        AS BIGINT) AS cos_e6
+            FROM d JOIN q qa ON qa.event_type = d.type_a
+                   JOIN q qb ON qb.event_type = d.type_b
+            ORDER BY d.type_a, d.type_b
         """,
     }

@@ -5885,3 +5885,98 @@ def hits_hosts(sf_dir: str) -> pa.Table:
         return _empty_result(host=object, hub="int64", auth="int64")
     return out[["host", "hub", "auth"]].sort_values("host") \
         .reset_index(drop=True)
+
+
+def event_type_cosine(sf_dir: str) -> pa.Table:
+    """Pairwise cosine similarity between event types over their
+    per-user activity vectors — the collaborative-filtering /
+    co-occurrence primitive (Gram matrix XᵀX of the sparse
+    user × type count matrix), computed distributed: one keyed
+    combine to (user, type, c) partials, a range sort by user, and a
+    per-block Gram pass — users interior to a block pivot to a dense
+    (users × types) slab and contribute one vectorized MᵀM (types are
+    LOW-cardinality, so the slab is narrow), while the ≤2 block-EDGE
+    users per block go through an exact per-user pass (the shared
+    sorted-run motif).  The tiny (types × types) partial matrices sum
+    on the driver; dots and squared norms are EXACT int64, and the
+    only float is the final ``dot / sqrt(qa · qb)`` evaluated with
+    the IDENTICAL operand order as the SQL (e6-rounded).  Policy
+    (documented): NULL user_id (no identity) and NULL event_type
+    (cannot order in the a < b pair predicate) are excluded.  Pairs
+    with no shared user (dot = 0) are absent, matching the SQL
+    self-join."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("event_type"))))
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "c": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby(["user_id", "event_type"], as_index=False).sum(),
+            preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    srt = parts.sort(["user_id", "event_type"]).materialize()
+
+    _G_EMPTY = pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                             "type_b": pd.Series([], dtype=object),
+                             "dot": pd.Series([], dtype="int64")})
+
+    def gram(df: pd.DataFrame) -> pd.DataFrame:
+        """Upper triangle (incl. diagonal) of MᵀM for these rows."""
+        if df.empty:
+            return _G_EMPTY
+        m = df.pivot_table(index="user_id", columns="event_type",
+                           values="c", aggfunc="sum", fill_value=0)
+        types = np.asarray(m.columns, dtype=object)
+        g = m.to_numpy(dtype=np.int64).T @ m.to_numpy(dtype=np.int64)
+        ia, ib = np.triu_indices(len(types), k=0)
+        return pd.DataFrame({"type_a": types[ia], "type_b": types[ib],
+                             "dot": g[ia, ib]})
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _G_EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        inner = (u != u[0]) & (u != u[-1])
+        return gram(df[inner])
+
+    def edges_only(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        return df[(u == u[0]) | (u == u[-1])]
+
+    igram = srt.map_batches(interior, batch_format="pandas",
+                            batch_size=None)
+    egram = srt.map_batches(edges_only, batch_format="pandas",
+                            batch_size=None) \
+        .groupby("user_id").map_groups(
+            lambda g: gram(g), batch_format="pandas") \
+        .map_batches(lambda df: df[["type_a", "type_b", "dot"]]
+                     if len(df) else _G_EMPTY, batch_format="pandas")
+    g = igram.union(egram).to_pandas()
+    empty = dict(type_a=object, type_b=object, dot="int64",
+                 cos_e6="int64")
+    if g.empty or "dot" not in g:
+        return _empty_result(**empty)
+    g = g.groupby(["type_a", "type_b"], as_index=False)["dot"].sum()
+    qmap = {r.type_a: np.int64(r.dot)
+            for r in g[g["type_a"] == g["type_b"]].itertuples()}
+    p = g[(g["type_a"] != g["type_b"]) & (g["dot"] > 0)].copy()
+    if p.empty:
+        return _empty_result(**empty)
+    qa = p["type_a"].map(qmap).to_numpy(dtype=np.int64)
+    qb = p["type_b"].map(qmap).to_numpy(dtype=np.int64)
+    dot = p["dot"].to_numpy(dtype=np.int64)
+    p["cos_e6"] = _round_half_away(
+        1e6 * (dot.astype(np.float64)
+               / np.sqrt(qa.astype(np.float64) * qb))).astype(np.int64)
+    p["dot"] = p["dot"].astype(np.int64)
+    return p[["type_a", "type_b", "dot", "cos_e6"]] \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -308,6 +308,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "host_neighbor_jaccard": ["host_a", "host_b", "common",
                                   "union_sz", "jaccard_e6"],
         "hits_hosts": ["host", "hub", "auth"],
+        "event_type_cosine": ["type_a", "type_b", "dot", "cos_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -447,6 +448,9 @@ NASTY_QUERIES = [
     "host_neighbor_jaccard",
     # fixed-point HITS over NULL-host-pruned edges (pagerank policy)
     "hits_hosts",
+    # Gram-matrix cosine: NULL user/type exclusion parity; boundary
+    # users split across blocks must contribute exactly once
+    "event_type_cosine",
 ]
 
 
