@@ -121,6 +121,25 @@ def _hits_iter_ctes(n: int = 2) -> str:
     return ",".join(parts)
 
 
+def _bfs_iter_ctes(n: int = 8) -> str:
+    """Unrolled min-distance propagation rounds: after k rounds a node
+    at true hop distance d ≤ k holds exactly d, any farther node NULL
+    (see stages/graph.py:bfs_depths_str)."""
+    parts = []
+    for k in range(1, n + 1):
+        parts.append(f"""
+            d{k} AS (
+                SELECT t.host, CAST(min(t.cand) AS BIGINT) AS d
+                FROM (
+                    SELECT host, d AS cand FROM d{k - 1}
+                    UNION ALL
+                    SELECT ue.dst AS host, p.d + 1 AS cand
+                    FROM ue JOIN d{k - 1} p ON p.host = ue.src
+                    WHERE p.d IS NOT NULL) t
+                GROUP BY t.host)""")
+    return ",".join(parts)
+
+
 def _pagerank_iter_ctes(n: int = 5) -> str:
     parts = []
     for k in range(1, n + 1):
@@ -517,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_neighbor_jaccard": q.host_neighbor_jaccard,
         "hits_hosts": q.hits_hosts,
         "event_type_cosine": q.event_type_cosine,
+        "bfs_depth_hosts": q.bfs_depth_hosts,
     }
 
 
@@ -3170,5 +3190,30 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN q qa ON qa.event_type = d.type_a
                    JOIN q qb ON qb.event_type = d.type_b
             ORDER BY d.type_a, d.type_b
+        """,
+        # 8 unrolled min-distance rounds from the lexicographic-min
+        # host over the undirected host graph; depth NULL beyond 8
+        "bfs_depth_hosts": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            nodes AS (SELECT DISTINCT host FROM hx
+                      WHERE host IS NOT NULL),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            ue AS (SELECT src, dst FROM e0
+                   UNION SELECT dst, src FROM e0),
+            d0 AS (SELECT host,
+                          CASE WHEN host = (SELECT min(host)
+                                            FROM nodes)
+                               THEN CAST(0 AS BIGINT) END AS d
+                   FROM nodes),
+        """ + _bfs_iter_ctes(8) + """
+            SELECT host, d AS depth FROM d8 ORDER BY host
         """,
     }

@@ -5980,3 +5980,31 @@ def event_type_cosine(sf_dir: str) -> pa.Table:
     p["dot"] = p["dot"].astype(np.int64)
     return p[["type_a", "type_b", "dot", "cos_e6"]] \
         .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def bfs_depth_hosts(sf_dir: str) -> pa.Table:
+    """Bounded BFS hop distance from the lexicographically-least host
+    over the canonical-host crawl graph (undirected) — the
+    crawl-radius / seed-expansion primitive beside `host_components`:
+    ``stages.graph.bfs_depths_str`` runs min-distance propagation for
+    EXACTLY 8 synchronous rounds (the fixed-round convention —
+    reproducible by 8 unrolled SQL CTE rounds; the monotone fixed
+    point makes early-exit rounds free), so depth is exact for nodes
+    within 8 hops and NULL beyond.  The deterministic source (MIN
+    host) comes off a per-block min partial, never a full collect."""
+    from ..stages.graph import bfs_depths_str
+
+    edges, nodes = _host_graph(sf_dir)
+    empty = dict(host=object, depth="float64")
+    if nodes.count() == 0:
+        return _empty_result(**empty)
+    src = nodes.map_batches(
+        lambda df: pd.DataFrame({"m": [df["host"].min()]})
+        if len(df) else pd.DataFrame({"m": pd.Series([], dtype=object)}),
+        batch_format="pandas").to_pandas()["m"].min()
+    out = bfs_depths_str(edges, nodes, source=src, max_depth=8) \
+        .to_pandas()
+    if not len(out):
+        return _empty_result(**empty)
+    return out[["host", "depth"]].sort_values("host") \
+        .reset_index(drop=True)

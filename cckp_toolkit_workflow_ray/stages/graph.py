@@ -816,3 +816,120 @@ def hits_int(edges, nodes, n_iters: int = 2, scale: int = 10**6,
             "hub": df["hub"].astype(np.int64),
             "auth": df["auth"].astype(np.int64)}),
         batch_format="pandas")
+
+
+def bfs_depths_str(edges, nodes, source: str, max_depth: int = 8,
+                   driver_limit: int = 2_000_000):
+    """Hop distance (unweighted BFS depth) from ``source`` over
+    STRING-keyed undirected edges → Dataset ``(host, depth)``, depth
+    NULL (NaN) for nodes farther than ``max_depth`` — the bounded
+    frontier primitive behind crawl-radius and seed-expansion
+    analyses.
+
+    Semantics are min-distance propagation run for EXACTLY
+    ``max_depth`` synchronous rounds (the `kcore_edges` fixed-round
+    convention — reproducible by ``max_depth`` unrolled SQL CTE
+    rounds; the monotone fixed point makes early-exit rounds free):
+    after k rounds a node at true distance d ≤ k holds exactly d, any
+    farther node holds NULL.  Two regimes: a driver BFS over the
+    collected edge list at or below ``driver_limit`` edges, else
+    per-round bucketed hash join + sorted-run keyed MIN (the
+    `connected_components_str` shape).  Both pytest-pinned
+    row-identical."""
+    import ray.data as rd
+
+    from .groupagg import sorted_reduce_by_key_ds
+    from .joins import hash_join
+
+    if nodes.count() == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "depth": pd.Series([], dtype="float64")}))
+
+    und = edges.map_batches(
+        lambda df: pd.concat([
+            df[["src", "dst"]],
+            df[["src", "dst"]].rename(
+                columns={"src": "dst", "dst": "src"})[["src", "dst"]],
+        ], ignore_index=True).drop_duplicates() if len(df) else
+        pd.DataFrame({"src": pd.Series([], dtype=object),
+                      "dst": pd.Series([], dtype=object)}),
+        batch_format="pandas").materialize()
+
+    def _surface(dist: pd.DataFrame) -> pd.DataFrame:
+        out = dist.sort_values("host").reset_index(drop=True)
+        # int64 when fully reachable, float64 (NaN = unreachable)
+        # otherwise — the oracle BIGINT-column convention
+        out["depth"] = out["depth"].astype(
+            "int64" if out["depth"].notna().all() else "float64")
+        return out
+
+    n_und = und.count()
+    if n_und == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({
+                "host": df["host"],
+                "depth": np.where(
+                    df["host"].to_numpy(dtype=object) == source,
+                    0.0, np.nan)}),
+            batch_format="pandas")
+
+    if n_und <= driver_limit:
+        e = und.to_pandas()
+        adj: dict = {}
+        for a, b in zip(e["src"], e["dst"]):
+            adj.setdefault(a, []).append(b)
+        dist = {source: 0}
+        frontier = [source]
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for c in frontier:
+                for n in adj.get(c, ()):
+                    if n not in dist:
+                        dist[n] = d
+                        nxt.append(n)
+            if not nxt:
+                break
+            frontier = nxt
+        hosts = nodes.to_pandas()["host"]
+        return rd.from_pandas(_surface(pd.DataFrame({
+            "host": hosts,
+            "depth": [float(dist[h]) if h in dist else np.nan
+                      for h in hosts]})))
+
+    # ---- bucketed regime: (src, d) Dataset, min-propagation ----
+    dist_ds = nodes.map_batches(
+        lambda df: pd.DataFrame({
+            "src": df["host"],
+            "d": np.where(df["host"].to_numpy(dtype=object) == source,
+                          np.int64(0), np.int64(2**62))}),
+        batch_format="pandas").materialize()
+    for _ in range(max_depth):
+        fwd = hash_join(und, dist_ds, on="src").map_batches(
+            lambda df: pd.DataFrame({
+                "src": df["dst"],
+                "d": df["d"].to_numpy(dtype=np.int64) + 1}),
+            batch_format="pandas")
+        new = sorted_reduce_by_key_ds(
+            dist_ds.union(fwd), ["src"], {"d": "min"}).materialize()
+        changed = hash_join(
+            new.map_batches(
+                lambda df: df.rename(columns={"d": "nd"}),
+                batch_format="pandas"),
+            dist_ds, on="src").map_batches(
+                lambda df: pd.DataFrame(
+                    {"c": np.array([int((df["nd"] != df["d"]).sum())],
+                                   dtype=np.int64)}),
+                batch_format="pandas").sum("c")
+        dist_ds = new
+        if not changed:
+            break
+    out = dist_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "host": df["src"],
+            "depth": np.where(
+                df["d"].to_numpy(dtype=np.int64) > max_depth,
+                np.nan, df["d"].to_numpy(dtype=np.int64)
+                .astype(np.float64))}),
+        batch_format="pandas").to_pandas()
+    return rd.from_pandas(_surface(out))

@@ -402,3 +402,57 @@ def test_hits_overflow_guard(ray_session):
     e, n = _mk(["h0", "h1"], [(0, 1, 3)])
     with pytest.raises(AssertionError, match="overflow"):
         hits_int(e, n, scale=2**61)
+
+
+# ---------------------------------------------------------------------------
+# bfs_depths_str: regimes match, brute force, bound semantics
+# ---------------------------------------------------------------------------
+
+from cckp_toolkit_workflow_ray.stages.graph import bfs_depths_str
+
+
+@settings(max_examples=10, deadline=None)
+@given(_rand_graph())
+def test_bfs_regimes_match_brute_force(ray_session, g):
+    hosts, edges = g
+    e1, n1 = _mk(hosts, edges)
+    src = min(hosts)
+    a = bfs_depths_str(e1, n1, source=src, max_depth=8).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    e2, n2 = _mk(hosts, edges)
+    b = bfs_depths_str(e2, n2, source=src, max_depth=8,
+                       driver_limit=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # brute-force BFS
+    adj: dict = {}
+    for x, y, _ in edges:
+        adj.setdefault(f"h{x}", set()).add(f"h{y}")
+        adj.setdefault(f"h{y}", set()).add(f"h{x}")
+    dist = {src: 0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for c in frontier:
+            for n in adj.get(c, ()):
+                if n not in dist:
+                    dist[n] = dist[c] + 1
+                    nxt.append(n)
+        frontier = nxt
+    for h, d in zip(a["host"], a["depth"]):
+        want = dist.get(h)
+        if want is None or want > 8:
+            assert pd.isna(d), (h, d, want)
+        else:
+            assert d == want, (h, d, want)
+
+
+def test_bfs_depth_bound(ray_session):
+    # path graph longer than the bound: depth NULL past max_depth
+    hosts = [f"h{i}" for i in range(6)]
+    edges = [(i, i + 1, 1) for i in range(5)]
+    e, n = _mk(hosts, edges)
+    out = bfs_depths_str(e, n, source="h0", max_depth=3).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    assert out["depth"].tolist()[:4] == [0, 1, 2, 3]
+    assert out["depth"].isna().tolist()[4:] == [True, True]

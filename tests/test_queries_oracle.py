@@ -309,6 +309,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                   "union_sz", "jaccard_e6"],
         "hits_hosts": ["host", "hub", "auth"],
         "event_type_cosine": ["type_a", "type_b", "dot", "cos_e6"],
+        "bfs_depth_hosts": ["host", "depth"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -451,6 +452,8 @@ NASTY_QUERIES = [
     # Gram-matrix cosine: NULL user/type exclusion parity; boundary
     # users split across blocks must contribute exactly once
     "event_type_cosine",
+    # bounded BFS over NULL-host-pruned edges; unreachable hosts NULL
+    "bfs_depth_hosts",
 ]
 
 
