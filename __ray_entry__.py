@@ -537,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": q.hits_hosts,
         "event_type_cosine": q.event_type_cosine,
         "bfs_depth_hosts": q.bfs_depth_hosts,
+        "gini_hosts": q.gini_hosts,
+        "part_cooccurrence": q.part_cooccurrence,
     }
 
 
@@ -3215,5 +3217,66 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes),
         """ + _bfs_iter_ctes(8) + """
             SELECT host, d AS depth FROM d8 ORDER BY host
+        """,
+        # discrete Gini over docs-per-host counts ranked by (x, host):
+        # G = (2·Σi·x − (n+1)·Σx) / (n·Σx), exact ints to one division
+        "gini_hosts": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            c AS (SELECT host, CAST(count(*) AS BIGINT) AS x
+                  FROM hx WHERE host IS NOT NULL GROUP BY host),
+            r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, host) AS i
+                  FROM c),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(i * x) AS BIGINT) AS six
+                  FROM r)
+            SELECT n AS n_hosts, sx AS total_docs,
+                   CASE WHEN sx > 0
+                        THEN CAST(round(1000000 *
+                                 (CAST(2 * six - (n + 1) * sx
+                                       AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * sx)))
+                                  AS BIGINT)
+                        ELSE NULL END AS gini_e6
+            FROM m WHERE n > 0
+        """,
+        # market-basket pairs: distinct (order, part) baskets,
+        # support-ranked top 25 with lift N·c_ab / (c_a·c_b)
+        "part_cooccurrence": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+                  FROM op),
+            c AS (SELECT p, CAST(count(*) AS BIGINT) AS cp
+                  FROM op GROUP BY p),
+            pr AS (SELECT a.p AS part_a, b.p AS part_b,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM op a JOIN op b
+                     ON b.o = a.o AND b.p > a.p
+                   GROUP BY 1, 2),
+            r AS (SELECT part_a, part_b, n_both,
+                         CAST(ROW_NUMBER() OVER (
+                             ORDER BY n_both DESC, part_a, part_b)
+                             AS BIGINT) AS rk
+                  FROM pr)
+            SELECT r.part_a, r.part_b, r.n_both,
+                   ca.cp AS n_a, cb.cp AS n_b,
+                   CAST(round(1000000 *
+                        ((CAST((SELECT n_orders FROM n) AS DOUBLE)
+                          * r.n_both)
+                         / (CAST(ca.cp AS DOUBLE) * cb.cp)))
+                        AS BIGINT) AS lift_e6,
+                   r.rk
+            FROM r JOIN c ca ON ca.p = r.part_a
+                   JOIN c cb ON cb.p = r.part_b
+            WHERE r.rk <= 25 ORDER BY r.rk
         """,
     }

@@ -6008,3 +6008,148 @@ def bfs_depth_hosts(sf_dir: str) -> pa.Table:
         return _empty_result(**empty)
     return out[["host", "depth"]].sort_values("host") \
         .reset_index(drop=True)
+
+
+def gini_hosts(sf_dir: str) -> pa.Table:
+    """Gini coefficient of the docs-per-host distribution — the
+    domain-concentration diagnostic behind `domain_cap` (a corpus
+    where a few hosts own most documents needs capping; a flat corpus
+    does not).  The per-host counts come from the canonical-URL
+    derivation's keyed sum (bounded table); the coefficient uses the
+    exact discrete identity G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+    counts ranked deterministically by (count, host) — numerator and
+    denominator are EXACT int64 and the single float division is
+    e6-rounded with the IDENTICAL expression as the SQL.  NULL hosts
+    (NULL-source docs) are excluded (the host-graph policy)."""
+    from ..functions.urls import canonicalize_urls, url_hosts
+    from ..stages.groupagg import sorted_sum_by_key
+
+    urls = _derived_url_corpus(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        cu = canonicalize_urls(t.column("url"))
+        h = url_hosts(cu)
+        out = pa.table({"host": h})
+        return out.filter(pc.is_valid(out.column("host")))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "x": pd.Series([], dtype="int64")})
+        out = df.copy()
+        out["x"] = np.int64(1)
+        return out.groupby("host", as_index=False)["x"].sum()
+
+    counts = sorted_sum_by_key(
+        urls.map_batches(canon, batch_format="pyarrow")
+            .map_batches(count_partial, batch_format="pandas"),
+        ["host"], ["x"])
+    empty = dict(n_hosts="int64", total_docs="int64",
+                 gini_e6="float64")
+    if counts.empty or "x" not in counts:
+        return _empty_result(**empty)
+    counts = counts.sort_values(["x", "host"]).reset_index(drop=True)
+    x = counts["x"].to_numpy(dtype=np.int64)
+    n = np.int64(len(x))
+    sx = np.int64(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = np.int64(2 * (i * x).sum() - (n + 1) * sx)
+    gini = np.nan if sx == 0 else float(_round_half_away(
+        1e6 * (np.float64(num) / (np.float64(n) * sx))))
+    out = pd.DataFrame({"n_hosts": pd.Series([n], dtype="int64"),
+                        "total_docs": pd.Series([sx], dtype="int64"),
+                        "gini_e6": [gini]})
+    out["gini_e6"] = _int_or_float64(out["gini_e6"])
+    return out
+
+
+def part_cooccurrence(sf_dir: str) -> pa.Table:
+    """Market-basket co-occurrence mining over lineitem: the top-25
+    part pairs most often bought together (support), with their lift
+    n_orders·c(a,b) / (c(a)·c(b)) — the frequent-itemset primitive,
+    reusing the graph family's sorted-run wedge machinery
+    (``stages.graph.neighbor_pair_counts`` with center = order,
+    neighbors = the order's distinct parts; baskets are small, so
+    wedge volume is Σ C(|basket|, 2)).  Counts are exact int64; the
+    single float division (lift) mirrors the SQL operand order,
+    e6-rounded.  Ranking is the deterministic total order
+    (support DESC, part_a, part_b); NULL keys are excluded
+    (documented)."""
+    from ..stages.graph import neighbor_pair_counts
+    from ..stages.groupagg import sorted_distinct_keys, \
+        sorted_reduce_by_key_ds
+
+    empty = dict(part_a="int64", part_b="int64", n_both="int64",
+                 n_a="int64", n_b="int64", lift_e6="int64", rk="int64")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_partkey"))))
+        return pa.table({
+            "o": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "p": pc.cast(t.column("l_partkey"), pa.int64())})
+
+    op = sorted_distinct_keys(
+        li.map_batches(clean, batch_format="pyarrow"),
+        ["o", "p"]).materialize()
+    if op.count() == 0:
+        return _empty_result(**empty)
+
+    pairs = neighbor_pair_counts(op.map_batches(
+        lambda df: pd.DataFrame({
+            "c": df["o"].to_numpy(dtype=np.int64),
+            "n": df["p"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas"))
+    top = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "part_a": df["host_a"].to_numpy().astype(np.int64),
+            "part_b": df["host_b"].to_numpy().astype(np.int64),
+            "n_both": df["common"].to_numpy().astype(np.int64)})
+        if len(df) else pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("part_a", "part_b", "n_both")}),
+        batch_format="pandas") \
+        .sort(["n_both", "part_a", "part_b"],
+              descending=[True, False, False]) \
+        .limit(25).to_pandas()
+    if top.empty:
+        return _empty_result(**empty)
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+
+    n_orders = sorted_distinct_keys(
+        op.map_batches(lambda df: df[["o"]].drop_duplicates(),
+                       batch_format="pandas"), ["o"]).count()
+    cand = np.unique(np.concatenate(
+        [top["part_a"].to_numpy(dtype=np.int64),
+         top["part_b"].to_numpy(dtype=np.int64)]))
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["p"].isin(cand)]
+        if sub.empty:
+            return pd.DataFrame({"p": pd.Series([], dtype="int64"),
+                                 "cp": pd.Series([], dtype="int64")})
+        out = sub[["p"]].copy()
+        out["cp"] = np.int64(1)
+        return out.groupby("p", as_index=False).sum()
+
+    cp = sorted_reduce_by_key_ds(
+        op.map_batches(cnt_partial, batch_format="pandas"),
+        ["p"], {"cp": "sum"}).to_pandas()
+    cp["p"] = cp["p"].astype(np.int64)
+    top = top.merge(cp.rename(columns={"p": "part_a", "cp": "n_a"}),
+                    on="part_a") \
+             .merge(cp.rename(columns={"p": "part_b", "cp": "n_b"}),
+                    on="part_b")
+    top["lift_e6"] = _round_half_away(
+        1e6 * ((np.float64(n_orders)
+                * top["n_both"].to_numpy(dtype=np.int64))
+               / (top["n_a"].to_numpy(dtype=np.int64)
+                  .astype(np.float64)
+                  * top["n_b"].to_numpy(dtype=np.int64)))) \
+        .astype(np.int64)
+    for c in ("n_a", "n_b"):
+        top[c] = top[c].astype(np.int64)
+    return top[["part_a", "part_b", "n_both", "n_a", "n_b",
+                "lift_e6", "rk"]].sort_values("rk") \
+        .reset_index(drop=True)

@@ -310,6 +310,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "hits_hosts": ["host", "hub", "auth"],
         "event_type_cosine": ["type_a", "type_b", "dot", "cos_e6"],
         "bfs_depth_hosts": ["host", "depth"],
+        "gini_hosts": ["n_hosts", "total_docs", "gini_e6"],
+        "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
+                              "n_b", "lift_e6", "rk"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -454,6 +457,11 @@ NASTY_QUERIES = [
     "event_type_cosine",
     # bounded BFS over NULL-host-pruned edges; unreachable hosts NULL
     "bfs_depth_hosts",
+    # Gini over NULL-host-excluded counts (host-graph policy)
+    "gini_hosts",
+    # basket pairs: NULL order/part keys excluded; nasty lineitem has
+    # NULL quantities/prices riding through untouched
+    "part_cooccurrence",
 ]
 
 
