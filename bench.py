@@ -144,6 +144,18 @@ BENCH_QUERIES = [
     "gap_quantiles",
     # r4 continuation: Z-order multi-dimensional layout clustering
     "zorder_layout",
+    # r4 third session: graph analytics (assortativity, wedge-count
+    # Jaccard, fixed-point HITS, bounded BFS), stats (CUSUM, Welch t,
+    # Gram cosine, Gini), and basket mining over lineitem
+    "degree_assortativity",
+    "host_neighbor_jaccard",
+    "hits_hosts",
+    "bfs_depth_hosts",
+    "cusum_changepoint",
+    "welch_ttest_chars",
+    "event_type_cosine",
+    "gini_hosts",
+    "part_cooccurrence",
 ]
 
 
