@@ -539,6 +539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depth_hosts": q.bfs_depth_hosts,
         "gini_hosts": q.gini_hosts,
         "part_cooccurrence": q.part_cooccurrence,
+        "pricing_summary": q.pricing_summary,
+        "shipping_priority": q.shipping_priority,
+        "null_profile": q.null_profile,
     }
 
 
@@ -3278,5 +3281,94 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN c ca ON ca.p = r.part_a
                    JOIN c cb ON cb.p = r.part_b
             WHERE r.rk <= 25 ORDER BY r.rk
+        """,
+        # TPC-H-Q1-style: monetary masses as exact int64 sums of
+        # per-row e6-rounded expressions (no float-sum order); SQL
+        # aggregate-NULL semantics (all-NULL group -> NULL sum)
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(1000000 * l_quantity)
+                                 AS BIGINT)) AS BIGINT) AS sum_qty_e6,
+                   CAST(sum(CAST(round(1000000 * l_extendedprice)
+                                 AS BIGINT)) AS BIGINT)
+                       AS sum_base_e6,
+                   CAST(sum(CAST(round(1000000 *
+                            (l_extendedprice * (1 - l_discount)))
+                                 AS BIGINT)) AS BIGINT)
+                       AS sum_disc_e6,
+                   CAST(sum(CAST(round(1000000 *
+                            ((l_extendedprice * (1 - l_discount))
+                             * (1 + l_tax))) AS BIGINT)) AS BIGINT)
+                       AS sum_charge_e6
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        # TPC-H-Q3-style: min market segment (deterministic), 3-way
+        # join, per-order e6-int revenue, top 10 (rev DESC, orderkey)
+        "shipping_priority": """
+            WITH seg AS (SELECT min(c_mktsegment) AS s FROM customer),
+            cu AS (SELECT c_custkey FROM customer
+                   WHERE c_mktsegment = (SELECT s FROM seg)),
+            j AS (SELECT l.l_orderkey, o.o_orderdate,
+                         CAST(round(1000000 * (l.l_extendedprice
+                              * (1 - l.l_discount))) AS BIGINT) AS rev
+                  FROM lineitem l
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN cu ON cu.c_custkey = o.o_custkey
+                  WHERE l.l_extendedprice IS NOT NULL
+                    AND l.l_discount IS NOT NULL),
+            g AS (SELECT l_orderkey, o_orderdate,
+                         CAST(sum(rev) AS BIGINT) AS revenue_e6
+                  FROM j GROUP BY 1, 2),
+            r AS (SELECT l_orderkey, o_orderdate, revenue_e6,
+                         CAST(ROW_NUMBER() OVER (
+                             ORDER BY revenue_e6 DESC, l_orderkey)
+                             AS BIGINT) AS rk
+                  FROM g)
+            SELECT l_orderkey, o_orderdate, revenue_e6, rk
+            FROM r WHERE rk <= 10 ORDER BY rk
+        """,
+        # column null-rate profile; rate is all-integer round-half-away
+        "null_profile": """
+            WITH d AS (
+                SELECT 'documents' AS tbl, c.col,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(count(*) - count(CASE c.col
+                            WHEN 'doc_id' THEN CAST(doc_id AS VARCHAR)
+                            WHEN 'text' THEN text
+                            WHEN 'lang' THEN lang
+                            WHEN 'source' THEN source
+                            WHEN 'n_chars'
+                                THEN CAST(n_chars AS VARCHAR)
+                            END) AS BIGINT) AS n_null
+                FROM documents
+                CROSS JOIN (SELECT unnest(['doc_id', 'lang',
+                    'n_chars', 'source', 'text']) AS col) c
+                GROUP BY c.col
+                UNION ALL
+                SELECT 'events', c.col,
+                       CAST(count(*) AS BIGINT),
+                       CAST(count(*) - count(CASE c.col
+                            WHEN 'event_id'
+                                THEN CAST(event_id AS VARCHAR)
+                            WHEN 'ts' THEN CAST(ts AS VARCHAR)
+                            WHEN 'user_id'
+                                THEN CAST(user_id AS VARCHAR)
+                            WHEN 'event_type' THEN event_type
+                            WHEN 'value' THEN CAST(value AS VARCHAR)
+                            WHEN 'props' THEN props
+                            END) AS BIGINT)
+                FROM events
+                CROSS JOIN (SELECT unnest(['event_id', 'event_type',
+                    'props', 'ts', 'user_id', 'value']) AS col) c
+                GROUP BY c.col)
+            SELECT tbl, col, n_rows, n_null,
+                   CASE WHEN n_rows > 0
+                        THEN (2000000 * n_null + n_rows)
+                             // (2 * n_rows)
+                        ELSE CAST(0 AS BIGINT) END AS null_rate_e6
+            FROM d ORDER BY tbl, col
         """,
     }

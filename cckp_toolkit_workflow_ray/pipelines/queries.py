@@ -6153,3 +6153,216 @@ def part_cooccurrence(sf_dir: str) -> pa.Table:
     return top[["part_a", "part_b", "n_both", "n_a", "n_b",
                 "lift_e6", "rk"]].sort_values("rk") \
         .reset_index(drop=True)
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-style pricing summary over lineitem: per
+    (returnflag, linestatus) group, row count plus the four monetary
+    masses — quantity, base price, discounted price, charge — each as
+    an EXACT int64 sum of PER-ROW e6-rounded values (the rfm monetary
+    idiom: no float-sum order anywhere; the only floats are the
+    per-row expressions ``p·(1−d)`` and ``(p·(1−d))·(1+t)`` evaluated
+    with the IDENTICAL operand order as the SQL).  SQL aggregate-NULL
+    parity: a NULL input row is skipped by its sum but counted in
+    n_rows, and a group whose inputs are ALL NULL reports a NULL sum
+    (per-metric non-null counters ride the same exchange).  NULL
+    returnflag / linestatus are groups (sentinel convention)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    metrics = ("qty", "base", "disc", "charge")
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        x = t.column("l_tax").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        vals = {"qty": 1e6 * q, "base": 1e6 * p,
+                "disc": 1e6 * (p * (1 - d)),
+                "charge": 1e6 * ((p * (1 - d)) * (1 + x))}
+        df = pd.DataFrame({
+            "l_returnflag": _sentinel_nulls(pd.Series(
+                t.column("l_returnflag")
+                .to_numpy(zero_copy_only=False))),
+            "l_linestatus": _sentinel_nulls(pd.Series(
+                t.column("l_linestatus")
+                .to_numpy(zero_copy_only=False))),
+            "n_rows": np.int64(1)})
+        for m in metrics:
+            v = vals[m]
+            ok = ~np.isnan(v)
+            df[f"sum_{m}_e6"] = np.where(
+                ok, _round_half_away(np.where(ok, v, 0.0)), 0) \
+                .astype(np.int64)
+            df[f"n_{m}"] = ok.astype(np.int64)
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).sum(), preserve_index=False)
+
+    cols = ["n_rows"] + [f"sum_{m}_e6" for m in metrics] \
+        + [f"n_{m}" for m in metrics]
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["l_returnflag", "l_linestatus"], cols).to_pandas()
+    if g.empty or "n_rows" not in g:
+        return _empty_result(
+            l_returnflag=object, l_linestatus=object, n_rows="int64",
+            **{f"sum_{m}_e6": "float64" for m in metrics})
+    g = _restore_null_keys(g, ["l_returnflag", "l_linestatus"])
+    out = g[["l_returnflag", "l_linestatus"]].copy()
+    out["n_rows"] = g["n_rows"].astype(np.int64)
+    for m in metrics:
+        s = g[f"sum_{m}_e6"].astype("float64")
+        s[g[f"n_{m}"] == 0] = np.nan
+        out[f"sum_{m}_e6"] = _int_or_float64(s)
+    return out.sort_values(["l_returnflag", "l_linestatus"],
+                           na_position="last").reset_index(drop=True)
+
+
+def shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-style shipping priority: revenue of each order in the
+    deterministically-chosen market segment (the lexicographic MIN
+    segment — data-independent), top 10 by revenue — a three-table
+    distributed join chain (customer ⋈ orders bucketed, then
+    ⋈ lineitem bucketed on orderkey), per-order revenue as an exact
+    int64 sum of per-row e6-rounded ``p·(1−d)`` (rows with NULL price
+    or discount are pre-filtered on BOTH sides — documented policy so
+    no NULL-revenue group reaches the ranking), reduced by the
+    sorted-run keyed sum at order cardinality, ranked by
+    (revenue DESC, orderkey).  NULL order dates ride through as a
+    sentinel and surface as NaT."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join
+
+    _SENT = np.int64(-(2**62))
+    empty = dict(l_orderkey="int64", o_orderdate="datetime64[ns]",
+                 revenue_e6="int64", rk="int64")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    segs = cust.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df["c_mktsegment"].dropna().min()]}
+            if df["c_mktsegment"].notna().any() else
+            {"m": pd.Series([], dtype=object)}),
+        batch_format="pandas").to_pandas()
+    if segs.empty or segs["m"].dropna().empty:
+        return _empty_result(**empty)
+    seg = segs["m"].dropna().min()
+
+    cu = cust.map_batches(
+        lambda df: df[df["c_mktsegment"] == seg][["c_custkey"]]
+        .rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        dt = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = np.where(pd.isna(dt), _SENT, dt).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "date_us": dt})
+
+    jo = hash_join(orders.map_batches(ord_clean, batch_format="pyarrow"),
+                   cu, on="o_custkey")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t.column("l_extendedprice")),
+            pc.is_valid(t.column("l_discount"))))
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+
+    j = hash_join(li.map_batches(li_clean, batch_format="pyarrow"),
+                  jo.map_batches(
+                      lambda df: df[["l_orderkey", "date_us"]],
+                      batch_format="pandas"), on="l_orderkey")
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "date_us": pd.Series([], dtype="int64"),
+                "revenue_e6": pd.Series([], dtype="int64")})
+        out = df.rename(columns={"rev": "revenue_e6"})
+        return out.groupby(["l_orderkey", "date_us"],
+                           as_index=False)["revenue_e6"].sum()
+
+    g = sorted_reduce_by_key_ds(
+        j.map_batches(rev_partial, batch_format="pandas"),
+        ["l_orderkey", "date_us"], {"revenue_e6": "sum"})
+    top = g.sort(["revenue_e6", "l_orderkey"],
+                 descending=[True, False]).limit(10).to_pandas()
+    if top.empty:
+        return _empty_result(**empty)
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    du = top["date_us"].to_numpy(dtype=np.int64)
+    top["o_orderdate"] = pd.to_datetime(
+        np.where(du == _SENT, np.iinfo(np.int64).min, du), unit="us",
+        errors="coerce")
+    top.loc[du == _SENT, "o_orderdate"] = pd.NaT
+    top["l_orderkey"] = top["l_orderkey"].astype(np.int64)
+    top["revenue_e6"] = top["revenue_e6"].astype(np.int64)
+    return top[["l_orderkey", "o_orderdate", "revenue_e6", "rk"]] \
+        .reset_index(drop=True)
+
+
+def null_profile(sf_dir: str) -> pa.Table:
+    """Column-level null-rate profile of the documents and events
+    tables — the data-quality report face of `presence_check`: one
+    streaming scan per table, per-batch null counts read off the
+    Arrow validity bitmaps (``Array.null_count`` — zero-copy, no
+    value materialization), summed distributively; the e6 rate is
+    ALL-INTEGER round-half-away ((2·10⁶·nulls + n) // (2n))."""
+    import ray.data as rd
+
+    frames = []
+    for tbl in ("documents", "events"):
+        ds = _read(sf_dir, tbl)
+        names = ds.schema().names
+
+        def counts(t: pa.Table, _tbl=tbl, _names=tuple(names)) \
+                -> pa.Table:
+            return pa.table({
+                "tbl": pa.array([_tbl] * len(_names)),
+                "col": pa.array(list(_names)),
+                "n_rows": pa.array([t.num_rows] * len(_names),
+                                   type=pa.int64()),
+                "n_null": pa.array(
+                    [t.column(c).null_count for c in _names],
+                    type=pa.int64())})
+
+        part = ds.map_batches(counts, batch_format="pyarrow") \
+            .to_pandas()
+        if not part.empty:
+            frames.append(part.groupby(["tbl", "col"],
+                                       as_index=False).sum())
+    if not frames:
+        # 0-row tables produce no groups — the SQL GROUP BY semantics
+        return _empty_result(tbl=object, col=object, n_rows="int64",
+                             n_null="int64", null_rate_e6="int64")
+    out = pd.concat(frames, ignore_index=True)
+    out = out[out["n_rows"] > 0].reset_index(drop=True)
+    if out.empty:
+        return _empty_result(tbl=object, col=object, n_rows="int64",
+                             n_null="int64", null_rate_e6="int64")
+    n = out["n_rows"].to_numpy(dtype=np.int64)
+    z = out["n_null"].to_numpy(dtype=np.int64)
+    out["null_rate_e6"] = (2_000_000 * z + n) // (2 * n)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    return out.sort_values(["tbl", "col"]).reset_index(drop=True)

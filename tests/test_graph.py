@@ -359,8 +359,14 @@ def test_neighbor_pair_counts_match_brute_force(ray_session, g):
         "n": pd.concat([ce["v"], ce["u"]], ignore_index=True)})
     # several blocks so both the interior and the block-edge paths run
     got = neighbor_pair_counts(
-        rd.from_pandas(nb).repartition(3)).to_pandas() \
-        .sort_values(["host_a", "host_b"]).reset_index(drop=True)
+        rd.from_pandas(nb).repartition(3)).to_pandas()
+    if "host_a" not in got:
+        # a no-pair graph loses the empty stream's schema (Ray), the
+        # same typed-empty case queries guard at the surface
+        got = pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                            "host_b": pd.Series([], dtype=object),
+                            "common": pd.Series([], dtype="int64")})
+    got = got.sort_values(["host_a", "host_b"]).reset_index(drop=True)
     got["common"] = got["common"].astype(np.int64)
     want = _brute_common(ce)
     want["common"] = want["common"].astype(np.int64)

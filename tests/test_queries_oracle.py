@@ -311,6 +311,13 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "event_type_cosine": ["type_a", "type_b", "dot", "cos_e6"],
         "bfs_depth_hosts": ["host", "depth"],
         "gini_hosts": ["n_hosts", "total_docs", "gini_e6"],
+        "pricing_summary": ["l_returnflag", "l_linestatus", "n_rows",
+                            "sum_qty_e6", "sum_base_e6", "sum_disc_e6",
+                            "sum_charge_e6"],
+        "shipping_priority": ["l_orderkey", "o_orderdate",
+                              "revenue_e6", "rk"],
+        "null_profile": ["tbl", "col", "n_rows", "n_null",
+                         "null_rate_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -459,6 +466,13 @@ NASTY_QUERIES = [
     "bfs_depth_hosts",
     # Gini over NULL-host-excluded counts (host-graph policy)
     "gini_hosts",
+    # Q1-style masses: NULL returnflag groups, per-metric all-NULL
+    # groups must report NULL sums with exact non-null counts
+    "pricing_summary",
+    # Q3-style 3-way join: NULL custkeys/prices/discounts/orderdates
+    "shipping_priority",
+    # validity-bitmap counts must equal SQL count(*)-count(col)
+    "null_profile",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
