@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.pricing_summary,
         "shipping_priority": q.shipping_priority,
         "null_profile": q.null_profile,
+        "zipf_slope": q.zipf_slope,
     }
 
 
@@ -3370,5 +3371,42 @@ def oracle_sql() -> dict[str, str]:
                              // (2 * n_rows)
                         ELSE CAST(0 AS BIGINT) END AS null_rate_e6
             FROM d ORDER BY tbl, col
+        """,
+        # Zipf OLS over e6-rounded libm lns of the top-1000 ranks and
+        # counts; slope dimensionless (×1e6 at the surface), intercept
+        # already in e6 ln units
+        "zipf_slope": """
+            WITH w AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' '))
+                    AS word
+                FROM documents),
+            c AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+                  FROM w WHERE word <> '' GROUP BY word),
+            r AS (SELECT n, ROW_NUMBER() OVER (
+                             ORDER BY n DESC, word ASC) AS rk
+                  FROM c QUALIFY rk <= 1000),
+            v AS (SELECT CAST(round(1000000 * ln(rk)) AS BIGINT) AS x,
+                         CAST(round(1000000 * ln(n)) AS BIGINT) AS y
+                  FROM r),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM v),
+            f AS (SELECT k,
+                         (CAST(k AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) AS num,
+                         (CAST(k AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx) AS den,
+                         CAST(sx AS DOUBLE) AS sxd,
+                         CAST(sy AS DOUBLE) AS syd
+                  FROM m)
+            SELECT k AS n_words,
+                   CAST(round(1000000 * (num / den)) AS BIGINT)
+                       AS slope_e6,
+                   CAST(round((syd - (num / den) * sxd) / k)
+                        AS BIGINT) AS intercept_e6
+            FROM f WHERE k >= 2 AND den > 0
         """,
     }

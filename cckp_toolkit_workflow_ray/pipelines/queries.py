@@ -6366,3 +6366,65 @@ def null_profile(sf_dir: str) -> pa.Table:
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["n_null"] = out["n_null"].astype(np.int64)
     return out.sort_values(["tbl", "col"]).reset_index(drop=True)
+
+
+def zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf power-law fit over the corpus vocabulary — OLS slope of
+    ln(count) on ln(rank) for the top-1000 words (the vocabulary-
+    health diagnostic: natural text sits near −1; template/spam
+    corpora flatten).  Word counts come from the shared map-reduce
+    word count (`word_frequencies` machinery); the bounded top-1000
+    ranks deterministically (count DESC, word ASC), each ln value is
+    e6-rounded ONCE per value with scalar libm ``math.log`` (the
+    lm_score ln-parity convention — numpy's SIMD log can differ from
+    DuckDB's libm by an ulp), so the OLS moments are EXACT int64 and
+    the closed-form slope/intercept mirror the SQL operand order."""
+    import math
+
+    from ..stages.groupagg import sorted_sum_by_key
+
+    from ..functions.text import word_count_partial
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return word_count_partial(
+            t.column("text").to_numpy(zero_copy_only=False))
+
+    counts = sorted_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], ["n"])
+    empty = dict(n_words="int64", slope_e6="float64",
+                 intercept_e6="float64")
+    if counts.empty or "n" not in counts or len(counts) < 2:
+        return _empty_result(**empty)
+    top = counts.sort_values(["n", "word"], ascending=[False, True],
+                             kind="mergesort").head(1000) \
+        .reset_index(drop=True)
+    k = np.int64(len(top))
+    x = np.array([_round_half_away(1e6 * math.log(r))
+                  for r in range(1, int(k) + 1)], dtype=np.int64)
+    y = np.array([_round_half_away(1e6 * math.log(int(n)))
+                  for n in top["n"]], dtype=np.int64)
+    sx = np.int64(x.sum())
+    sy = np.int64(y.sum())
+    sxy = np.int64((x * y).sum())
+    sxx = np.int64((x * x).sum())
+    num = np.float64(k) * np.float64(sxy) \
+        - np.float64(sx) * np.float64(sy)
+    den = np.float64(k) * np.float64(sxx) \
+        - np.float64(sx) * np.float64(sx)
+    if not den > 0:
+        return _empty_result(**empty)
+    slope = num / den
+    # x/y are already e6-scaled lns: the dimensionless slope needs the
+    # 1e6 surface factor, the intercept is ALREADY in e6 ln units
+    intercept = (np.float64(sy) - slope * np.float64(sx)) \
+        / np.float64(k)
+    out = pd.DataFrame({
+        "n_words": pd.Series([k], dtype="int64"),
+        "slope_e6": [float(_round_half_away(1e6 * slope))],
+        "intercept_e6": [float(_round_half_away(intercept))]})
+    for c in ("slope_e6", "intercept_e6"):
+        out[c] = _int_or_float64(out[c])
+    return out

@@ -318,6 +318,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                               "revenue_e6", "rk"],
         "null_profile": ["tbl", "col", "n_rows", "n_null",
                          "null_rate_e6"],
+        "zipf_slope": ["n_words", "slope_e6", "intercept_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -473,6 +474,8 @@ NASTY_QUERIES = [
     "shipping_priority",
     # validity-bitmap counts must equal SQL count(*)-count(col)
     "null_profile",
+    # Zipf fit consumes the nullable/exotic-whitespace tokenizer
+    "zipf_slope",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
