@@ -121,6 +121,15 @@ def _hits_iter_ctes(n: int = 2) -> str:
     return ",".join(parts)
 
 
+def _ihalf(expr: str) -> str:
+    """SQL round-half-away-from-zero of a DOUBLE expression as BIGINT
+    (the label_centroids form — explicit floor so a value landing
+    exactly on .5 never depends on the round() tie rule)."""
+    return (f"CAST(CASE WHEN ({expr}) >= 0 "
+            f"THEN floor(({expr}) + 0.5) "
+            f"ELSE -floor(-({expr}) + 0.5) END AS BIGINT)")
+
+
 def _bfs_iter_ctes(n: int = 8) -> str:
     """Unrolled min-distance propagation rounds: after k rounds a node
     at true hop distance d ≤ k holds exactly d, any farther node NULL
@@ -543,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.shipping_priority,
         "null_profile": q.null_profile,
         "zipf_slope": q.zipf_slope,
+        "pca_power_component": q.pca_power_component,
     }
 
 
@@ -3408,5 +3418,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((syd - (num / den) * sxd) / k)
                         AS BIGINT) AS intercept_e6
             FROM f WHERE k >= 2 AND den > 0
+        """,
+        # two power-iteration rounds with order-free integer
+        # accumulation: every cross-element sum is an int64 sum of
+        # per-element half-away-rounded products (see the engine
+        # docstring); renormalise = one mirrored float division
+        "pca_power_component": f"""
+            WITH f AS (
+                SELECT vec_id,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings WHERE embedding IS NOT NULL),
+            v0 AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v
+                   FROM f),
+            s1 AS (SELECT f.vec_id,
+                          CAST(sum({_ihalf('f.x * v0.v')})
+                               AS BIGINT) AS s
+                   FROM f JOIN v0 ON v0.pos = f.pos
+                   GROUP BY f.vec_id),
+            w1 AS (SELECT f.pos,
+                          CAST(sum({_ihalf('f.x * s1.s')})
+                               AS BIGINT) AS w
+                   FROM f JOIN s1 ON s1.vec_id = f.vec_id
+                   GROUP BY f.pos),
+            n1 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS nrm FROM w1),
+            v1 AS (SELECT pos,
+                          CASE WHEN (SELECT nrm FROM n1) = 0
+                               THEN CAST(0 AS BIGINT)
+                               ELSE {_ihalf('1000000 * (CAST(w AS DOUBLE) / (SELECT nrm FROM n1))')}
+                          END AS v
+                   FROM w1),
+            s2 AS (SELECT f.vec_id,
+                          CAST(sum({_ihalf('f.x * v1.v')})
+                               AS BIGINT) AS s
+                   FROM f JOIN v1 ON v1.pos = f.pos
+                   GROUP BY f.vec_id),
+            w2 AS (SELECT f.pos,
+                          CAST(sum({_ihalf('f.x * s2.s')})
+                               AS BIGINT) AS w
+                   FROM f JOIN s2 ON s2.vec_id = f.vec_id
+                   GROUP BY f.pos),
+            n2 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS nrm FROM w2)
+            SELECT pos,
+                   CASE WHEN (SELECT nrm FROM n2) = 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE {_ihalf('1000000 * (CAST(w AS DOUBLE) / (SELECT nrm FROM n2))')}
+                   END AS loading_e6
+            FROM w2 ORDER BY pos
         """,
     }

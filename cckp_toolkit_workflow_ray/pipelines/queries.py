@@ -6428,3 +6428,90 @@ def zipf_slope(sf_dir: str) -> pa.Table:
     for c in ("slope_e6", "intercept_e6"):
         out[c] = _int_or_float64(out[c])
     return out
+
+
+def pca_power_component(sf_dir: str) -> pa.Table:
+    """Top principal direction of the (uncentered) embedding matrix by
+    TWO distributed power-iteration rounds v ← XᵀXv — the spectral
+    primitive behind embedding whitening / anisotropy diagnostics.
+    Classic power iteration is float-sum-order-sensitive twice over
+    (the per-row dot and the per-component accumulation); here every
+    cross-element sum is an EXACT int64 sum of PER-ELEMENT e6-rounded
+    products: s_i = Σ_j round(x_ij·v_j) accumulates the row dot in
+    ints (v is an e6 fixed-point vector), w_j = Σ_i round(x_ij·s_i)
+    accumulates the new direction in ints, and each round renormalises
+    with one mirrored float division per component
+    (round(10⁶·w_j / max|w|)).  Both stages fuse into ONE streaming
+    pass per round (s is row-local given v); the 64-int v vector rides
+    the map closure.  NULL embeddings contribute no rows (SQL unnest
+    semantics).  int64 bound: Σ_i round(x·s) ≲ rows · 10⁷ — safe to
+    ~10¹¹ rows at the synthetic value scale; shrink the fixed point
+    past that.  Start v₀ = 10⁶·1 (deterministic sign)."""
+    from ..stages.similarity import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["embedding"]).materialize()
+
+    def w_pass(v: np.ndarray | None):
+        """One fused round: v=None means the uniform 10⁶ start (the
+        dimension is discovered from the data, never hardcoded)."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            col = t.column("embedding")
+            valid = pc.is_valid(col)
+            if not pc.all(valid).as_py():
+                t = t.filter(valid)
+                col = t.column("embedding")
+            m = _to_matrix(col)
+            if m.size == 0:
+                return pa.table({
+                    "pos": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.int64())})
+            d = m.shape[1]
+            vv = np.full(d, 1e6, dtype=np.float64) if v is None else v
+            s = np.zeros(m.shape[0], dtype=np.int64)
+            for j in range(d):           # sequential over positions —
+                s += _round_half_away(m[:, j] * vv[j]) \
+                    .astype(np.int64)    # per-element round, int sum
+            w = np.empty(d, dtype=np.int64)
+            for j in range(d):
+                w[j] = np.int64(_round_half_away(m[:, j]
+                                                 * s.astype(np.float64))
+                                .astype(np.int64).sum())
+            return pa.table({
+                "pos": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "w": pa.array(w)})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+        if parts.empty:
+            return None
+        g = parts.groupby("pos", as_index=False)["w"].sum()
+        return g.sort_values("pos")["w"].to_numpy(dtype=np.int64), \
+            g.sort_values("pos")["pos"].to_numpy(dtype=np.int64)
+
+    empty = dict(pos="int64", loading_e6="int64")
+    first = w_pass(None)
+    if first is None:
+        return _empty_result(**empty)
+    w, pos = first
+    # round 2 (the docstring's TWO rounds: v0 pass + renorm + v1 pass)
+    nrm = np.int64(np.abs(w).max())
+    if nrm == 0:
+        v = np.zeros(len(w), dtype=np.float64)
+    else:
+        v = _round_half_away(
+            1e6 * (w.astype(np.float64) / np.float64(nrm)))
+    nxt = w_pass(v)
+    if nxt is None:
+        return _empty_result(**empty)
+    w, pos = nxt
+    nrm = np.int64(np.abs(w).max())
+    if nrm == 0:
+        loading = np.zeros(len(w), dtype=np.int64)
+    else:
+        loading = _round_half_away(
+            1e6 * (w.astype(np.float64) / np.float64(nrm))) \
+            .astype(np.int64)
+    return pd.DataFrame({"pos": pos.astype(np.int64),
+                         "loading_e6": loading}) \
+        .sort_values("pos").reset_index(drop=True)

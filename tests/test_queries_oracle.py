@@ -319,6 +319,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "null_profile": ["tbl", "col", "n_rows", "n_null",
                          "null_rate_e6"],
         "zipf_slope": ["n_words", "slope_e6", "intercept_e6"],
+        "pca_power_component": ["pos", "loading_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -476,6 +477,9 @@ NASTY_QUERIES = [
     "null_profile",
     # Zipf fit consumes the nullable/exotic-whitespace tokenizer
     "zipf_slope",
+    # power iteration over the nasty zero vectors (and any NULL
+    # embeddings) must keep the integer accumulation order-free
+    "pca_power_component",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
