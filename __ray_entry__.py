@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_profile": q.null_profile,
         "zipf_slope": q.zipf_slope,
         "pca_power_component": q.pca_power_component,
+        "pareto_front_docs": q.pareto_front_docs,
     }
 
 
@@ -3465,5 +3466,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE {_ihalf('1000000 * (CAST(w AS DOUBLE) / (SELECT nrm FROM n2))')}
                    END AS loading_e6
             FROM w2 ORDER BY pos
+        """,
+        # 2-D strict-dominance skyline: survives iff no row is >= on
+        # both coordinates and > on one; exact duplicates all survive
+        "pareto_front_docs": """
+            WITH d AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            w -> w <> ''))
+                            AS BIGINT) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL)
+            SELECT a.doc_id, a.x AS n_chars, a.y AS n_tokens
+            FROM d a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d b
+                WHERE b.x >= a.x AND b.y >= a.y
+                  AND (b.x > a.x OR b.y > a.y))
+            ORDER BY a.doc_id
         """,
     }

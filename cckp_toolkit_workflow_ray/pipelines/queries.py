@@ -6515,3 +6515,69 @@ def pca_power_component(sf_dir: str) -> pa.Table:
     return pd.DataFrame({"pos": pos.astype(np.int64),
                          "loading_e6": loading}) \
         .sort_values("pos").reset_index(drop=True)
+
+
+def _skyline2d(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D strict-dominance Pareto front of (x, y) rows: a row
+    survives iff no other row is ≥ on both coordinates and > on one.
+    Exact duplicates of a surviving point all survive (neither
+    strictly dominates the other).  O(n log n): descending-x sweep
+    keeping the best y over strictly-greater x groups."""
+    if df.empty:
+        return df
+    pts = df[["x", "y"]].drop_duplicates() \
+        .sort_values(["x", "y"], ascending=[False, False])
+    keep_pts = []
+    best_y = None
+    for x, grp in pts.groupby("x", sort=False):
+        y_max = int(grp["y"].iloc[0])
+        if best_y is None or y_max > best_y:
+            keep_pts.append((int(x), y_max))
+            best_y = y_max if best_y is None else max(best_y, y_max)
+    kp = pd.DataFrame(keep_pts, columns=["x", "y"])
+    return df.merge(kp, on=["x", "y"])
+
+
+def pareto_front_docs(sf_dir: str) -> pa.Table:
+    """Pareto-optimal document selection (the 2-D skyline operator):
+    documents not strictly dominated on (n_chars, whitespace token
+    count) — the multi-criteria shortlist primitive (e.g. longest AND
+    most token-dense candidates).  Distributed shape: each block
+    reduces to its LOCAL skyline (a point dominated within a block is
+    dominated globally — dominance is transitive, so local pruning is
+    lossless), the union of local skylines is small, and the driver
+    runs the same sweep once more on that bounded union.  Exact
+    integers throughout; rows with NULL n_chars or NULL text are
+    excluded (both coordinates must exist — SQL NOT EXISTS parity);
+    duplicate (x, y) points all survive (strict-dominance
+    semantics)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    _EMPTY = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "x": pd.Series([], dtype="int64"),
+                           "y": pd.Series([], dtype="int64")})
+
+    def local(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("n_chars")),
+                             pc.is_valid(t.column("text"))))
+        if t.num_rows == 0:
+            return _EMPTY
+        df = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "x": t.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "y": pc.count_substring_regex(t.column("text"), "[^ ]+")
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        return _skyline2d(df)
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if cand.empty or "x" not in cand:
+        return _empty_result(doc_id="int64", n_chars="int64",
+                             n_tokens="int64")
+    sky = _skyline2d(cand)
+    out = sky.rename(columns={"x": "n_chars", "y": "n_tokens"})
+    for c in ("doc_id", "n_chars", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out[["doc_id", "n_chars", "n_tokens"]] \
+        .sort_values("doc_id").reset_index(drop=True)

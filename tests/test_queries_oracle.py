@@ -320,6 +320,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                          "null_rate_e6"],
         "zipf_slope": ["n_words", "slope_e6", "intercept_e6"],
         "pca_power_component": ["pos", "loading_e6"],
+        "pareto_front_docs": ["doc_id", "n_chars", "n_tokens"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -480,6 +481,9 @@ NASTY_QUERIES = [
     # power iteration over the nasty zero vectors (and any NULL
     # embeddings) must keep the integer accumulation order-free
     "pca_power_component",
+    # skyline: NULL n_chars / NULL text exclusion parity; the nasty
+    # duplicate texts exercise the equal-point survival rule
+    "pareto_front_docs",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",

@@ -166,3 +166,32 @@ def test_client_summarizer_hook_in_report(ray_session, tmp_path):
     assert holder["client"].n_logins == 1
     assert holder["client"].n_requests == 2
     assert "session-" in open(p1).read() and "session-" in open(p2).read()
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline sweep vs brute-force strict dominance
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cckp_toolkit_workflow_ray.pipelines.queries import _skyline2d
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=0, max_size=24))
+def test_skyline2d_matches_brute_force(pts):
+    import pandas as pd
+
+    df = pd.DataFrame(pts, columns=["x", "y"])
+    df["doc_id"] = range(len(df))
+    got = set(_skyline2d(df)["doc_id"]) if len(df) else set()
+    want = set()
+    for i, (xi, yi) in enumerate(pts):
+        dominated = any(
+            xj >= xi and yj >= yi and (xj > xi or yj > yi)
+            for j, (xj, yj) in enumerate(pts) if j != i)
+        if not dominated:
+            want.add(i)
+    assert got == want
