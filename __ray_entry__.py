@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": q.zipf_slope,
         "pca_power_component": q.pca_power_component,
         "pareto_front_docs": q.pareto_front_docs,
+        "kl_unigram_drift": q.kl_unigram_drift,
     }
 
 
@@ -3484,5 +3485,38 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.x >= a.x AND b.y >= a.y
                   AND (b.x > a.x OR b.y > a.y))
             ORDER BY a.doc_id
+        """,
+        # add-one-smoothed unigram KL between doc_id-parity halves in
+        # exact micro-nats: KL = Σa(ln a − ln b)/A − ln A + ln B with
+        # every ln e6-rounded once (the token_entropy convention)
+        "kl_unigram_drift": """
+            WITH w AS (
+                SELECT doc_id % 2 AS side,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS word
+                FROM documents),
+            c AS (SELECT side, word, CAST(count(*) AS BIGINT) AS n
+                  FROM w WHERE word <> '' GROUP BY 1, 2),
+            v AS (SELECT word,
+                         CAST(coalesce(max(CASE WHEN side = 0
+                                           THEN n END), 0) + 1
+                              AS BIGINT) AS a,
+                         CAST(coalesce(max(CASE WHEN side = 1
+                                           THEN n END), 0) + 1
+                              AS BIGINT) AS b
+                  FROM c GROUP BY word),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+                         CAST(sum(a) AS BIGINT) AS sa,
+                         CAST(sum(b) AS BIGINT) AS sb,
+                         CAST(sum(a *
+                              (CAST(round(1000000 * ln(a)) AS BIGINT)
+                               - CAST(round(1000000 * ln(b))
+                                      AS BIGINT))) AS BIGINT) AS t
+                  FROM v)
+            SELECT vocab, sa - vocab AS n_p, sb - vocab AS n_q,
+                   CAST(round(CAST(t AS DOUBLE) / sa) AS BIGINT)
+                   - CAST(round(1000000 * ln(sa)) AS BIGINT)
+                   + CAST(round(1000000 * ln(sb)) AS BIGINT) AS kl_e6
+            FROM m WHERE vocab > 0
         """,
     }

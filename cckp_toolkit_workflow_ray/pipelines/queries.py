@@ -6581,3 +6581,75 @@ def pareto_front_docs(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype(np.int64)
     return out[["doc_id", "n_chars", "n_tokens"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def kl_unigram_drift(sf_dir: str) -> pa.Table:
+    """KL divergence KL(P‖Q) between the unigram distributions of the
+    two doc_id-parity halves of the corpus — the distribution-shift
+    diagnostic beside `daily_drift` (PSI/KS on counts) at the
+    vocabulary level, with add-one smoothing over the union
+    vocabulary.  The micro-nat integer convention (`token_entropy`):
+    with a_i = c_P(i)+1, b_i = c_Q(i)+1, A = Σa, B = Σb, the identity
+    KL = (Σ aᵢ(ln aᵢ − ln bᵢ))/A − ln A + ln B lets every ln be
+    e6-rounded ONCE per value (scalar libm ``math.log``) so the big
+    sum is EXACT int64; the single float division and the two scalar
+    ln terms mirror the SQL.  The distributed part is the
+    (side, word) keyed sum; the union-vocab fold runs on the
+    vocabulary-bounded driver table."""
+    import math
+
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        rows = []
+        for side in (0, 1):
+            sel = texts[ids % 2 == side]
+            words = [w for x in sel for w in (x or "").split(" ") if w]
+            if not words:
+                continue
+            u, c = np.unique(np.array(words, dtype=object),
+                             return_counts=True)
+            rows.append(pd.DataFrame({
+                "side": np.int64(side), "word": u,
+                "n": c.astype(np.int64)}))
+        if not rows:
+            return pd.DataFrame({"side": pd.Series([], dtype="int64"),
+                                 "word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    c = sorted_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["side", "word"], ["n"])
+    empty = dict(vocab="int64", n_p="int64", n_q="int64",
+                 kl_e6="int64")
+    if c.empty or "n" not in c:
+        return _empty_result(**empty)
+    wide = c.pivot_table(index="word", columns="side", values="n",
+                         aggfunc="sum", fill_value=0)
+    a = (wide[0].to_numpy(dtype=np.int64) if 0 in wide.columns
+         else np.zeros(len(wide), dtype=np.int64)) + 1
+    b = (wide[1].to_numpy(dtype=np.int64) if 1 in wide.columns
+         else np.zeros(len(wide), dtype=np.int64)) + 1
+
+    def L(x: int) -> np.int64:
+        return np.int64(_round_half_away(1e6 * math.log(x)))
+
+    la = np.array([L(int(x)) for x in a], dtype=np.int64)
+    lb = np.array([L(int(x)) for x in b], dtype=np.int64)
+    t = np.int64((a * (la - lb)).sum())
+    vocab = np.int64(len(wide))
+    sa = np.int64(a.sum())
+    sb = np.int64(b.sum())
+    kl = np.int64(_round_half_away(np.float64(t) / np.float64(sa))) \
+        - L(int(sa)) + L(int(sb))
+    return pd.DataFrame({
+        "vocab": pd.Series([vocab], dtype="int64"),
+        "n_p": pd.Series([sa - vocab], dtype="int64"),
+        "n_q": pd.Series([sb - vocab], dtype="int64"),
+        "kl_e6": pd.Series([kl], dtype="int64")})

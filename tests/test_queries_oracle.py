@@ -321,6 +321,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "zipf_slope": ["n_words", "slope_e6", "intercept_e6"],
         "pca_power_component": ["pos", "loading_e6"],
         "pareto_front_docs": ["doc_id", "n_chars", "n_tokens"],
+        "kl_unigram_drift": ["vocab", "n_p", "n_q", "kl_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -484,6 +485,8 @@ NASTY_QUERIES = [
     # skyline: NULL n_chars / NULL text exclusion parity; the nasty
     # duplicate texts exercise the equal-point survival rule
     "pareto_front_docs",
+    # smoothed KL over the exotic-whitespace/NULL-text tokenizer
+    "kl_unigram_drift",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
