@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_power_component": q.pca_power_component,
         "pareto_front_docs": q.pareto_front_docs,
         "kl_unigram_drift": q.kl_unigram_drift,
+        "theil_sen_trend": q.theil_sen_trend,
     }
 
 
@@ -3518,5 +3519,33 @@ def oracle_sql() -> dict[str, str]:
                    - CAST(round(1000000 * ln(sa)) AS BIGINT)
                    + CAST(round(1000000 * ln(sb)) AS BIGINT) AS kl_e6
             FROM m WHERE vocab > 0
+        """,
+        # Theil-Sen: discrete median of pairwise slopes, sorted by the
+        # mirrored DOUBLE with the (day_a, day_b) tiebreak, element at
+        # rank ceil(n/2); single-day types have no pairs
+        "theil_sen_trend": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS d,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            p AS (SELECT a.event_type,
+                         (CAST(b.n - a.n AS DOUBLE) / (b.d - a.d))
+                             AS slope,
+                         a.d AS da, b.d AS db
+                  FROM c a JOIN c b
+                    ON b.event_type IS NOT DISTINCT FROM a.event_type
+                   AND b.d > a.d),
+            r AS (SELECT event_type, slope,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY slope, da, db) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type)
+                             AS cnt
+                  FROM p)
+            SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+                   CAST(round(1000000 * slope) AS BIGINT) AS slope_e6
+            FROM r WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
+            ORDER BY event_type
         """,
     }

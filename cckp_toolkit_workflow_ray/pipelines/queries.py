@@ -6653,3 +6653,67 @@ def kl_unigram_drift(sf_dir: str) -> pa.Table:
         "n_p": pd.Series([sa - vocab], dtype="int64"),
         "n_q": pd.Series([sb - vocab], dtype="int64"),
         "kl_e6": pd.Series([kl], dtype="int64")})
+
+
+def theil_sen_trend(sf_dir: str) -> pa.Table:
+    """Theil–Sen robust daily-volume trend per event type — the
+    outlier-resistant counterpart of `event_type_trend`'s OLS slope:
+    the median of all pairwise slopes (n_j − n_i)/(day_j − day_i)
+    over the type's daily counts.  The distributed part is the
+    (type, day) combiner sum; the O(days²)-per-type pair cross runs on
+    the calendar-bounded driver table.  Selection semantics are
+    discrete (the `quantile_disc` convention): pairs sort by the
+    slope DOUBLE (computed with the IDENTICAL operand order both
+    sides — exact integer numerator/denominator, one float division)
+    with an (i, j) index tiebreak, and the element at rank ⌈n/2⌉ is
+    returned e6-rounded.  Types with a single day have no pairs and
+    drop from the surface (SQL join semantics).  NULL event_type is a
+    group (sentinel); NULL ts excluded."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day_us": (us // _DAY_US) * _DAY_US,
+            "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "day_us"], as_index=False).sum(),
+            preserve_index=False)
+
+    c = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["event_type", "day_us"], ["n"]).to_pandas()
+    empty = dict(event_type=object, n_pairs="int64",
+                 slope_e6="float64")
+    if c.empty or "n" not in c:
+        return _empty_result(**empty)
+    c = c.sort_values(["event_type", "day_us"]).reset_index(drop=True)
+    rows = []
+    for et, g in c.groupby("event_type", sort=False, dropna=False):
+        d = g["day_us"].to_numpy(dtype=np.int64) // _DAY_US
+        n = g["n"].to_numpy(dtype=np.int64)
+        k = len(g)
+        if k < 2:
+            continue
+        ia, ib = np.triu_indices(k, k=1)
+        # slope per pair: exact int diffs, ONE float division (the
+        # identical expression the SQL evaluates)
+        slope = (n[ib] - n[ia]).astype(np.float64) \
+            / (d[ib] - d[ia]).astype(np.float64)
+        order = np.lexsort((ib, ia, slope))
+        m = order[int(np.ceil(len(order) / 2)) - 1]
+        rows.append((et, np.int64(len(order)),
+                     float(_round_half_away(1e6 * slope[m]))))
+    if not rows:
+        return _empty_result(**empty)
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                      "slope_e6"])
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["slope_e6"] = _int_or_float64(out["slope_e6"])
+    out = _restore_null_keys(out, ["event_type"])
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

@@ -322,6 +322,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "pca_power_component": ["pos", "loading_e6"],
         "pareto_front_docs": ["doc_id", "n_chars", "n_tokens"],
         "kl_unigram_drift": ["vocab", "n_p", "n_q", "kl_e6"],
+        "theil_sen_trend": ["event_type", "n_pairs", "slope_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -487,6 +488,9 @@ NASTY_QUERIES = [
     "pareto_front_docs",
     # smoothed KL over the exotic-whitespace/NULL-text tokenizer
     "kl_unigram_drift",
+    # Theil-Sen: NULL-type group, NULL ts excluded, pre-1970 day
+    # arithmetic, single-day types must drop (no pairs)
+    "theil_sen_trend",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
