@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_front_docs": q.pareto_front_docs,
         "kl_unigram_drift": q.kl_unigram_drift,
         "theil_sen_trend": q.theil_sen_trend,
+        "compression_ratio": q.compression_ratio,
     }
 
 
@@ -3547,5 +3548,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(1000000 * slope) AS BIGINT) AS slope_e6
             FROM r WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
             ORDER BY event_type
+        """,
+        # export-trick oracle (the winnow_verify pattern): the engine
+        # exports per-doc (lang, n_raw, n_comp); SQL re-aggregates, so
+        # the distributed rollup is SQL-checked and only the zlib
+        # codec itself is golden-pinned
+        "compression_ratio": f"""
+            WITH d AS (
+                SELECT lang, n_raw, n_comp
+                FROM read_parquet('{q.COMPRESS_ORACLE_DIR}/*.parquet')),
+            g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_raw) AS BIGINT) AS sum_raw,
+                         CAST(sum(n_comp) AS BIGINT) AS sum_comp
+                  FROM d GROUP BY lang)
+            SELECT lang, n_docs, sum_raw, sum_comp,
+                   CASE WHEN sum_raw > 0
+                        THEN CAST(round(1000000 *
+                                 (CAST(sum_comp AS DOUBLE) / sum_raw))
+                                  AS BIGINT)
+                        ELSE NULL END AS ratio_e6
+            FROM g ORDER BY lang
         """,
     }

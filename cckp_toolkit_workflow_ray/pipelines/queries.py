@@ -6717,3 +6717,89 @@ def theil_sen_trend(sf_dir: str) -> pa.Table:
     out = _restore_null_keys(out, ["event_type"])
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+COMPRESS_ORACLE_DIR = "/tmp/cckp_compress_oracle/docs"
+
+
+def compression_ratio(sf_dir: str) -> pa.Table:
+    """Per-lang deflate compression-ratio quality signal (the Gopher /
+    RefinedWeb "compressibility" heuristic: near-1 ratios mean random
+    bytes, near-0 means templated repetition; both tails are
+    low-quality).  The codec is stdlib zlib level 6 — deterministic
+    bytes, so the per-doc (lang, n_raw, n_comp) export is stable; the
+    export-oracle pattern (`winnow_verify`) SQL-checks the whole
+    distributed aggregation layer on top of it, leaving only the
+    C-library codec itself golden-pinned (`tests`).  Surface: per
+    lang, doc count, exact int64 byte sums, and ONE e6-rounded float
+    division (mirrored).  NULL text is excluded (no bytes; documented)
+    and NULL lang is a group restored at the surface; an all-empty
+    lang (sum_raw = 0) reports a NULL ratio."""
+    import os
+    import shutil
+    import zlib
+
+    shutil.rmtree(os.path.dirname(COMPRESS_ORACLE_DIR),
+                  ignore_errors=True)
+    os.makedirs(COMPRESS_ORACLE_DIR, exist_ok=True)
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def export_and_sum(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        n_raw = np.empty(len(texts), dtype=np.int64)
+        n_comp = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            b = txt.encode("utf-8", "ignore")
+            n_raw[i] = len(b)
+            n_comp[i] = len(zlib.compress(b, 6))
+        if len(texts):
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"lang": pa.array(langs, type=pa.string()),
+                          "n_raw": pa.array(n_raw),
+                          "n_comp": pa.array(n_comp)}),
+                f"{COMPRESS_ORACLE_DIR}/{uuid.uuid4().hex}.parquet")
+        df = pd.DataFrame({"lang": _sentinel_nulls(pd.Series(langs)),
+                           "n_docs": np.int64(1),
+                           "sum_raw": n_raw, "sum_comp": n_comp})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(),
+            preserve_index=False)
+
+    g = _sum_by_key(ds.map_batches(export_and_sum,
+                                   batch_format="pyarrow"),
+                    ["lang"], ["n_docs", "sum_raw", "sum_comp"]) \
+        .to_pandas()
+    if not os.listdir(COMPRESS_ORACLE_DIR):
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"lang": pa.array([], type=pa.string()),
+                      "n_raw": pa.array([], type=pa.int64()),
+                      "n_comp": pa.array([], type=pa.int64())}),
+            f"{COMPRESS_ORACLE_DIR}/empty.parquet")
+    empty = dict(lang=object, n_docs="int64", sum_raw="int64",
+                 sum_comp="int64", ratio_e6="float64")
+    if g.empty or "n_docs" not in g:
+        return _empty_result(**empty)
+    g = _restore_null_keys(g, ["lang"])
+    raw = g["sum_raw"].to_numpy(dtype=np.int64)
+    comp = g["sum_comp"].to_numpy(dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(
+            raw > 0,
+            _round_half_away(1e6 * (comp.astype(np.float64)
+                                    / np.where(raw > 0, raw, 1))),
+            np.nan)
+    out = pd.DataFrame({
+        "lang": g["lang"],
+        "n_docs": g["n_docs"].astype(np.int64),
+        "sum_raw": raw, "sum_comp": comp,
+        "ratio_e6": _int_or_float64(pd.Series(ratio))})
+    return out.sort_values("lang", na_position="last") \
+        .reset_index(drop=True)

@@ -575,3 +575,17 @@ def test_exact_quantiles_unbounded_selection(ray_session):
         {"value": pd.Series([np.nan] * 10, dtype="float64")}))
     out = exact_quantiles_unbounded(allnull, "value", [0.5])
     assert math.isnan(out[0.5])
+
+
+def test_compression_ratio_codec_properties(ray_session):
+    """The zlib layer under compression_ratio: deterministic across
+    runs, and repetitive text compresses far better than high-entropy
+    text (the quality-signal contract)."""
+    import zlib
+
+    rep = ("spam " * 400).encode()
+    rnd = bytes(((i * 2654435761) >> 7) & 0xFF for i in range(2000))
+    assert zlib.compress(rep, 6) == zlib.compress(rep, 6)
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_rnd = len(zlib.compress(rnd, 6)) / len(rnd)
+    assert r_rep < 0.05 < 0.5 < r_rnd

@@ -323,6 +323,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "pareto_front_docs": ["doc_id", "n_chars", "n_tokens"],
         "kl_unigram_drift": ["vocab", "n_p", "n_q", "kl_e6"],
         "theil_sen_trend": ["event_type", "n_pairs", "slope_e6"],
+        "compression_ratio": ["lang", "n_docs", "sum_raw", "sum_comp",
+                              "ratio_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -491,6 +493,9 @@ NASTY_QUERIES = [
     # Theil-Sen: NULL-type group, NULL ts excluded, pre-1970 day
     # arithmetic, single-day types must drop (no pairs)
     "theil_sen_trend",
+    # compression ratio: NULL-lang groups, NULL-text exclusion, and
+    # the export-oracle aggregation layer on the nasty corpus
+    "compression_ratio",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
