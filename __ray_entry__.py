@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kl_unigram_drift": q.kl_unigram_drift,
         "theil_sen_trend": q.theil_sen_trend,
         "compression_ratio": q.compression_ratio,
+        "golden_records": q.golden_records,
     }
 
 
@@ -3568,5 +3569,28 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                         ELSE NULL END AS ratio_e6
             FROM g ORDER BY lang
+        """,
+        # survivorship: per >=2-member exact-text cluster, min doc_id
+        # plus the first non-null field value in doc_id order
+        "golden_records": """
+            WITH d AS (
+                SELECT doc_id, text, lang, source
+                FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id + 10000000, text,
+                       NULL AS lang, NULL AS source
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id % 10 = 0),
+            g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                         CAST(count(*) AS BIGINT) AS n_dups
+                  FROM d GROUP BY text HAVING count(*) >= 2),
+            la AS (SELECT text, arg_min(lang, doc_id) AS lang
+                   FROM d WHERE lang IS NOT NULL GROUP BY text),
+            sa AS (SELECT text, arg_min(source, doc_id) AS source
+                   FROM d WHERE source IS NOT NULL GROUP BY text)
+            SELECT g.rep_doc, g.n_dups, la.lang, sa.source
+            FROM g LEFT JOIN la ON la.text = g.text
+                   LEFT JOIN sa ON sa.text = g.text
+            ORDER BY g.rep_doc
         """,
     }

@@ -6803,3 +6803,100 @@ def compression_ratio(sf_dir: str) -> pa.Table:
         "ratio_e6": _int_or_float64(pd.Series(ratio))})
     return out.sort_values("lang", na_position="last") \
         .reset_index(drop=True)
+
+
+def golden_records(sf_dir: str) -> pa.Table:
+    """Survivorship merge (MDM "golden record") over exact-content
+    duplicate clusters: for every text appearing on ≥2 documents, the
+    representative doc (MIN doc_id), the cluster size, and each
+    metadata field filled with the cluster's FIRST NON-NULL value in
+    doc_id order — the record-consolidation step after dedup decides
+    the clusters.  Runs on the DERIVED corpus (the edit_distance_pairs
+    motif): originals ∪ a metadata-less copy of every 10th doc at
+    doc_id+10⁷, so the clean fixtures exercise the survivorship rule
+    at every scale (the copy contributes no lang/source — the
+    original's values must win).  Distributed shape: 128-bit content
+    keys (the dedup convention), ONE range sort by (key, doc_id),
+    then per block a vectorized run fold (pandas grouped ``first``
+    skips NULLs — the survivorship rule) for key runs interior to the
+    block, with the ≤2 block-EDGE runs folded exactly in a per-key
+    group pass.  NULL texts form no cluster (documented)."""
+    from ..stages.dedup import _pair_keys
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        copy = ids % 10 == 0
+        k1, k2 = _pair_keys(np.concatenate([texts, texts[copy]]))
+        n_c = int(copy.sum())
+        return pd.DataFrame({
+            "k1": k1, "k2": k2,
+            "doc_id": np.concatenate([ids, ids[copy] + 10_000_000]),
+            "lang": np.concatenate(
+                [langs, np.full(n_c, None, dtype=object)]),
+            "source": np.concatenate(
+                [srcs, np.full(n_c, None, dtype=object)])})
+
+    srt = ds.map_batches(keyed, batch_format="pyarrow") \
+        .sort(["k1", "k2", "doc_id"]).materialize()
+
+    _EMPTY = pd.DataFrame({"rep_doc": pd.Series([], dtype="int64"),
+                           "n_dups": pd.Series([], dtype="int64"),
+                           "lang": pd.Series([], dtype=object),
+                           "source": pd.Series([], dtype=object)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        """Survivorship fold of (already doc_id-sorted) key runs."""
+        if df.empty:
+            return _EMPTY
+        rid = (df["k1"].ne(df["k1"].shift())
+               | df["k2"].ne(df["k2"].shift())).cumsum()
+        g = df.groupby(rid).agg(
+            rep_doc=("doc_id", "min"), n_dups=("doc_id", "size"),
+            lang=("lang", "first"), source=("source", "first"))
+        g = g[g["n_dups"] >= 2].reset_index(drop=True)
+        g["rep_doc"] = g["rep_doc"].astype(np.int64)
+        g["n_dups"] = g["n_dups"].astype(np.int64)
+        return g[["rep_doc", "n_dups", "lang", "source"]]
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        k1 = df["k1"].to_numpy()
+        k2 = df["k2"].to_numpy()
+        first = (k1 == k1[0]) & (k2 == k2[0])
+        last = (k1 == k1[-1]) & (k2 == k2[-1])
+        return fold(df[~(first | last)])
+
+    def edges_only(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        k1 = df["k1"].to_numpy()
+        k2 = df["k2"].to_numpy()
+        return df[(k1 == k1[0]) & (k2 == k2[0])
+                  | (k1 == k1[-1]) & (k2 == k2[-1])]
+
+    ig = srt.map_batches(interior, batch_format="pandas",
+                         batch_size=None)
+    eg = srt.map_batches(edges_only, batch_format="pandas",
+                         batch_size=None) \
+        .groupby(["k1", "k2"]).map_groups(
+            lambda g: fold(g.sort_values("doc_id")),
+            batch_format="pandas") \
+        .map_batches(lambda df: df[["rep_doc", "n_dups", "lang",
+                                    "source"]]
+                     if len(df) else _EMPTY, batch_format="pandas")
+    out = ig.union(eg).to_pandas()
+    if out.empty or "rep_doc" not in out:
+        return _empty_result(rep_doc="int64", n_dups="int64",
+                             lang=object, source=object)
+    out["rep_doc"] = out["rep_doc"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("rep_doc").reset_index(drop=True)

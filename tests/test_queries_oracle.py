@@ -325,6 +325,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "theil_sen_trend": ["event_type", "n_pairs", "slope_e6"],
         "compression_ratio": ["lang", "n_docs", "sum_raw", "sum_comp",
                               "ratio_e6"],
+        "golden_records": ["rep_doc", "n_dups", "lang", "source"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -496,6 +497,9 @@ NASTY_QUERIES = [
     # compression ratio: NULL-lang groups, NULL-text exclusion, and
     # the export-oracle aggregation layer on the nasty corpus
     "compression_ratio",
+    # survivorship: all-NULL-field clusters keep NULL, first-non-null
+    # order matters on the nasty duplicate seeds
+    "golden_records",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
