@@ -149,13 +149,16 @@ def _bfs_iter_ctes(n: int = 8) -> str:
     return ",".join(parts)
 
 
-def _pagerank_iter_ctes(n: int = 5) -> str:
+def _pagerank_iter_ctes(n: int = 5, personalized: bool = False) -> str:
+    base = ("CASE WHEN n.host IN (SELECT host FROM seeds) "
+            "THEN 150000000 ELSE 0 END"
+            if personalized else "150000000")
     parts = []
     for k in range(1, n + 1):
         parts.append(f"""
             r{k} AS (
                 SELECT n.host,
-                       CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                       CAST({base} + (85 * coalesce(c.s, 0)) // 100
                             AS BIGINT) AS r
                 FROM nodes n LEFT JOIN (
                     SELECT ew.dst AS host,
@@ -558,6 +561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": q.theil_sen_trend,
         "compression_ratio": q.compression_ratio,
         "golden_records": q.golden_records,
+        "rolling_median_anomaly": q.rolling_median_anomaly,
+        "personalized_pagerank": q.personalized_pagerank,
     }
 
 
@@ -3592,5 +3597,62 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN la ON la.text = g.text
                    LEFT JOIN sa ON sa.text = g.text
             ORDER BY g.rep_doc
+        """,
+        # robust trailing-median anomaly: discrete median window,
+        # exact integer deviation, incomplete windows NULL
+        "rolling_median_anomaly": """
+            WITH e AS (
+                SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            w AS (
+                SELECT day_us, c,
+                       quantile_disc(c, 0.5) OVER win AS med,
+                       CAST(count(*) OVER win AS BIGINT) AS cnt
+                FROM e
+                WINDOW win AS (ORDER BY day_us
+                               ROWS BETWEEN 7 PRECEDING
+                               AND 1 PRECEDING))
+            SELECT make_timestamp(day_us) AS day, c AS n_events,
+                   CASE WHEN cnt = 7 THEN med END AS med7,
+                   CASE WHEN cnt = 7 THEN c - med END AS dev
+            FROM w ORDER BY day
+        """,
+        # personalized PageRank: teleport (base AND start mass) only
+        # on the 3 lexicographic-min hosts; otherwise the pagerank
+        # unrolled-CTE machinery verbatim
+        "personalized_pagerank": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            nodes AS (SELECT DISTINCT host FROM hx
+                      WHERE host IS NOT NULL),
+            seeds AS (SELECT host FROM nodes ORDER BY host LIMIT 3),
+            e0 AS (
+                SELECT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL),
+            edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                      FROM e0 GROUP BY src, dst),
+            deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            ew AS (SELECT e.src, e.dst, e.w, d.deg
+                   FROM edges e JOIN deg d ON d.src = e.src),
+            r0 AS (SELECT host,
+                          CAST(CASE WHEN host IN (SELECT host
+                                                  FROM seeds)
+                               THEN 1000000000 ELSE 0 END
+                               AS BIGINT) AS r
+                   FROM nodes),
+        """ + _pagerank_iter_ctes(5, personalized=True) + """
+            SELECT n.host,
+                   CAST(coalesce(d.deg, 0) AS BIGINT) AS out_deg,
+                   r5.r AS rank
+            FROM nodes n JOIN r5 ON r5.host = n.host
+            LEFT JOIN deg d ON d.src = n.host
+            ORDER BY n.host
         """,
     }

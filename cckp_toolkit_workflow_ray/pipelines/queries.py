@@ -6900,3 +6900,77 @@ def golden_records(sf_dir: str) -> pa.Table:
     out["rep_doc"] = out["rep_doc"].astype(np.int64)
     out["n_dups"] = out["n_dups"].astype(np.int64)
     return out.sort_values("rep_doc").reset_index(drop=True)
+
+
+def rolling_median_anomaly(sf_dir: str) -> pa.Table:
+    """Robust daily-volume anomaly: each day's event count against the
+    DISCRETE MEDIAN of the trailing 7 observed days — the
+    outlier-resistant sibling of `event_rate_anomaly` (one spike in
+    the window shifts a mean-z baseline but not the median).
+    ALL-INTEGER end to end: the median is an actual data value
+    (``quantile_disc`` rank ⌈7/2⌉) and the deviation is an exact
+    difference — no float appears anywhere.  Day counts are the usual
+    distributed combiner sum; the rolling window runs on the O(days)
+    calendar-bounded driver table.  Days with an incomplete trailing
+    window report NULL."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"day_us": (us // _DAY_US) * _DAY_US,
+                           "n_events": 1})
+        return pa.Table.from_pandas(
+            df.groupby("day_us", as_index=False).sum(),
+            preserve_index=False)
+
+    counts = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["day_us"], ["n_events"]).to_pandas()
+    if counts.empty or "n_events" not in counts:
+        return _empty_result(day="datetime64[ns]", n_events="int64",
+                             med7="float64", dev="float64")
+    counts = counts.sort_values("day_us").reset_index(drop=True)
+    c = counts["n_events"].to_numpy(dtype=np.int64)
+    n = len(c)
+    med = np.full(n, np.nan)
+    for i in range(7, n):          # O(days) — calendar-bounded
+        med[i] = float(np.sort(c[i - 7:i])[3])   # rank ceil(7/2)
+    dev = np.where(np.isnan(med), np.nan, c - med)
+    out = pd.DataFrame({
+        "day": pd.to_datetime(counts["day_us"], unit="us"),
+        "n_events": counts["n_events"].astype(np.int64),
+        "med7": _int_or_float64(pd.Series(med)),
+        "dev": _int_or_float64(pd.Series(dev))})
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def personalized_pagerank(sf_dir: str) -> pa.Table:
+    """Personalized PageRank (seed-teleport random walk — the crawl
+    seed-expansion / related-host primitive) over the canonical-host
+    graph: the teleport mass lands ONLY on the three
+    lexicographically-least hosts (deterministic, data-independent
+    choice), so rank measures proximity to the seed set rather than
+    global authority.  Same integer fixed-point machinery as
+    `pagerank_hosts` (``stages/graph.py:pagerank_int`` with
+    ``seeds``): 5 iterations reproduce bit-identically in unrolled
+    SQL CTEs.  Seeds come off per-block partial mins, never a full
+    collect."""
+    from ..stages.graph import pagerank_int
+
+    edges, nodes = _host_graph(sf_dir)
+    empty = dict(host=object, out_deg="int64", rank="int64")
+    if nodes.count() == 0:
+        return _empty_result(**empty)
+    mins = nodes.map_batches(
+        lambda df: df.sort_values("host").head(3)[["host"]]
+        if len(df) else df[["host"]],
+        batch_format="pandas").to_pandas()
+    seeds = tuple(mins.sort_values("host")["host"].head(3))
+    out = pagerank_int(edges, nodes, n_iters=5, seeds=seeds) \
+        .to_pandas()
+    if not len(out):
+        return _empty_result(**empty)
+    return out[["host", "out_deg", "rank"]].sort_values("host") \
+        .reset_index(drop=True)

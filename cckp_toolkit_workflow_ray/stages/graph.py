@@ -39,7 +39,8 @@ import pandas as pd
 
 def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
                  damping_num: int = 85, damping_den: int = 100,
-                 broadcast_limit: int = 2_000_000):
+                 broadcast_limit: int = 2_000_000,
+                 seeds: tuple[str, ...] | None = None):
     """Integer-exact PageRank over an aggregated edge Dataset.
 
     ``edges``: Dataset with columns ``(src, dst, w)`` — already
@@ -56,6 +57,26 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
     from .joins import hash_join
 
     base = (damping_den - damping_num) * scale // damping_den
+    # personalized PageRank (``seeds`` non-None): the teleport mass —
+    # both the (1−d)·scale base and the start vector — lands ONLY on
+    # the seed hosts; everything else in the iteration is unchanged,
+    # so the unrolled-CTE reproducibility argument carries over.  The
+    # seed set is tiny (closure-shipped), never a shuffle side.
+    seed_arr = None if seeds is None else np.sort(
+        np.asarray(list(seeds), dtype=object))
+
+    def _base_of(hosts: np.ndarray) -> np.ndarray:
+        if seed_arr is None:
+            return np.full(len(hosts), base, dtype=np.int64)
+        return np.where(pd.Series(hosts).isin(seed_arr), base,
+                        0).astype(np.int64)
+
+    def _start_of(hosts: np.ndarray) -> np.ndarray:
+        if seed_arr is None:
+            return np.full(len(hosts), scale, dtype=np.int64)
+        return np.where(pd.Series(hosts).isin(seed_arr), scale,
+                        0).astype(np.int64)
+
     n_nodes = nodes.count()
     if n_nodes == 0:
         return rd.from_pandas(pd.DataFrame({
@@ -73,7 +94,7 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
             lambda df: pd.DataFrame({
                 "host": df["host"],
                 "out_deg": np.zeros(len(df), dtype=np.int64),
-                "rank": np.full(len(df), base, dtype=np.int64)}),
+                "rank": _base_of(df["host"].to_numpy(dtype=object))}),
             batch_format="pandas")
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -92,9 +113,9 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
             lambda df: df.merge(ray.get(deg_ref), on="src"),
             batch_format="pandas").materialize()
         hosts_df = nodes.to_pandas()
-        ranks = pd.DataFrame({"host": hosts_df["host"],
-                              "r": np.full(len(hosts_df), scale,
-                                           dtype=np.int64)})
+        ranks = pd.DataFrame({
+            "host": hosts_df["host"],
+            "r": _start_of(hosts_df["host"].to_numpy(dtype=object))})
         for _ in range(n_iters):
             r_ref = ray.put(ranks)
 
@@ -122,7 +143,8 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
                                                dtype=np.int64)
             ranks = pd.DataFrame({
                 "host": merged["host"],
-                "r": base + (damping_num * sval) // damping_den})
+                "r": _base_of(merged["host"].to_numpy(dtype=object))
+                + (damping_num * sval) // damping_den})
         out = hosts_df[["host"]].merge(
             deg_df.rename(columns={"src": "host", "deg": "out_deg"}),
             on="host", how="left")
@@ -141,7 +163,7 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
     ranks_ds = nodes.map_batches(
         lambda df: pd.DataFrame({
             "src": df["host"],
-            "r": np.full(len(df), scale, dtype=np.int64)}),
+            "r": _start_of(df["host"].to_numpy(dtype=object))}),
         batch_format="pandas").materialize()
     for _ in range(n_iters):
         joined = hash_join(ew, ranks_ds, on="src")
@@ -167,8 +189,9 @@ def pagerank_int(edges, nodes, n_iters: int = 5, scale: int = 10**9,
             .map_batches(
                 lambda df: pd.DataFrame({
                     "src": df["src"],
-                    "r": base + (damping_num * df["s"].fillna(0)
-                                 .to_numpy(dtype=np.int64))
+                    "r": _base_of(df["src"].to_numpy(dtype=object))
+                    + (damping_num * df["s"].fillna(0)
+                       .to_numpy(dtype=np.int64))
                     // damping_den}),
                 batch_format="pandas").materialize()
     out_ds = hash_join(

@@ -462,3 +462,26 @@ def test_bfs_depth_bound(ray_session):
         .sort_values("host").reset_index(drop=True)
     assert out["depth"].tolist()[:4] == [0, 1, 2, 3]
     assert out["depth"].isna().tolist()[4:] == [True, True]
+
+
+@settings(max_examples=8, deadline=None)
+@given(_rand_graph())
+def test_personalized_pagerank_regimes_and_seed_mass(ray_session, g):
+    hosts, edges = g
+    seeds = tuple(sorted(hosts)[:2])
+    e1, n1 = _mk(hosts, edges)
+    a = pagerank_int(e1, n1, n_iters=2, seeds=seeds).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    e2, n2 = _mk(hosts, edges)
+    b = pagerank_int(e2, n2, n_iters=2, seeds=seeds,
+                     broadcast_limit=0).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # teleport mass lands only on seeds: non-seed dangling-isolated
+    # nodes (no in-edges) must have rank 0
+    in_deg = {h: 0 for h in hosts}
+    for x, y, _ in edges:
+        in_deg[f"h{y}"] += 1
+    for h, r in zip(a["host"], a["rank"]):
+        if h not in seeds and in_deg[h] == 0:
+            assert r == 0, (h, r)

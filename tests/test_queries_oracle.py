@@ -326,6 +326,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "compression_ratio": ["lang", "n_docs", "sum_raw", "sum_comp",
                               "ratio_e6"],
         "golden_records": ["rep_doc", "n_dups", "lang", "source"],
+        "rolling_median_anomaly": ["day", "n_events", "med7", "dev"],
+        "personalized_pagerank": ["host", "out_deg", "rank"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -500,6 +502,11 @@ NASTY_QUERIES = [
     # survivorship: all-NULL-field clusters keep NULL, first-non-null
     # order matters on the nasty duplicate seeds
     "golden_records",
+    # robust rolling median: NULL ts excluded, pre-1970 / isolated
+    # days land in incomplete windows -> NULL med/dev
+    "rolling_median_anomaly",
+    # seed-teleport PageRank over NULL-host-pruned edges
+    "personalized_pagerank",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
