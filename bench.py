@@ -156,6 +156,21 @@ BENCH_QUERIES = [
     "event_type_cosine",
     "gini_hosts",
     "part_cooccurrence",
+    # r4 third session, second batch: warehouse rollups, profiling,
+    # vocabulary statistics, spectral/selection/robust-stats ops,
+    # survivorship, compressibility, seed-teleport PageRank
+    "pricing_summary",
+    "shipping_priority",
+    "null_profile",
+    "zipf_slope",
+    "pca_power_component",
+    "pareto_front_docs",
+    "kl_unigram_drift",
+    "theil_sen_trend",
+    "compression_ratio",
+    "golden_records",
+    "rolling_median_anomaly",
+    "personalized_pagerank",
 ]
 
 
