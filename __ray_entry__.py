@@ -563,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": q.golden_records,
         "rolling_median_anomaly": q.rolling_median_anomaly,
         "personalized_pagerank": q.personalized_pagerank,
+        "event_throttle_dedup": q.event_throttle_dedup,
+        "chars_percent_rank": q.chars_percent_rank,
     }
 
 
@@ -3654,5 +3656,38 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n JOIN r5 ON r5.host = n.host
             LEFT JOIN deg d ON d.src = n.host
             ORDER BY n.host
+        """,
+        # 30-min same-(user,type) suppression vs the previous RAW
+        # event (LAG contract); all-integer kept rate
+        "event_throttle_dedup": """
+            WITH e AS (
+                SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+                       event_id
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            l AS (SELECT event_type,
+                         CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w
+                                 > 1800000000
+                              THEN 1 ELSE 0 END AS kept
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id, event_type
+                               ORDER BY ts_us, event_id))
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(kept) AS BIGINT) AS n_kept,
+                   (2000000 * CAST(sum(kept) AS BIGINT)
+                    + CAST(count(*) AS BIGINT))
+                   // (2 * CAST(count(*) AS BIGINT)) AS kept_rate_e6
+            FROM l GROUP BY event_type ORDER BY event_type
+        """,
+        # exact per-lang PERCENT_RANK of document length; half-away
+        # rounding via the explicit floor form (values can land on .5)
+        "chars_percent_rank": f"""
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   {_ihalf("1000000 * percent_rank() OVER ("
+                           "PARTITION BY lang ORDER BY n_chars)")}
+                       AS pr_e6
+            FROM documents WHERE n_chars IS NOT NULL
+            ORDER BY doc_id
         """,
     }

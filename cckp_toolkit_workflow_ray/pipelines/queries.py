@@ -6974,3 +6974,162 @@ def personalized_pagerank(sf_dir: str) -> pa.Table:
         return _empty_result(**empty)
     return out[["host", "out_deg", "rank"]].sort_values("host") \
         .reset_index(drop=True)
+
+
+def event_throttle_dedup(sf_dir: str) -> pa.Table:
+    """Telemetry throttling report: per event type, how many events
+    survive a 30-minute same-(user, type) suppression window — an
+    event is KEPT iff it is the partition's first or arrives more
+    than 30 min after the PREVIOUS RAW event (the LAG-expressible
+    contract, documented — not "previous kept", which needs
+    recursion).  The `inter_event_gaps` sorted-run motif: ONE range
+    sort by (user, type, ts, id); partition runs interior to a block
+    decide kept flags fully vectorized (a run's first row follows a
+    different partition, so it is kept); the ≤2 block-EDGE runs ship
+    raw rows to an exact driver pass.  NULL user_id / ts are excluded
+    (event-time policy); NULL event_type is a partition (sentinel).
+    All integers; the kept rate is the all-integer e6 round."""
+    from ..stages.ranking import _edge_mask
+
+    _W = 1_800_000_000
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pd.DataFrame({
+            "user_id": pc.cast(t.column("user_id"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "etype": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "ts_us": pc.cast(t.column("ts"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_id": pc.cast(t.column("event_id"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+
+    srt = ds.map_batches(partial, batch_format="pyarrow") \
+        .sort(["user_id", "etype", "ts_us", "event_id"]).materialize()
+
+    _EMPTY = pd.DataFrame({"etype": pd.Series([], dtype=object),
+                           "n_total": pd.Series([], dtype="int64"),
+                           "n_kept": pd.Series([], dtype="int64")})
+
+    def kept_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        e = df["etype"].to_numpy(dtype=object)
+        tsv = df["ts_us"].to_numpy(dtype=np.int64)
+        kept = np.ones(len(df), dtype=np.int64)
+        same = (u[1:] == u[:-1]) & (e[1:] == e[:-1])
+        kept[1:] = (~same | (tsv[1:] - tsv[:-1] > _W)).astype(np.int64)
+        out = pd.DataFrame({"etype": e, "n_total": np.int64(1),
+                            "n_kept": kept})
+        return out.groupby("etype", as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return kept_rollup(df[~_edge_mask(df, ["user_id", "etype"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id", "etype"])] if len(df) \
+            else df
+
+    parts = srt.map_batches(interior, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    edge_rows = srt.map_batches(edges, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    if len(edge_rows):
+        parts = pd.concat(
+            [parts, kept_rollup(edge_rows.sort_values(
+                ["user_id", "etype", "ts_us", "event_id"])
+                .reset_index(drop=True))], ignore_index=True)
+    if parts.empty or "n_total" not in parts:
+        return _empty_result(event_type=object, n_total="int64",
+                             n_kept="int64", kept_rate_e6="int64")
+    g = parts.groupby("etype", as_index=False).sum()
+    g = g.rename(columns={"etype": "event_type"})
+    g = _restore_null_keys(g, ["event_type"])
+    n = g["n_total"].to_numpy(dtype=np.int64)
+    k = g["n_kept"].to_numpy(dtype=np.int64)
+    g["kept_rate_e6"] = (2_000_000 * k + n) // (2 * n)
+    for c in ("n_total", "n_kept", "kept_rate_e6"):
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
+
+
+def chars_percent_rank(sf_dir: str) -> pa.Table:
+    """Exact PERCENT_RANK of every document's length within its lang
+    — the per-row normalization primitive behind quantile bucketing
+    (`quality_deciles` emits decile labels; this emits the continuous
+    rank).  Bounded-domain shape: ONE keyed sum to the
+    (lang, n_chars) histogram, a per-lang exclusive prefix sum on the
+    tiny driver table (rank−1 = #rows strictly smaller — the SQL
+    min-rank tie rule), a `ray.put` broadcast of the value→rank map,
+    and one streaming emit pass — the corpus is never sorted.  The
+    ratio (rank−1)/(n−1) is ONE mirrored float division (0 for
+    single-row partitions, the SQL definition); rows with NULL
+    n_chars are excluded; NULL lang is a partition."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("n_chars")))
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "n_chars"], as_index=False).sum(),
+            preserve_index=False)
+
+    h = _sum_by_key(ds.map_batches(hist, batch_format="pyarrow"),
+                    ["lang", "n_chars"], ["n"]).to_pandas()
+    empty = dict(doc_id="int64", lang=object, n_chars="int64",
+                 pr_e6="int64")
+    if h.empty or "n" not in h:
+        return _empty_result(**empty)
+    h = h.sort_values(["lang", "n_chars"]).reset_index(drop=True)
+    grp = h.groupby("lang", sort=False)
+    h["less"] = (grp["n"].cumsum() - h["n"]).astype(np.int64)
+    h = h.merge(grp["n"].sum().rename("tot"), on="lang")
+    r_ref = ray.put(h[["lang", "n_chars", "less", "tot"]])
+
+    def emit(t: pa.Table, _ref=r_ref) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("n_chars")))
+        if t.num_rows == 0:
+            return _empty_result(**empty)
+        df = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        m = df.merge(ray.get(_ref), on=["lang", "n_chars"])
+        less = m["less"].to_numpy(dtype=np.int64)
+        tot = m["tot"].to_numpy(dtype=np.int64)
+        pr = np.where(tot > 1,
+                      less.astype(np.float64)
+                      / np.maximum(tot - 1, 1).astype(np.float64),
+                      0.0)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+            "lang": m["lang"].to_numpy(dtype=object),
+            "n_chars": m["n_chars"].to_numpy(dtype=np.int64),
+            "pr_e6": _round_half_away(1e6 * pr).astype(np.int64)})
+
+    out = ds.map_batches(emit, batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out:
+        return _empty_result(**empty)
+    out = _restore_null_keys(out, ["lang"])
+    for c in ("doc_id", "n_chars", "pr_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -328,6 +328,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "golden_records": ["rep_doc", "n_dups", "lang", "source"],
         "rolling_median_anomaly": ["day", "n_events", "med7", "dev"],
         "personalized_pagerank": ["host", "out_deg", "rank"],
+        "event_throttle_dedup": ["event_type", "n_total", "n_kept",
+                                 "kept_rate_e6"],
+        "chars_percent_rank": ["doc_id", "lang", "n_chars", "pr_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -507,6 +510,12 @@ NASTY_QUERIES = [
     "rolling_median_anomaly",
     # seed-teleport PageRank over NULL-host-pruned edges
     "personalized_pagerank",
+    # throttle: NULL user/ts excluded, NULL type is a partition,
+    # equal-ts ties break on event_id identically
+    "event_throttle_dedup",
+    # percent_rank: NULL n_chars excluded, NULL lang partition,
+    # single-row partitions report 0
+    "chars_percent_rank",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
