@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q.personalized_pagerank,
         "event_throttle_dedup": q.event_throttle_dedup,
         "chars_percent_rank": q.chars_percent_rank,
+        "supplier_hhi": q.supplier_hhi,
+        "order_fulfillment_lag": q.order_fulfillment_lag,
     }
 
 
@@ -3689,5 +3691,49 @@ def oracle_sql() -> dict[str, str]:
                        AS pr_e6
             FROM documents WHERE n_chars IS NOT NULL
             ORDER BY doc_id
+        """,
+        # HHI concentration: exact integer share moments, one mirrored
+        # float division per nation
+        "supplier_hhi": """
+            WITH c AS (
+                SELECT n.n_name, l.l_suppkey AS s,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM lineitem l
+                JOIN supplier su ON su.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = su.s_nationkey
+                WHERE l.l_suppkey IS NOT NULL
+                GROUP BY 1, 2),
+            g AS (SELECT n_name,
+                         CAST(count(*) AS BIGINT) AS n_suppliers,
+                         CAST(sum(c) AS BIGINT) AS n_rows,
+                         CAST(sum(c * c) AS BIGINT) AS sq
+                  FROM c GROUP BY n_name)
+            SELECT n_name, n_suppliers, n_rows,
+                   CAST(round(1000000 * (CAST(sq AS DOUBLE)
+                        / (CAST(n_rows AS DOUBLE) * n_rows)))
+                        AS BIGINT) AS hhi_e6
+            FROM g ORDER BY n_name
+        """,
+        # chained join -> keyed max -> grouped exact selection:
+        # fulfillment lag quantiles are actual data values
+        "order_fulfillment_lag": """
+            WITH ls AS (
+                SELECT l_orderkey,
+                       CAST(max(epoch_us(l_shipdate) // 86400000000)
+                            AS BIGINT) AS ship_day
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+                GROUP BY 1),
+            o AS (SELECT o_orderkey, o_orderpriority,
+                         epoch_us(o_orderdate) // 86400000000
+                             AS od_day
+                  FROM orders WHERE o_orderdate IS NOT NULL),
+            l AS (SELECT o.o_orderpriority,
+                         ls.ship_day - o.od_day AS lag_days
+                  FROM o JOIN ls ON ls.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   quantile_disc(lag_days, 0.5) AS p50_days,
+                   quantile_disc(lag_days, 0.9) AS p90_days
+            FROM l GROUP BY 1 ORDER BY 1
         """,
     }

@@ -7133,3 +7133,153 @@ def chars_percent_rank(sf_dir: str) -> pa.Table:
     for c in ("doc_id", "n_chars", "pr_e6"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def supplier_hhi(sf_dir: str) -> pa.Table:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    activity per nation — the antitrust-style concentration measure
+    beside `gini_hosts`: HHI = Σᵢ shareᵢ² over each nation's
+    suppliers' lineitem row shares.  One keyed sum to
+    (supplier, count) with the small supplier→nation dimension
+    broadcast (dimension-join convention), then the per-nation fold
+    Σc² / T² on the bounded driver table — Σc² and T are EXACT int64
+    and the single float division mirrors the SQL.  Suppliers with no
+    lineitem rows contribute nothing (SQL inner-join semantics); NULL
+    suppkeys are excluded."""
+    import pyarrow.parquet as pq
+    import ray
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = sup.merge(nat, left_on="s_nationkey",
+                    right_on="n_nationkey")[["s_suppkey", "n_name"]]
+    d_ref = ray.put(dim)
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+
+    def partial(t: pa.Table, _ref=d_ref) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_suppkey")))
+        df = pd.DataFrame({
+            "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())
+            .to_numpy(zero_copy_only=False), "c": np.int64(1)})
+        m = df.merge(ray.get(_ref), on="s_suppkey")
+        return m.groupby(["n_name", "s_suppkey"],
+                         as_index=False)["c"].sum()
+
+    counts = _sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "s_suppkey"], ["c"]).to_pandas()
+    empty = dict(n_name=object, n_suppliers="int64", n_rows="int64",
+                 hhi_e6="int64")
+    if counts.empty or "c" not in counts:
+        return _empty_result(**empty)
+    c = counts["c"].to_numpy(dtype=np.int64)
+    counts["sq"] = c * c
+    g = counts.groupby("n_name", as_index=False).agg(
+        n_suppliers=("s_suppkey", "size"), n_rows=("c", "sum"),
+        sq=("sq", "sum"))
+    t = g["n_rows"].to_numpy(dtype=np.int64)
+    sq = g["sq"].to_numpy(dtype=np.int64)
+    g["hhi_e6"] = _round_half_away(
+        1e6 * (sq.astype(np.float64)
+               / (t.astype(np.float64) * t))).astype(np.int64)
+    for col in ("n_suppliers", "n_rows"):
+        g[col] = g[col].astype(np.int64)
+    return g[["n_name", "n_suppliers", "n_rows", "hhi_e6"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+def order_fulfillment_lag(sf_dir: str) -> pa.Table:
+    """Order-fulfillment lag distribution per order priority: exact
+    p50/p90 of (last shipment day − order day) — a chained
+    join → keyed max → grouped exact selection pipeline (the
+    operational-latency report shape).  The per-order last ship date
+    is a sorted-run keyed MAX over the bucketed lineitem ⋈ orders
+    join; lags are exact integer days; quantiles are the grouped
+    distributed selection (actual data values, `quantile_disc`
+    parity).  Orders with NULL orderdate or no shipped lines drop
+    (SQL inner-join/NULL-exclusion semantics); NULL priority is a
+    group (sentinel)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join
+
+    _DAY_US = 86_400 * 10**6
+    empty = dict(o_orderpriority=object, n_orders="int64",
+                 p50_days="float64", p90_days="float64")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_orderdate")))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "od_day": pc.cast(t.column("o_orderdate"), pa.int64())
+            .to_numpy(zero_copy_only=False) // _DAY_US,
+            "prio": _sentinel_nulls(pd.Series(
+                t.column("o_orderpriority")
+                .to_numpy(zero_copy_only=False)))})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_shipdate")))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "ship_day": pc.cast(t.column("l_shipdate"), pa.int64())
+            .to_numpy(zero_copy_only=False) // _DAY_US}) \
+            .groupby("l_orderkey", as_index=False).max()
+
+    last_ship = sorted_reduce_by_key_ds(
+        li.map_batches(li_clean, batch_format="pyarrow"),
+        ["l_orderkey"], {"ship_day": "max"}).materialize()
+    ord_ds = orders.map_batches(ord_clean,
+                                batch_format="pyarrow").materialize()
+    # an all-empty side loses its schema and would crash the join
+    if last_ship.count() == 0 or ord_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(ord_ds, last_ship, on="l_orderkey")
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"prio": pd.Series([], dtype=object),
+                                 "lag_days": pd.Series([],
+                                                       dtype="int64")})
+        return pd.DataFrame({
+            "prio": df["prio"].to_numpy(dtype=object),
+            "lag_days": df["ship_day"].to_numpy(dtype=np.int64)
+            - df["od_day"].to_numpy(dtype=np.int64)})
+
+    lags = j.map_batches(lag, batch_format="pandas").materialize()
+    from ..stages.selection import exact_quantiles_unbounded_grouped
+
+    qres = exact_quantiles_unbounded_grouped(
+        lags.map_batches(
+            lambda df: df.rename(columns={"prio": "o_orderpriority",
+                                          "lag_days": "value"}),
+            batch_format="pandas"),
+        "o_orderpriority", "value", [0.5, 0.9])
+    if qres.empty:
+        return _empty_result(**empty)
+    wide = qres.pivot(index="o_orderpriority", columns="q",
+                      values="value").reset_index()
+    wide.columns.name = None
+    wide = wide.rename(columns={0.5: "p50_days", 0.9: "p90_days"})
+    n = lags.map_batches(
+        lambda df: df.groupby("prio", as_index=False).size()
+        .rename(columns={"size": "n_orders"}),
+        batch_format="pandas").to_pandas() \
+        .groupby("prio", as_index=False).sum() \
+        .rename(columns={"prio": "o_orderpriority"})
+    out = wide.merge(n, on="o_orderpriority")
+    out = _restore_null_keys(out, ["o_orderpriority"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out[["o_orderpriority", "n_orders", "p50_days",
+                "p90_days"]] \
+        .sort_values("o_orderpriority", na_position="last") \
+        .reset_index(drop=True)

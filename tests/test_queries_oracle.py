@@ -331,6 +331,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "event_throttle_dedup": ["event_type", "n_total", "n_kept",
                                  "kept_rate_e6"],
         "chars_percent_rank": ["doc_id", "lang", "n_chars", "pr_e6"],
+        "supplier_hhi": ["n_name", "n_suppliers", "n_rows", "hhi_e6"],
+        "order_fulfillment_lag": ["o_orderpriority", "n_orders",
+                                  "p50_days", "p90_days"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -516,6 +519,9 @@ NASTY_QUERIES = [
     # percent_rank: NULL n_chars excluded, NULL lang partition,
     # single-row partitions report 0
     "chars_percent_rank",
+    # fulfillment lag: NULL orderdates/shipdates drop; NULL priority
+    # is a selection group
+    "order_fulfillment_lag",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
