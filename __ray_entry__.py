@@ -567,6 +567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percent_rank": q.chars_percent_rank,
         "supplier_hhi": q.supplier_hhi,
         "order_fulfillment_lag": q.order_fulfillment_lag,
+        "region_revenue": q.region_revenue,
+        "dup_cluster_sizes": q.dup_cluster_sizes,
+        "lang_vocab_cosine": q.lang_vocab_cosine,
     }
 
 
@@ -3735,5 +3738,72 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(lag_days, 0.5) AS p50_days,
                    quantile_disc(lag_days, 0.9) AS p90_days
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # Q5-style snowflake join, same-nation condition, monetary e6
+        # ints; region = lexicographic min name
+        "region_revenue": """
+            WITH reg AS (SELECT r_regionkey FROM region
+                         WHERE r_name = (SELECT min(r_name)
+                                         FROM region)),
+            nat AS (SELECT n_nationkey, n_name FROM nation
+                    WHERE n_regionkey = (SELECT r_regionkey
+                                         FROM reg)),
+            j AS (SELECT n.n_name, o.o_orderkey,
+                         CAST(round(1000000 * (l.l_extendedprice
+                              * (1 - l.l_discount))) AS BIGINT) AS rev
+                  FROM lineitem l
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN nat n ON n.n_nationkey = c.c_nationkey
+                  WHERE s.s_nationkey = c.c_nationkey
+                    AND l.l_extendedprice IS NOT NULL
+                    AND l.l_discount IS NOT NULL)
+            SELECT n_name,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_orders,
+                   CAST(sum(rev) AS BIGINT) AS revenue_e6
+            FROM j GROUP BY n_name ORDER BY n_name
+        """,
+        # cluster-size histogram over the seeded derived corpus (the
+        # golden_records motif)
+        "dup_cluster_sizes": """
+            WITH corpus AS (
+                SELECT text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT text FROM documents
+                WHERE text IS NOT NULL AND doc_id % 10 = 0),
+            s AS (SELECT text, CAST(count(*) AS BIGINT)
+                      AS cluster_size
+                  FROM corpus GROUP BY text)
+            SELECT cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM s GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        # vocabulary Gram cosine between langs: exact integer dots via
+        # the word self-join, one mirrored float division
+        "lang_vocab_cosine": """
+            WITH w AS (
+                SELECT lang,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS word
+                FROM documents WHERE lang IS NOT NULL),
+            c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+                  FROM w WHERE word <> '' GROUP BY 1, 2),
+            d AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                         CAST(sum(a.n * b.n) AS BIGINT) AS dot
+                  FROM c a JOIN c b
+                    ON b.word = a.word AND b.lang > a.lang
+                  GROUP BY 1, 2),
+            q AS (SELECT lang, CAST(sum(n * n) AS BIGINT) AS q
+                  FROM c GROUP BY lang)
+            SELECT d.lang_a, d.lang_b, d.dot,
+                   CAST(round(1000000 * (CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(qa.q AS DOUBLE) * qb.q)))
+                        AS BIGINT) AS cos_e6
+            FROM d JOIN q qa ON qa.lang = d.lang_a
+                   JOIN q qb ON qb.lang = d.lang_b
+            ORDER BY d.lang_a, d.lang_b
         """,
     }

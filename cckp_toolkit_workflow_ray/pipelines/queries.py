@@ -7283,3 +7283,235 @@ def order_fulfillment_lag(sf_dir: str) -> pa.Table:
                 "p90_days"]] \
         .sort_values("o_orderpriority", na_position="last") \
         .reset_index(drop=True)
+
+
+def region_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-style local-supplier revenue: per nation of the
+    deterministically-chosen region (lexicographic MIN region name),
+    the revenue of lineitems whose supplier and customer share that
+    nation — the snowflake five-table join (region → nation →
+    customer/supplier dims broadcast, orders ⋈ lineitem bucketed).
+    Revenue is the exact int64 sum of per-row e6-rounded
+    ``p·(1−d)`` (the monetary idiom); rows with NULL price/discount
+    are pre-filtered on both sides.  The small dimensions ship ONCE
+    via ``ray.put``; the only shuffle is the orders⋈lineitem key
+    exchange."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.joins import hash_join
+
+    empty = dict(n_name=object, n_orders="int64", revenue_e6="int64")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    if reg.empty or reg["r_name"].dropna().empty or nat.empty:
+        return _empty_result(**empty)
+    r_name = reg["r_name"].dropna().min()
+    rkey = reg.loc[reg["r_name"] == r_name, "r_regionkey"].iloc[0]
+    nations = nat[nat["n_regionkey"] == rkey][["n_nationkey",
+                                               "n_name"]]
+    if nations.empty:
+        return _empty_result(**empty)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas().merge(nations, left_on="c_nationkey",
+                           right_on="n_nationkey")
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas().merge(nations, left_on="s_nationkey",
+                           right_on="n_nationkey")
+    c_ref = ray.put(cust[["c_custkey", "n_nationkey", "n_name"]])
+    s_ref = ray.put(sup[["s_suppkey", "s_nationkey"]])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_clean(t: pa.Table, _ref=c_ref) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+        m = df.merge(ray.get(_ref), on="c_custkey")
+        return m[["l_orderkey", "n_nationkey", "n_name"]]
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_clean(t: pa.Table, _ref=s_ref) -> pd.DataFrame:
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                    pc.is_valid(t.column("l_discount"))),
+            pc.is_valid(t.column("l_suppkey"))))
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+        return df.merge(ray.get(_ref), left_on="l_suppkey",
+                        right_on="s_suppkey")[
+            ["l_orderkey", "s_nationkey", "rev"]]
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    l_ds = li.map_batches(li_clean,
+                          batch_format="pyarrow").materialize()
+    if o_ds.count() == 0 or l_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(l_ds, o_ds, on="l_orderkey")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "n_name": pd.Series([], dtype=object),
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue_e6": pd.Series([], dtype="int64")})
+        m = df[df["s_nationkey"] == df["n_nationkey"]]
+        return m.rename(columns={"rev": "revenue_e6"})[
+            ["n_name", "l_orderkey", "revenue_e6"]]
+
+    rows = j.map_batches(rollup, batch_format="pandas").materialize()
+    # revenue: low-cardinality nation keys — plain keyed sum; distinct
+    # orders: order-cardinality — the sorted-run distinct, never a Ray
+    # groupby at order cardinality
+    rev = _sum_by_key(rows.map_batches(
+        lambda df: df.groupby("n_name", as_index=False)
+        ["revenue_e6"].sum() if len(df) else pd.DataFrame({
+            "n_name": pd.Series([], dtype=object),
+            "revenue_e6": pd.Series([], dtype="int64")}),
+        batch_format="pandas"), ["n_name"], ["revenue_e6"]) \
+        .to_pandas()
+    if rev.empty or "revenue_e6" not in rev:
+        return _empty_result(**empty)
+    from ..stages.groupagg import sorted_distinct_keys
+    orders_per_nation = sorted_distinct_keys(
+        rows.map_batches(
+            lambda df: df[["n_name", "l_orderkey"]].drop_duplicates(),
+            batch_format="pandas"),
+        ["n_name", "l_orderkey"]).map_batches(
+            lambda df: df.assign(n_orders=np.int64(1)).groupby(
+                "n_name", as_index=False)["n_orders"].sum()
+            if len(df) else pd.DataFrame({
+                "n_name": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64")}),
+            batch_format="pandas").to_pandas()
+    cnt = orders_per_nation.groupby("n_name", as_index=False).sum()
+    g = rev.merge(cnt, on="n_name")
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    g["revenue_e6"] = g["revenue_e6"].astype(np.int64)
+    return g[["n_name", "n_orders", "revenue_e6"]] \
+        .sort_values("n_name").reset_index(drop=True)
+
+
+def dup_cluster_sizes(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster size histogram — the reporting face of exact
+    dedup (how much mass sits in 2-member vs giant clusters decides
+    the two-regime thresholds): over the seeded derived corpus (the
+    `golden_records` motif), cluster texts by 128-bit content key,
+    then ONE tiny second aggregation of (cluster size → n_clusters,
+    n_docs).  The per-key sizes come from the sorted-run distinct-sum;
+    the histogram is size-bounded.  NULL texts form no cluster."""
+    from ..stages.dedup import _pair_keys
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        copy = ids % 10 == 0
+        k1, k2 = _pair_keys(np.concatenate([texts, texts[copy]]))
+        return pd.DataFrame({"k1": k1, "k2": k2,
+                             "n": np.ones(len(k1), dtype=np.int64)}) \
+            .groupby(["k1", "k2"], as_index=False).sum()
+
+    sizes = sorted_reduce_by_key_ds(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["k1", "k2"], {"n": "sum"})
+    hist = sizes.map_batches(
+        lambda df: df.assign(n_clusters=np.int64(1)).groupby(
+            "n", as_index=False)["n_clusters"].sum()
+        .rename(columns={"n": "cluster_size"})
+        if len(df) else pd.DataFrame({
+            "cluster_size": pd.Series([], dtype="int64"),
+            "n_clusters": pd.Series([], dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    if hist.empty or "cluster_size" not in hist:
+        return _empty_result(cluster_size="int64", n_clusters="int64",
+                             n_docs="int64")
+    g = hist.groupby("cluster_size", as_index=False)["n_clusters"] \
+        .sum()
+    g["n_docs"] = (g["cluster_size"] * g["n_clusters"]).astype(np.int64)
+    g["cluster_size"] = g["cluster_size"].astype(np.int64)
+    g["n_clusters"] = g["n_clusters"].astype(np.int64)
+    return g.sort_values("cluster_size").reset_index(drop=True)
+
+
+def lang_vocab_cosine(sf_dir: str) -> pa.Table:
+    """Pairwise cosine similarity between language vocabularies (word
+    count vectors) — the corpus-mix diagnostic beside
+    `kl_unigram_drift`: two langs with near-1 cosine share a
+    vocabulary (mislabeled or templated text).  The Gram motif at
+    vocabulary scale: one (lang, word, n) keyed sum, then the
+    vocab-bounded driver pivot folds exact int64 dots and norms; the
+    single float ``dot / sqrt(qa·qb)`` mirrors the SQL.  NULL lang is
+    excluded (cannot order in the pair predicate, the
+    `welch_ttest_chars` policy)."""
+    from ..stages.groupagg import sorted_sum_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("lang")))
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        frames = []
+        for lg in pd.unique(pd.Series(langs)):
+            sel = texts[langs == lg]
+            words = [w for x in sel for w in (x or "").split(" ") if w]
+            if not words:
+                continue
+            u, c = np.unique(np.array(words, dtype=object),
+                             return_counts=True)
+            frames.append(pd.DataFrame({
+                "lang": lg, "word": u, "n": c.astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    c = sorted_sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "word"], ["n"])
+    empty = dict(lang_a=object, lang_b=object, dot="int64",
+                 cos_e6="int64")
+    if c.empty or "n" not in c:
+        return _empty_result(**empty)
+    m = c.pivot_table(index="word", columns="lang", values="n",
+                      aggfunc="sum", fill_value=0)
+    langs = np.asarray(m.columns, dtype=object)
+    mat = m.to_numpy(dtype=np.int64)
+    g = mat.T @ mat
+    ia, ib = np.triu_indices(len(langs), k=1)
+    dot = g[ia, ib]
+    keep = dot > 0
+    ia, ib, dot = ia[keep], ib[keep], dot[keep]
+    if not len(dot):
+        return _empty_result(**empty)
+    qa = g[ia, ia].astype(np.float64)
+    qb = g[ib, ib]
+    cos = _round_half_away(1e6 * (dot.astype(np.float64)
+                                  / np.sqrt(qa * qb))).astype(np.int64)
+    out = pd.DataFrame({"lang_a": langs[ia], "lang_b": langs[ib],
+                        "dot": dot.astype(np.int64), "cos_e6": cos})
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)

@@ -334,6 +334,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "supplier_hhi": ["n_name", "n_suppliers", "n_rows", "hhi_e6"],
         "order_fulfillment_lag": ["o_orderpriority", "n_orders",
                                   "p50_days", "p90_days"],
+        "region_revenue": ["n_name", "n_orders", "revenue_e6"],
+        "dup_cluster_sizes": ["cluster_size", "n_clusters", "n_docs"],
+        "lang_vocab_cosine": ["lang_a", "lang_b", "dot", "cos_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
     }
@@ -522,6 +525,12 @@ NASTY_QUERIES = [
     # fulfillment lag: NULL orderdates/shipdates drop; NULL priority
     # is a selection group
     "order_fulfillment_lag",
+    # Q5-style snowflake: NULL custkeys/prices/discounts drop
+    "region_revenue",
+    # cluster histogram over the nasty dup seeds
+    "dup_cluster_sizes",
+    # vocab cosine: NULL lang excluded, exotic-whitespace tokenizer
+    "lang_vocab_cosine",
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
