@@ -171,6 +171,16 @@ BENCH_QUERIES = [
     "golden_records",
     "rolling_median_anomaly",
     "personalized_pagerank",
+    # r4 third session, third batch: throttling, percent-rank,
+    # concentration, fulfillment latency, snowflake join, dedup
+    # reporting, corpus-mix cosine
+    "event_throttle_dedup",
+    "chars_percent_rank",
+    "supplier_hhi",
+    "order_fulfillment_lag",
+    "region_revenue",
+    "dup_cluster_sizes",
+    "lang_vocab_cosine",
 ]
 
 

@@ -7169,9 +7169,13 @@ def supplier_hhi(sf_dir: str) -> pa.Table:
         return m.groupby(["n_name", "s_suppkey"],
                          as_index=False)["c"].sum()
 
-    counts = _sum_by_key(
+    from ..stages.groupagg import sorted_sum_by_key
+
+    # supplier-cardinality keys: the sorted-run keyed sum (Ray's
+    # per-group aggregate pays ~ms/group at this cardinality)
+    counts = sorted_sum_by_key(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["n_name", "s_suppkey"], ["c"]).to_pandas()
+        ["n_name", "s_suppkey"], ["c"])
     empty = dict(n_name=object, n_suppliers="int64", n_rows="int64",
                  hhi_e6="int64")
     if counts.empty or "c" not in counts:
