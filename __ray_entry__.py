@@ -570,6 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q.region_revenue,
         "dup_cluster_sizes": q.dup_cluster_sizes,
         "lang_vocab_cosine": q.lang_vocab_cosine,
+        "customers_no_urgent": q.customers_no_urgent,
+        "nation_trade_volume": q.nation_trade_volume,
+        "returned_items_report": q.returned_items_report,
     }
 
 
@@ -3805,5 +3808,71 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN q qa ON qa.lang = d.lang_a
                    JOIN q qb ON qb.lang = d.lang_b
             ORDER BY d.lang_a, d.lang_b
+        """,
+        # Q22-style NOT EXISTS anti-join + segment rollup; NULL custkey
+        # survives; all-NULL-acctbal segment -> NULL sum
+        "customers_no_urgent": """
+            WITH urgent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                  AND o_custkey IS NOT NULL)
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(round(1000000 * c.c_acctbal)
+                        AS BIGINT)) AS BIGINT) AS acctbal_e6
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM urgent u
+                              WHERE u.o_custkey = c.c_custkey)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q7-style bilateral trade matrix: (supp nation, cust nation,
+        # ship year) revenue; calendar year() parity; e6 monetary idiom
+        "nation_trade_volume": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       CAST(round(1000000 * (l_extendedprice
+                            * (1 - l_discount))) AS BIGINT) AS rev
+                FROM lineitem
+                WHERE l_shipdate IS NOT NULL
+                  AND l_suppkey IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL),
+            j AS (SELECT sn.n_name AS supp_nation,
+                         cn.n_name AS cust_nation, li.l_year, li.rev
+                  FROM li
+                  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+                  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+                  JOIN orders o ON o.o_orderkey = li.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation cn ON cn.n_nationkey = c.c_nationkey)
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(rev) AS BIGINT) AS revenue_e6
+            FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # Q10-style returned-item report: reduce -> join -> reduce ->
+        # deterministic top-20 (revenue DESC, custkey ASC)
+        "returned_items_report": """
+            WITH r AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(1000000 * (l_extendedprice
+                            * (1 - l_discount))) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM lineitem
+                WHERE l_returnflag = 'R'
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                GROUP BY 1),
+            cr AS (SELECT o.o_custkey AS c_custkey,
+                          CAST(count(*) AS BIGINT) AS n_orders,
+                          CAST(sum(r.rev) AS BIGINT) AS revenue_e6
+                   FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+                   WHERE o.o_custkey IS NOT NULL
+                   GROUP BY 1)
+            SELECT cr.c_custkey, cu.c_name, cr.n_orders, cr.revenue_e6
+            FROM cr JOIN customer cu ON cu.c_custkey = cr.c_custkey
+            ORDER BY cr.revenue_e6 DESC, cr.c_custkey
+            LIMIT 20
         """,
     }

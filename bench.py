@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "region_revenue",
     "dup_cluster_sizes",
     "lang_vocab_cosine",
+    # r4 third session, fourth batch: Q22 anti-join, Q7 trade matrix,
+    # Q10 reduce-then-top-k
+    "customers_no_urgent",
+    "nation_trade_volume",
+    "returned_items_report",
 ]
 
 

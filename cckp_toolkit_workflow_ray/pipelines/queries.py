@@ -7519,3 +7519,271 @@ def lang_vocab_cosine(sf_dir: str) -> pa.Table:
     out = pd.DataFrame({"lang_a": langs[ia], "lang_b": langs[ib],
                         "dot": dot.astype(np.int64), "cos_e6": cos})
     return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def customers_no_urgent(sf_dir: str) -> pa.Table:
+    """TPC-H-Q22-style NOT-EXISTS anti-join: customers who have never
+    placed a 1-URGENT order, rolled up per market segment with their
+    account-balance mass.  The probe side (distinct custkeys holding an
+    urgent order) is built by the sorted-run distinct — never a Ray
+    groupby at customer cardinality — and the anti-join itself is the
+    two-regime ``anti_join_keys`` stage (broadcast ``isin_sorted``
+    below 2M keys, bucketed LEFT join + null-marker filter above).
+    NULL custkeys on the orders side never enter the probe set; a NULL
+    c_custkey matches nothing so the customer SURVIVES (SQL NOT-EXISTS
+    parity).  acctbal_e6 is the e6 monetary idiom; a segment whose
+    surviving customers all have NULL acctbal yields a NULL sum
+    (aggregate-NULL parity via _int_or_float64)."""
+    from ..stages.groupagg import sorted_distinct_keys
+    from ..stages.joins import anti_join_keys
+
+    empty = dict(c_mktsegment=object, n_customers="int64",
+                 acctbal_e6="int64")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.equal(t.column("o_orderpriority"), "1-URGENT"),
+                    pc.is_valid(t.column("o_custkey")))
+        t = t.filter(pc.fill_null(m, False))
+        return pd.DataFrame({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False)}).drop_duplicates()
+
+    probe = sorted_distinct_keys(
+        orders.map_batches(urgent_keys, batch_format="pyarrow"),
+        ["c_custkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+    quiet = anti_join_keys(cust, probe, on="c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype=object),
+                "n_customers": pd.Series([], dtype="int64"),
+                "acct_sum": pd.Series([], dtype="int64"),
+                "n_acct": pd.Series([], dtype="int64")})
+        bal = df["c_acctbal"].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(bal)
+        e6 = np.zeros(len(df), dtype=np.int64)
+        e6[ok] = _round_half_away(1e6 * bal[ok]).astype(np.int64)
+        g = pd.DataFrame({
+            "c_mktsegment": _sentinel_nulls(df["c_mktsegment"]),
+            "n_customers": np.int64(1),
+            "acct_sum": e6,
+            "n_acct": ok.astype(np.int64)})
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    agg = _sum_by_key(
+        quiet.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"], ["n_customers", "acct_sum", "n_acct"]) \
+        .to_pandas()
+    if agg.empty or "n_customers" not in agg:
+        return _empty_result(**empty)
+    agg = _restore_null_keys(agg, ["c_mktsegment"])
+    out = pd.DataFrame({
+        "c_mktsegment": agg["c_mktsegment"],
+        "n_customers": agg["n_customers"].astype(np.int64),
+        "acctbal_e6": _int_or_float64(pd.Series(np.where(
+            agg["n_acct"].to_numpy(dtype=np.int64) > 0,
+            agg["acct_sum"].to_numpy(dtype=np.float64), np.nan)))})
+    return out.sort_values("c_mktsegment", na_position="last") \
+        .reset_index(drop=True)
+
+
+def nation_trade_volume(sf_dir: str) -> pa.Table:
+    """TPC-H-Q7-style bilateral trade matrix: revenue between every
+    (supplier nation → customer nation) pair per ship year — the
+    double-dimension enrichment + three-key rollup shape.  Both nation
+    dimensions ship ONCE via ``ray.put`` (supplier→nation onto
+    lineitem batches, customer→nation onto orders batches); the only
+    shuffle is the orders ⋈ lineitem key exchange; the final rollup is
+    a bounded (25 × 25 × years) keyed sum.  Rows with NULL
+    shipdate/price/discount/suppkey/custkey drop (SQL inner-join
+    semantics); the ship year uses the calendar-exact Arrow ``year``
+    kernel (DuckDB ``year()`` parity, pre-1970 included)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.joins import hash_join
+
+    empty = dict(supp_nation=object, cust_nation=object, l_year="int64",
+                 n_rows="int64", revenue_e6="int64")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas().merge(nat, left_on="s_nationkey",
+                           right_on="n_nationkey") \
+        .rename(columns={"n_name": "supp_nation"})
+    cus = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas().merge(nat, left_on="c_nationkey",
+                           right_on="n_nationkey") \
+        .rename(columns={"n_name": "cust_nation"})
+    s_ref = ray.put(sup[["s_suppkey", "supp_nation"]])
+    c_ref = ray.put(cus[["c_custkey", "cust_nation"]])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def li_clean(t: pa.Table, _ref=s_ref) -> pd.DataFrame:
+        m = pc.and_(pc.and_(pc.is_valid(t.column("l_shipdate")),
+                            pc.is_valid(t.column("l_suppkey"))),
+                    pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                            pc.is_valid(t.column("l_discount"))))
+        t = t.filter(m)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()).to_numpy(zero_copy_only=False),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64), "n_rows": np.int64(1)})
+        m2 = df.merge(ray.get(_ref), on="s_suppkey")
+        # pre-combine: one row per (order, supp_nation, year) partial
+        return m2.groupby(["l_orderkey", "supp_nation", "l_year"],
+                          as_index=False)[["rev", "n_rows"]].sum()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_clean(t: pa.Table, _ref=c_ref) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+        return df.merge(ray.get(_ref), on="c_custkey")[
+            ["l_orderkey", "cust_nation"]]
+
+    l_ds = li.map_batches(li_clean,
+                          batch_format="pyarrow").materialize()
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if l_ds.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(l_ds, o_ds, on="l_orderkey")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64")})
+        return df.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False)[["n_rows", "rev"]].sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["supp_nation", "cust_nation", "l_year"],
+                      ["n_rows", "rev"]).to_pandas()
+    if agg.empty or "rev" not in agg:
+        return _empty_result(**empty)
+    agg = agg.rename(columns={"rev": "revenue_e6"})
+    for c in ("l_year", "n_rows", "revenue_e6"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["supp_nation", "cust_nation", "l_year", "n_rows",
+                "revenue_e6"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def returned_items_report(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-style returned-item revenue report: the 20 customers
+    losing the most revenue to returned lineitems — the
+    reduce-then-top-k shape (per-order keyed sum → bucketed join →
+    per-customer keyed sum → distributed sort-limit), distinct from
+    ``top_orders``' raw sort-limit.  Both keyed reductions ride
+    ``sorted_reduce_by_key_ds`` (order/customer cardinality never
+    touches Ray's per-group aggregate); the final top-20 is
+    ``sort(desc).limit(20)`` with the deterministic (revenue DESC,
+    custkey ASC) tie-break, and only the 20 winners' names are fetched
+    by filtering the customer table against a broadcast key set —
+    the full customer table never reaches the driver."""
+    import ray
+
+    from ..functions.hashing import isin_sorted
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join
+
+    empty = dict(c_custkey="int64", c_name=object, n_orders="int64",
+                 revenue_e6="int64")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.fill_null(
+            pc.equal(t.column("l_returnflag"), "R"), False),
+            pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                    pc.is_valid(t.column("l_discount"))))
+        t = t.filter(m)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+        return df.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    per_order = sorted_reduce_by_key_ds(
+        li.map_batches(li_clean, batch_format="pyarrow"),
+        ["l_orderkey"], {"rev": "sum"}).materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if per_order.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(per_order, o_ds, on="l_orderkey")
+    per_cust = sorted_reduce_by_key_ds(
+        j.map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["c_custkey"].to_numpy(dtype=np.int64),
+                "n_orders": np.ones(len(df), dtype=np.int64),
+                "revenue_e6": df["rev"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas"),
+        ["c_custkey"], {"n_orders": "sum", "revenue_e6": "sum"})
+    top = per_cust.sort(["revenue_e6", "c_custkey"],
+                        descending=[True, False]).limit(20).to_pandas()
+    if top.empty:
+        return _empty_result(**empty)
+    keys = np.sort(top["c_custkey"].to_numpy(dtype=np.int64))
+    ref = ray.put(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def pick(t: pa.Table, _ref=ref) -> pa.Table:
+        col = t.column("c_custkey")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(isin_sorted(ray.get(_ref), v) & valid))
+
+    names = cust.map_batches(pick, batch_format="pyarrow").to_pandas()
+    names["c_custkey"] = names["c_custkey"].astype(np.int64)
+    out = top.merge(names, on="c_custkey", how="inner")
+    for c in ("c_custkey", "n_orders", "revenue_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out[["c_custkey", "c_name", "n_orders", "revenue_e6"]] \
+        .sort_values(["revenue_e6", "c_custkey"],
+                     ascending=[False, True]).reset_index(drop=True)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash_strings
 
@@ -500,3 +501,60 @@ def skew_hash_join(left, right, on, hot_limit: int = 1_000_000,
     hot_joined = broadcast_join(split(left, True), hot_right, on=on,
                                 how=how, batch_size=batch_size)
     return cold.union(hot_joined)
+
+
+def anti_join_keys(left, keys_ds, on: str,
+                   broadcast_limit: int = 2_000_000,
+                   n_buckets: int = 64, batch_size: int = 65536):
+    """Keep left rows whose ``on`` key is ABSENT from ``keys_ds`` — the
+    NOT-EXISTS / anti-join operator (TPC-H Q22 shape; the reference's
+    referential "missing row" checks are the per-row analog,
+    ``/root/reference/bin/analyze_joss.py:456`` criteria absence).
+
+    ``keys_ds``: a Dataset with one INTEGER column named ``on`` holding
+    the DISTINCT probe keys (pre-deduplicated by the caller — e.g. via
+    ``sorted_distinct_keys``; string keys must be hashed first, the
+    repo's ints-only-exchange convention).  SQL semantics: a NULL left
+    key matches nothing, so NULL-key rows always SURVIVE the anti-join.
+
+    Two regimes (the shared ``broadcast_limit`` convention): at or below
+    the limit the sorted int64 key array ships ONCE via ``ray.put`` and
+    every batch filters with one vectorized ``isin_sorted`` masked by
+    the validity bitmap (null keys survive); above it, a bucketed LEFT
+    hash join against the marker-tagged key side, keeping rows whose
+    marker padded NULL.  Both regimes are pytest-proven identical
+    (tests/test_windows_joins.py)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import isin_sorted
+
+    n_keys = keys_ds.count()
+    if n_keys <= broadcast_limit:
+        kdf = keys_ds.to_pandas() if n_keys else pd.DataFrame({on: []})
+        # ints-only exchange: the probe set stays int64 end-to-end (a
+        # float64 cast would corrupt keys beyond 2^53 — the same
+        # property test_hash_join_exact_beyond_2_53 pins for joins)
+        arr = np.sort(kdf[on].dropna().to_numpy(dtype=np.int64)) \
+            if len(kdf) else np.empty(0, dtype=np.int64)
+        ref = ray.put(arr)
+
+        def filt(t: pa.Table, _ref=ref) -> pa.Table:
+            col = t.column(on)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False)
+            hit = isin_sorted(ray.get(_ref), v) & valid
+            return t.filter(pa.array(~hit))
+
+        return left.map_batches(filt, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+    marked = keys_ds.map_batches(
+        lambda df: df.assign(__present=np.int8(1)),
+        batch_format="pandas", batch_size=batch_size)
+    joined = hash_join(left, marked, on=on, how="left",
+                       n_buckets=n_buckets, batch_size=batch_size)
+    return joined.map_batches(
+        lambda df: df[df["__present"].isna()].drop(columns="__present"),
+        batch_format="pandas", batch_size=batch_size)

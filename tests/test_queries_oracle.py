@@ -339,6 +339,12 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "lang_vocab_cosine": ["lang_a", "lang_b", "dot", "cos_e6"],
         "part_cooccurrence": ["part_a", "part_b", "n_both", "n_a",
                               "n_b", "lift_e6", "rk"],
+        "customers_no_urgent": ["c_mktsegment", "n_customers",
+                                "acctbal_e6"],
+        "nation_trade_volume": ["supp_nation", "cust_nation", "l_year",
+                                "n_rows", "revenue_e6"],
+        "returned_items_report": ["c_custkey", "c_name", "n_orders",
+                                  "revenue_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -534,6 +540,15 @@ NASTY_QUERIES = [
     # basket pairs: NULL order/part keys excluded; nasty lineitem has
     # NULL quantities/prices riding through untouched
     "part_cooccurrence",
+    # anti-join: NULL o_custkey never enters the probe set; NOT-EXISTS
+    # parity on the segment rollup
+    "customers_no_urgent",
+    # bilateral trade matrix: NULL price/discount/custkey rows drop on
+    # both sides; year() parity on the ship-year key
+    "nation_trade_volume",
+    # reduce->join->top-k: NULL returnflag is not 'R'; NULL price rows
+    # drop; deterministic (revenue DESC, custkey ASC) boundary
+    "returned_items_report",
 ]
 
 

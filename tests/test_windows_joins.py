@@ -496,3 +496,39 @@ def test_skew_hash_join_matches_plain_hash_join(ray_session):
                               n_buckets=4))
     want = norm(hash_join(lds, right2, on="k", n_buckets=4))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_anti_join_keys_two_regimes_identical(ray_session):
+    """anti_join_keys: broadcast isin_sorted regime vs bucketed
+    LEFT-join regime produce the identical surviving set, including
+    NULL left keys (which match nothing and must SURVIVE)."""
+    import ray.data as rd
+
+    from cckp_toolkit_workflow_ray.stages.joins import anti_join_keys
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": pd.array(
+            [None if i % 17 == 0 else int(rng.integers(0, 400))
+             for i in range(1000)], dtype="Int64"),
+        "payload": np.arange(1000)})
+    probe = pd.DataFrame({"k": np.unique(rng.integers(0, 400, 150))})
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df["k"] = pd.array(pd.to_numeric(df["k"]), dtype="Int64")
+        df["payload"] = df["payload"].astype("int64")
+        return df.sort_values(["payload"]).reset_index(drop=True)[
+            ["k", "payload"]]
+
+    lds, pds = rd.from_pandas(left), rd.from_pandas(probe)
+    got_b = norm(anti_join_keys(lds, pds, on="k",
+                                broadcast_limit=10**9))
+    got_j = norm(anti_join_keys(lds, pds, on="k", broadcast_limit=0,
+                                n_buckets=5))
+    pd.testing.assert_frame_equal(got_b, got_j)
+    # brute-force truth: NULL keys survive, probe hits drop
+    keys = set(probe["k"].tolist())
+    want = left[[(pd.isna(k) or k not in keys)
+                 for k in left["k"]]].reset_index(drop=True)
+    assert got_b["payload"].tolist() == want["payload"].tolist()
