@@ -573,6 +573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q.customers_no_urgent,
         "nation_trade_volume": q.nation_trade_volume,
         "returned_items_report": q.returned_items_report,
+        "forecast_revenue": q.forecast_revenue,
+        "order_priority_exists": q.order_priority_exists,
+        "returnflag_priority_counts": q.returnflag_priority_counts,
+        "customer_order_distribution": q.customer_order_distribution,
     }
 
 
@@ -3874,5 +3878,64 @@ def oracle_sql() -> dict[str, str]:
             FROM cr JOIN customer cu ON cu.c_custkey = cr.c_custkey
             ORDER BY cr.revenue_e6 DESC, cr.c_custkey
             LIMIT 20
+        """,
+        # Q6-style filter-aggregate per ship year; WHERE drops NULL
+        # predicates; all-NULL-price year -> NULL revenue
+        "forecast_revenue": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(1000000 * (l_extendedprice
+                        * l_discount)) AS BIGINT)) AS BIGINT)
+                       AS revenue_e6
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 25
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q4-style EXISTS semi-join: orders with a lineitem shipped
+        # strictly after the order date, per priority (NULL kept)
+        "order_priority_exists": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderkey IS NOT NULL
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q12-style conditional census: NULL priority counts in
+        # neither CASE branch; NULL returnflag is a kept group
+        "returnflag_priority_counts": """
+            SELECT l.l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IS NOT NULL
+                        AND o.o_orderpriority NOT IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS low_count
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_orderkey IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q13-style order-count histogram over DISTINCT customer keys
+        # (one NULL key = one zero-count group); dangling and NULL
+        # o_custkeys excluded
+        "customer_order_distribution": """
+            WITH cust AS (SELECT DISTINCT c_custkey FROM customer),
+            oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                   FROM orders WHERE o_custkey IS NOT NULL
+                   GROUP BY 1),
+            per AS (SELECT c.c_custkey,
+                           coalesce(oc.n, 0) AS c_count
+                    FROM cust c
+                    LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM per GROUP BY 1 ORDER BY 1
         """,
     }

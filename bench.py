@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     "customers_no_urgent",
     "nation_trade_volume",
     "returned_items_report",
+    # r4 fourth session: Q6 filter-agg, Q4 EXISTS, Q12 CASE census,
+    # Q13 order-count histogram
+    "forecast_revenue",
+    "order_priority_exists",
+    "returnflag_priority_counts",
+    "customer_order_distribution",
 ]
 
 

@@ -7787,3 +7787,305 @@ def returned_items_report(sf_dir: str) -> pa.Table:
     return out[["c_custkey", "c_name", "n_orders", "revenue_e6"]] \
         .sort_values(["revenue_e6", "c_custkey"],
                      ascending=[False, True]).reset_index(drop=True)
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-style forecast-revenue filter-aggregate, widened to a
+    per-ship-year report: among lineitems with discount in the
+    [0.03, 0.07] band and quantity below 25, the row count and the
+    exact e6-int mass of ``price · discount`` per calendar ship year.
+    The whole query is ONE pruned scan with the predicate evaluated by
+    Arrow kernels inside ``map_batches`` (no join, no wide shuffle —
+    the final rollup is a bounded per-year keyed sum).  NULL
+    discount/quantity fail the predicate (SQL WHERE parity); NULL
+    shipdate rows drop (documented policy, mirrored in the oracle);
+    a year whose passing rows all have NULL price reports a NULL
+    revenue with an exact n_rows (aggregate-NULL parity)."""
+    empty = dict(l_year="int64", n_rows="int64", revenue_e6="int64")
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_discount",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(
+            pc.is_valid(t.column("l_shipdate")),
+            pc.and_(
+                pc.fill_null(pc.and_(
+                    pc.greater_equal(t.column("l_discount"), 0.03),
+                    pc.less_equal(t.column("l_discount"), 0.07)), False),
+                pc.fill_null(pc.less(t.column("l_quantity"), 25.0),
+                             False)))
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "l_year": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64"),
+                "n_rev": pd.Series([], dtype="int64")})
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        v = 1e6 * (p * d)
+        ok = ~np.isnan(v)
+        df = pd.DataFrame({
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()).to_numpy(zero_copy_only=False),
+            "n_rows": np.int64(1),
+            "rev": np.where(ok, _round_half_away(np.where(ok, v, 0.0)),
+                            0).astype(np.int64),
+            "n_rev": ok.astype(np.int64)})
+        return df.groupby("l_year", as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["l_year"], ["n_rows", "rev", "n_rev"]).to_pandas()
+    if g.empty or "n_rows" not in g:
+        return _empty_result(**empty)
+    out = pd.DataFrame({
+        "l_year": g["l_year"].astype(np.int64),
+        "n_rows": g["n_rows"].astype(np.int64),
+        "revenue_e6": _int_or_float64(pd.Series(np.where(
+            g["n_rev"].to_numpy(dtype=np.int64) > 0,
+            g["rev"].to_numpy(dtype=np.float64), np.nan)))})
+    return out.sort_values("l_year").reset_index(drop=True)
+
+
+def order_priority_exists(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-style EXISTS semi-join: orders counted per priority
+    class when at least one of their lineitems shipped AFTER the order
+    date (the late-ship census).  The EXISTS collapses to a per-order
+    MAX(ship-ts) — computed by the sorted-run keyed reduction at order
+    cardinality, never Ray's per-group aggregate — then ONE bucketed
+    hash join back to orders and a vectorized strict comparison; the
+    final rollup is a bounded per-priority sum.  NULL o_orderdate makes
+    the comparison UNKNOWN so the order drops (SQL parity); NULL
+    shipdates never enter the MAX; NULL priority is a kept group
+    (sentinel convention)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join
+
+    empty = dict(o_orderpriority=object, n_orders="int64")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_max(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_shipdate"))))
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "max_ship_us": pc.cast(t.column("l_shipdate"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+        return df.groupby("l_orderkey", as_index=False).max()
+
+    per_order = sorted_reduce_by_key_ds(
+        li.map_batches(li_max, batch_format="pyarrow"),
+        ["l_orderkey"], {"max_ship_us": "max"}).materialize()
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("o_orderkey")),
+                             pc.is_valid(t.column("o_orderdate"))))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "date_us": pc.cast(t.column("o_orderdate"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "o_orderpriority": _sentinel_nulls(pd.Series(
+                t.column("o_orderpriority")
+                .to_numpy(zero_copy_only=False)))})
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if per_order.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(per_order, o_ds, on="l_orderkey")
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64")})
+        keep = df[df["max_ship_us"].to_numpy(dtype=np.int64)
+                  > df["date_us"].to_numpy(dtype=np.int64)]
+        return keep.groupby("o_orderpriority", as_index=False) \
+            .size().rename(columns={"size": "n_orders"})
+
+    agg = _sum_by_key(j.map_batches(late, batch_format="pandas"),
+                      ["o_orderpriority"], ["n_orders"]).to_pandas()
+    if agg.empty or "n_orders" not in agg:
+        return _empty_result(**empty)
+    agg = _restore_null_keys(agg, ["o_orderpriority"])
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    return agg[["o_orderpriority", "n_orders"]] \
+        .sort_values("o_orderpriority", na_position="last") \
+        .reset_index(drop=True)
+
+
+def returnflag_priority_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q12-style conditional census: per lineitem return flag,
+    how many lines belong to a high-priority order (1-URGENT / 2-HIGH)
+    vs a lower class — the join-then-CASE-count shape.  The priority
+    rides ONE bucketed hash join onto the lineitems; both counters are
+    vectorized ``isin`` sums inside the rollup combiner; the final sum
+    is bounded by the flag cardinality.  A NULL priority contributes to
+    NEITHER counter but counts in n_rows (SQL CASE parity); NULL
+    returnflag is a kept group (sentinel convention); lineitems whose
+    order is missing drop (inner-join semantics)."""
+    from ..stages.joins import hash_join
+
+    empty = dict(l_returnflag=object, n_rows="int64",
+                 high_count="int64", low_count="int64")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_orderkey")))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "l_returnflag": _sentinel_nulls(pd.Series(
+                t.column("l_returnflag")
+                .to_numpy(zero_copy_only=False)))})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "o_orderpriority": pd.Series(
+                t.column("o_orderpriority")
+                .to_numpy(zero_copy_only=False))})
+
+    l_ds = li.map_batches(li_clean, batch_format="pyarrow").materialize()
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if l_ds.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(l_ds, o_ds, on="l_orderkey")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=object),
+                "n_rows": pd.Series([], dtype="int64"),
+                "high_count": pd.Series([], dtype="int64"),
+                "low_count": pd.Series([], dtype="int64")})
+        pri = df["o_orderpriority"]
+        hi = pri.isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        lo = pri.notna().to_numpy() & ~hi
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n_rows": np.int64(1),
+            "high_count": hi.astype(np.int64),
+            "low_count": lo.astype(np.int64)})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["l_returnflag"],
+                      ["n_rows", "high_count", "low_count"]).to_pandas()
+    if agg.empty or "n_rows" not in agg:
+        return _empty_result(**empty)
+    agg = _restore_null_keys(agg, ["l_returnflag"])
+    for c in ("n_rows", "high_count", "low_count"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["l_returnflag", "n_rows", "high_count", "low_count"]] \
+        .sort_values("l_returnflag", na_position="last") \
+        .reset_index(drop=True)
+
+
+def customer_order_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-style customer order-count distribution: for every
+    DISTINCT customer key (one NULL key collapses to one SQL group),
+    how many orders it placed — including the zero bucket — then the
+    histogram ``(c_count, n_customers)``.  Scale shape: the per-cust
+    order counts ride the sorted-run keyed reduction, the
+    customer-existence restriction is ONE bucketed hash join of the
+    counts against the distinct customer keyset (never a broadcast of
+    customer cardinality), and the zero bucket is pure arithmetic —
+    ``n_distinct_customers − n_customers_with_orders`` — so customer
+    cardinality never funnels through the driver.  Dangling
+    o_custkeys (no such customer) and NULL o_custkeys are excluded
+    from the counts (LEFT-JOIN-from-customer parity)."""
+    from ..stages.groupagg import (sorted_distinct_keys,
+                                   sorted_reduce_by_key_ds)
+    from ..stages.joins import hash_join
+
+    empty = dict(c_count="int64", n_customers="int64")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def cu_clean(t: pa.Table) -> pd.DataFrame:
+        col = t.column("c_custkey")
+        null_n = int(pc.sum(pc.cast(pc.is_null(col), pa.int64()))
+                     .as_py() or 0)
+        t2 = t.filter(pc.is_valid(col))
+        return pd.DataFrame({
+            "c_custkey": pc.cast(t2.column("c_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "has_null": np.zeros(t2.num_rows, dtype=np.int64)}) \
+            if null_n == 0 else pd.concat([
+                pd.DataFrame({
+                    "c_custkey": pc.cast(t2.column("c_custkey"),
+                                         pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                    "has_null": np.zeros(t2.num_rows, dtype=np.int64)}),
+                pd.DataFrame({"c_custkey": [np.int64(-1)],
+                              "has_null": [np.int64(1)]})],
+                ignore_index=True)
+
+    # distinct non-null customer keys as a Dataset + a NULL-key flag
+    cu = cust.map_batches(cu_clean, batch_format="pyarrow").materialize()
+    null_flag = cu.map_batches(
+        lambda df: pd.DataFrame({"s": [int(df["has_null"].sum())]}),
+        batch_format="pandas").to_pandas()
+    any_null_cust = bool(null_flag["s"].sum() > 0) \
+        if not null_flag.empty else False
+    keys = sorted_distinct_keys(
+        cu.map_batches(
+            lambda df: df[df["has_null"] == 0][["c_custkey"]],
+            batch_format="pandas"),
+        ["c_custkey"]).materialize()
+    n_cust = keys.count() + (1 if any_null_cust else 0)
+    if n_cust == 0:
+        return _empty_result(**empty)
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        return pd.DataFrame({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "n": np.ones(t.num_rows, dtype=np.int64)})
+
+    per_cust = sorted_reduce_by_key_ds(
+        orders.map_batches(ord_clean, batch_format="pyarrow"),
+        ["c_custkey"], {"n": "sum"}).materialize()
+    # restrict to existing customers: bucketed inner join (scale-safe)
+    matched = hash_join(per_cust, keys, on="c_custkey")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "c_count": pd.Series([], dtype="int64"),
+                "n_customers": pd.Series([], dtype="int64")})
+        return df.groupby("n", as_index=False).size().rename(
+            columns={"n": "c_count", "size": "n_customers"})
+
+    agg = _sum_by_key(matched.map_batches(hist, batch_format="pandas"),
+                      ["c_count"], ["n_customers"]).to_pandas()
+    if agg.empty or "n_customers" not in agg:
+        agg = pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                            "n_customers": pd.Series([], dtype="int64")})
+    n_with_orders = int(agg["n_customers"].sum()) if len(agg) else 0
+    n_zero = n_cust - n_with_orders
+    if n_zero > 0:
+        agg = pd.concat([agg, pd.DataFrame({
+            "c_count": [np.int64(0)],
+            "n_customers": [np.int64(n_zero)]})], ignore_index=True)
+    if agg.empty:
+        return _empty_result(**empty)
+    agg["c_count"] = agg["c_count"].astype(np.int64)
+    agg["n_customers"] = agg["n_customers"].astype(np.int64)
+    return agg.sort_values("c_count").reset_index(drop=True)

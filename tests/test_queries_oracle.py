@@ -345,6 +345,11 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                 "n_rows", "revenue_e6"],
         "returned_items_report": ["c_custkey", "c_name", "n_orders",
                                   "revenue_e6"],
+        "forecast_revenue": ["l_year", "n_rows", "revenue_e6"],
+        "order_priority_exists": ["o_orderpriority", "n_orders"],
+        "returnflag_priority_counts": ["l_returnflag", "n_rows",
+                                       "high_count", "low_count"],
+        "customer_order_distribution": ["c_count", "n_customers"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -549,6 +554,18 @@ NASTY_QUERIES = [
     # reduce->join->top-k: NULL returnflag is not 'R'; NULL price rows
     # drop; deterministic (revenue DESC, custkey ASC) boundary
     "returned_items_report",
+    # Q6-style: NULL discount/quantity fail the WHERE band; all-NULL
+    # price years must report NULL revenue with exact n_rows
+    "forecast_revenue",
+    # Q4-style EXISTS: NULL o_orderdate makes the comparison UNKNOWN
+    # so the order drops; orders with no lineitems never match
+    "order_priority_exists",
+    # Q12-style CASE census: NULL priority in neither counter, NULL
+    # returnflag a kept group, dangling lineitems drop
+    "returnflag_priority_counts",
+    # Q13-style histogram: NULL/dangling o_custkey excluded from the
+    # counts; zero bucket = distinct customers minus matched
+    "customer_order_distribution",
 ]
 
 
