@@ -577,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_exists": q.order_priority_exists,
         "returnflag_priority_counts": q.returnflag_priority_counts,
         "customer_order_distribution": q.customer_order_distribution,
+        "promo_revenue": q.promo_revenue,
+        "small_qty_revenue": q.small_qty_revenue,
+        "large_volume_customers": q.large_volume_customers,
+        "disjunctive_revenue": q.disjunctive_revenue,
     }
 
 
@@ -3937,5 +3941,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_count AS BIGINT) AS c_count,
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM per GROUP BY 1 ORDER BY 1
+        """,
+        # Q14-style promo share per ship year; the integer percent is
+        # the SAME formula as the engine ((2e8·promo+total)//(2·total),
+        # HUGEINT so the scaled product can't overflow)
+        "promo_revenue": """
+            WITH j AS (
+                SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       CAST(round(1000000 * (l.l_extendedprice
+                            * (1 - l.l_discount))) AS BIGINT) AS rev,
+                       CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS is_promo
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate IS NOT NULL
+                  AND l.l_extendedprice IS NOT NULL
+                  AND l.l_discount IS NOT NULL),
+            g AS (SELECT l_year,
+                         CAST(count(*) AS BIGINT) AS n_rows,
+                         CAST(sum(rev * is_promo) AS BIGINT)
+                             AS promo_e6,
+                         CAST(sum(rev) AS BIGINT) AS total_e6
+                  FROM j GROUP BY 1)
+            SELECT l_year, n_rows, promo_e6, total_e6,
+                   CASE WHEN total_e6 > 0 THEN CAST(
+                       (2 * 100000000 * CAST(promo_e6 AS HUGEINT)
+                        + CAST(total_e6 AS HUGEINT))
+                       // (2 * CAST(total_e6 AS HUGEINT)) AS BIGINT)
+                   END AS promo_pct_e6
+            FROM g ORDER BY l_year
+        """,
+        # Q17-style correlated average, division cleared to the exact
+        # integer inequality 5·qty_e6·n_qty < sum_qty_e6
+        "small_qty_revenue": """
+            WITH b AS (SELECT min(p_brand) AS mb FROM part),
+            bp AS (SELECT p_partkey FROM part
+                   WHERE p_brand = (SELECT mb FROM b)),
+            li AS (SELECT l.l_partkey,
+                          CAST(round(1000000 * l.l_quantity)
+                               AS BIGINT) AS qty_e6,
+                          CAST(round(1000000 * l.l_extendedprice)
+                               AS BIGINT) AS price_e6
+                   FROM lineitem l
+                   JOIN bp ON bp.p_partkey = l.l_partkey),
+            st AS (SELECT l_partkey,
+                          CAST(sum(qty_e6) AS BIGINT) AS sum_qty,
+                          CAST(count(qty_e6) AS BIGINT) AS n_qty
+                   FROM li GROUP BY 1),
+            f AS (SELECT li.price_e6
+                  FROM li JOIN st ON st.l_partkey = li.l_partkey
+                  WHERE 5 * li.qty_e6 * st.n_qty < st.sum_qty)
+            SELECT (SELECT mb FROM b) AS p_brand,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(price_e6) AS BIGINT) AS revenue_e6
+            FROM f GROUP BY 1
+        """,
+        # Q18-style HAVING join-back: per-order qty mass > 250 units,
+        # top 20 by (totalprice DESC NULLS LAST via sentinel, orderkey)
+        "large_volume_customers": """
+            WITH po AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(1000000 * l_quantity)
+                            AS BIGINT)) AS BIGINT) AS sum_qty_e6
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                GROUP BY 1 HAVING sum_qty_e6 > 250000000),
+            j AS (SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+                         o.o_orderdate,
+                         CAST(round(1000000 * o.o_totalprice)
+                              AS BIGINT) AS totalprice_e6,
+                         po.sum_qty_e6
+                  FROM po JOIN orders o
+                      ON o.o_orderkey = po.l_orderkey
+                  WHERE o.o_custkey IS NOT NULL
+                    AND o.o_custkey IN
+                        (SELECT DISTINCT c_custkey FROM customer
+                         WHERE c_custkey IS NOT NULL)),
+            r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY
+                      coalesce(totalprice_e6, -4611686018427387904)
+                      DESC, o_orderkey) AS BIGINT) AS rk
+                  FROM j)
+            SELECT r.o_orderkey, r.c_custkey, cu.c_name,
+                   r.o_orderdate, r.totalprice_e6, r.sum_qty_e6, r.rk
+            FROM r JOIN customer cu ON cu.c_custkey = r.c_custkey
+            WHERE r.rk <= 20 ORDER BY r.rk
+        """,
+        # Q19-style OR-of-conjunctions, rolled up per FIRST matching
+        # branch (CASE priority); NaN/NULL quantities fail every band
+        "disjunctive_revenue": """
+            WITH j AS (
+                SELECT CASE
+                    WHEN p.p_type = 'PROMO'
+                         AND l.l_quantity BETWEEN 1 AND 11
+                         AND p.p_size BETWEEN 1 AND 15 THEN 1
+                    WHEN p.p_type = 'SMALL'
+                         AND l.l_quantity BETWEEN 10 AND 20
+                         AND p.p_size BETWEEN 1 AND 30 THEN 2
+                    WHEN p.p_brand = 'Brand#12'
+                         AND l.l_quantity >= 20
+                         AND p.p_size BETWEEN 1 AND 50 THEN 3
+                    ELSE 0 END AS branch,
+                       CAST(round(1000000 * (l.l_extendedprice
+                            * (1 - l.l_discount))) AS BIGINT) AS rev
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey)
+            SELECT CAST(branch AS BIGINT) AS branch,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(rev) AS BIGINT) AS revenue_e6
+            FROM j WHERE branch > 0
+            GROUP BY 1 ORDER BY 1
         """,
     }

@@ -192,6 +192,10 @@ BENCH_QUERIES = [
     "order_priority_exists",
     "returnflag_priority_counts",
     "customer_order_distribution",
+    "promo_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
 ]
 
 

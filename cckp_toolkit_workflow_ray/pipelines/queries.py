@@ -8089,3 +8089,429 @@ def customer_order_distribution(sf_dir: str) -> pa.Table:
     agg["c_count"] = agg["c_count"].astype(np.int64)
     agg["n_customers"] = agg["n_customers"].astype(np.int64)
     return agg.sort_values("c_count").reset_index(drop=True)
+
+
+def promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q14-style promo revenue share per ship year: the fraction
+    of discounted revenue coming from PROMO-type parts, as an exact
+    integer percent (e6 fixed point) — ``(2·10^8·promo + total) //
+    (2·total)``, evaluated with arbitrary-precision Python ints on the
+    driver's bounded per-year frame (the oracle uses HUGEINT for the
+    identical product, so engine and SQL share one formula, not one
+    rounding *approximation*).  The part type rides ONE bucketed hash
+    join onto the lineitems; per-year masses are the e6 monetary
+    idiom.  Rows with NULL shipdate/price/discount/partkey drop
+    (inner-join + documented WHERE parity); a NULL p_type is not
+    promo; a zero-total year reports a NULL percent."""
+    from ..stages.joins import hash_join
+
+    empty = dict(l_year="int64", n_rows="int64", promo_e6="int64",
+                 total_e6="int64", promo_pct_e6="int64")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.and_(pc.is_valid(t.column("l_partkey")),
+                            pc.is_valid(t.column("l_shipdate"))),
+                    pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                            pc.is_valid(t.column("l_discount"))))
+        t = t.filter(m)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        return pd.DataFrame({
+            "p_partkey": pc.cast(t.column("l_partkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()).to_numpy(zero_copy_only=False),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def pt_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("p_partkey")))
+        ty = pd.Series(t.column("p_type").to_numpy(zero_copy_only=False))
+        return pd.DataFrame({
+            "p_partkey": pc.cast(t.column("p_partkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "is_promo": (ty == "PROMO").to_numpy().astype(np.int64)})
+
+    l_ds = li.map_batches(li_clean, batch_format="pyarrow").materialize()
+    p_ds = part.map_batches(pt_clean,
+                            batch_format="pyarrow").materialize()
+    if l_ds.count() == 0 or p_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(l_ds, p_ds, on="p_partkey")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "l_year": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "promo_e6": pd.Series([], dtype="int64"),
+                "total_e6": pd.Series([], dtype="int64")})
+        rev = df["rev"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({
+            "l_year": df["l_year"].to_numpy(dtype=np.int64),
+            "n_rows": np.int64(1),
+            "promo_e6": rev * df["is_promo"].to_numpy(dtype=np.int64),
+            "total_e6": rev})
+        return g.groupby("l_year", as_index=False).sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["l_year"],
+                      ["n_rows", "promo_e6", "total_e6"]).to_pandas()
+    if agg.empty or "n_rows" not in agg:
+        return _empty_result(**empty)
+    # exact integer percent on the bounded per-year frame (Python
+    # ints: no int64 overflow on the 2e8-scaled product)
+    pct = [float((2 * 10**8 * int(p) + int(t)) // (2 * int(t)))
+           if int(t) > 0 else np.nan
+           for p, t in zip(agg["promo_e6"], agg["total_e6"])]
+    out = pd.DataFrame({
+        "l_year": agg["l_year"].astype(np.int64),
+        "n_rows": agg["n_rows"].astype(np.int64),
+        "promo_e6": agg["promo_e6"].astype(np.int64),
+        "total_e6": agg["total_e6"].astype(np.int64),
+        "promo_pct_e6": _int_or_float64(pd.Series(pct))})
+    return out.sort_values("l_year").reset_index(drop=True)
+
+
+def small_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q17-style small-quantity revenue: among lineitems of the
+    deterministically-chosen brand (lexicographic MIN p_brand), those
+    whose quantity is below a fifth of their part's average — the
+    correlated-average shape, made exact by clearing the division:
+    ``5·qty_e6·n_qty < sum_qty_e6`` (all-integer, no float average
+    anywhere; the oracle states the IDENTICAL inequality).  The brand's
+    part keys ride a bucketed hash join onto lineitem (never a
+    broadcast of part cardinality); per-part quantity moments ride the
+    sorted-run keyed reduction and join back by partkey.  NULL
+    quantities are skipped by the moments AND fail the inequality
+    (SQL parity); NULL prices are counted in n_rows but skipped by the
+    revenue sum (aggregate-NULL parity)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join
+
+    empty = dict(p_brand=object, n_rows="int64", revenue_e6="int64")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    mb = part.map_batches(
+        lambda df: pd.DataFrame(
+            {"m": [df["p_brand"].dropna().min()]}
+            if df["p_brand"].notna().any() else
+            {"m": pd.Series([], dtype=object)}),
+        batch_format="pandas").to_pandas()
+    if mb.empty or mb["m"].dropna().empty:
+        return _empty_result(**empty)
+    brand = mb["m"].dropna().min()
+
+    bp = part.map_batches(
+        lambda df: df[(df["p_brand"] == brand)
+                      & df["p_partkey"].notna()][["p_partkey"]]
+        .astype({"p_partkey": "int64"}).drop_duplicates(),
+        batch_format="pandas").materialize()
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_partkey")))
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        qok = ~np.isnan(q)
+        pok = ~np.isnan(p)
+        return pd.DataFrame({
+            "p_partkey": pc.cast(t.column("l_partkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "qty_e6": np.where(qok, _round_half_away(
+                np.where(qok, 1e6 * q, 0.0)), 0).astype(np.int64),
+            "q_ok": qok.astype(np.int64),
+            "price_e6": np.where(pok, _round_half_away(
+                np.where(pok, 1e6 * p, 0.0)), 0).astype(np.int64),
+            "p_ok": pok.astype(np.int64)})
+
+    from ..stages.joins import restore_plain_ints
+
+    l_ds = li.map_batches(li_clean, batch_format="pyarrow").materialize()
+    if l_ds.count() == 0 or bp.count() == 0:
+        return _empty_result(**empty)
+    branded = hash_join(l_ds, bp, on="p_partkey").map_batches(
+        restore_plain_ints, batch_format="pandas").materialize()
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "p_partkey": pd.Series([], dtype="int64"),
+                "sum_qty": pd.Series([], dtype="int64"),
+                "n_qty": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({
+            "p_partkey": df["p_partkey"].to_numpy(dtype=np.int64),
+            "sum_qty": df["qty_e6"].to_numpy(dtype=np.int64)
+            * df["q_ok"].to_numpy(dtype=np.int64),
+            "n_qty": df["q_ok"].to_numpy(dtype=np.int64)})
+        return g.groupby("p_partkey", as_index=False).sum()
+
+    st = sorted_reduce_by_key_ds(
+        branded.map_batches(moments, batch_format="pandas"),
+        ["p_partkey"], {"sum_qty": "sum", "n_qty": "sum"})
+    j = hash_join(branded, st, on="p_partkey")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "n_rows": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64"),
+                "n_rev": pd.Series([], dtype="int64")})
+        qok = df["q_ok"].to_numpy(dtype=np.int64) == 1
+        cond = qok & (
+            5 * df["qty_e6"].to_numpy(dtype=np.int64)
+            * df["n_qty"].to_numpy(dtype=np.int64)
+            < df["sum_qty"].to_numpy(dtype=np.int64))
+        sub = df[cond]
+        if sub.empty:
+            return pd.DataFrame({
+                "n_rows": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64"),
+                "n_rev": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "n_rows": [np.int64(len(sub))],
+            "rev": [np.int64((sub["price_e6"].to_numpy(dtype=np.int64)
+                              * sub["p_ok"].to_numpy(dtype=np.int64))
+                             .sum())],
+            "n_rev": [np.int64(sub["p_ok"].sum())]})
+
+    parts = j.map_batches(pick, batch_format="pandas").to_pandas()
+    if parts.empty or int(parts["n_rows"].sum()) == 0:
+        return _empty_result(**empty)
+    n_rev = int(parts["n_rev"].sum())
+    return pd.DataFrame({
+        "p_brand": [brand],
+        "n_rows": np.array([parts["n_rows"].sum()], dtype=np.int64),
+        "revenue_e6": _int_or_float64(pd.Series(
+            [float(parts["rev"].sum()) if n_rev > 0 else np.nan]))})
+
+
+def large_volume_customers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q18-style large-volume customers: orders whose total
+    quantity exceeds 250 units, ranked by order value — the
+    HAVING-then-join-back shape.  Per-order quantity masses ride the
+    sorted-run keyed reduction (order cardinality never touches Ray's
+    per-group aggregate); survivors join orders bucketed, are
+    restricted to existing customers by a second bucketed join against
+    the distinct customer keyset, and the top 20 by
+    (totalprice DESC NULLS LAST, orderkey ASC) comes from a
+    distributed sort-limit; only the 20 winners' names are fetched by
+    broadcast key filter.  NULL quantities are skipped by the sum (an
+    all-NULL order has a NULL mass and fails HAVING); NULL totalprice
+    ranks last via the int64 sentinel and surfaces as NaN."""
+    import ray
+
+    from ..functions.hashing import isin_sorted
+    from ..stages.groupagg import (sorted_distinct_keys,
+                                   sorted_reduce_by_key_ds)
+    from ..stages.joins import hash_join
+
+    _SENT = np.int64(-(2**62))
+    empty = dict(o_orderkey="int64", c_custkey="int64", c_name=object,
+                 o_orderdate="datetime64[ns]", totalprice_e6="int64",
+                 sum_qty_e6="int64", rk="int64")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_quantity"))))
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "sum_qty_e6": _round_half_away(1e6 * q).astype(np.int64)})
+        return df.groupby("o_orderkey", as_index=False).sum()
+
+    per_order = sorted_reduce_by_key_ds(
+        li.map_batches(li_clean, batch_format="pyarrow"),
+        ["o_orderkey"], {"sum_qty_e6": "sum"})
+    big = per_order.map_batches(
+        lambda df: df[df["sum_qty_e6"] > 250_000_000],
+        batch_format="pandas").materialize()
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("o_orderkey")),
+                             pc.is_valid(t.column("o_custkey"))))
+        dt = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tp = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        ok = ~np.isnan(tp)
+        return pd.DataFrame({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "date_us": np.where(pd.isna(dt), _SENT, dt)
+            .astype(np.int64),
+            "tp_e6": np.where(ok, _round_half_away(
+                np.where(ok, 1e6 * tp, 0.0)), _SENT).astype(np.int64)})
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if big.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    from ..stages.joins import restore_plain_ints
+    # restore plain ints between the two joins: the second join's
+    # bucket sort would otherwise see the first join's Int64 upcast
+    j = hash_join(big, o_ds, on="o_orderkey").map_batches(
+        restore_plain_ints, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    ckeys = sorted_distinct_keys(
+        cust.map_batches(
+            lambda df: df[df["c_custkey"].notna()][["c_custkey"]]
+            .astype({"c_custkey": "int64"}),
+            batch_format="pandas"),
+        ["c_custkey"]).materialize()
+    if ckeys.count() == 0:
+        return _empty_result(**empty)
+    # materialize the (small) HAVING-survivor set so the sort sees the
+    # restored plain-int block schema, not the join's Int64 upcast
+    jc = hash_join(j, ckeys, on="c_custkey").map_batches(
+        restore_plain_ints, batch_format="pandas").materialize()
+    top = jc.sort(["tp_e6", "o_orderkey"],
+                  descending=[True, False]).limit(20).to_pandas()
+    if top.empty:
+        return _empty_result(**empty)
+    top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    keys = np.sort(top["c_custkey"].to_numpy(dtype=np.int64))
+    ref = ray.put(np.unique(keys))
+
+    def pick(t: pa.Table, _ref=ref) -> pa.Table:
+        col = t.column("c_custkey")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(isin_sorted(ray.get(_ref), v) & valid))
+
+    names = cust.map_batches(pick, batch_format="pyarrow").to_pandas()
+    names["c_custkey"] = names["c_custkey"].astype(np.int64)
+    out = top.merge(names[["c_custkey", "c_name"]], on="c_custkey",
+                    how="inner")
+    du = out["date_us"].to_numpy(dtype=np.int64)
+    out["o_orderdate"] = pd.to_datetime(
+        np.where(du == _SENT, np.iinfo(np.int64).min, du), unit="us",
+        errors="coerce")
+    out.loc[du == _SENT, "o_orderdate"] = pd.NaT
+    tp = out["tp_e6"].to_numpy(dtype=np.int64)
+    out["totalprice_e6"] = _int_or_float64(pd.Series(
+        np.where(tp == _SENT, np.nan, tp.astype(np.float64))))
+    for c in ("o_orderkey", "c_custkey", "sum_qty_e6", "rk"):
+        out[c] = out[c].astype(np.int64)
+    return out[["o_orderkey", "c_custkey", "c_name", "o_orderdate",
+                "totalprice_e6", "sum_qty_e6", "rk"]] \
+        .sort_values("rk").reset_index(drop=True)
+
+
+def disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-style disjunctive-predicate revenue: three OR-ed
+    (part-attribute × quantity-band) branches over lineitem ⋈ part,
+    rolled up per FIRST-matching branch (SQL CASE priority).  The part
+    attributes ride ONE bucketed hash join; every branch predicate is
+    a vectorized float comparison (NaN quantities fail all bands —
+    SQL UNKNOWN parity); rows matching no branch drop.  NULL
+    price/discount rows count in n_rows but are skipped by the
+    revenue sum; an all-NULL-price branch reports a NULL revenue."""
+    from ..stages.joins import hash_join
+
+    empty = dict(branch="int64", n_rows="int64", revenue_e6="int64")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_partkey")))
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        v = 1e6 * (p * (1 - d))
+        ok = ~np.isnan(v)
+        return pd.DataFrame({
+            "p_partkey": pc.cast(t.column("l_partkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "qty": q,
+            "rev": np.where(ok, _round_half_away(
+                np.where(ok, v, 0.0)), 0).astype(np.int64),
+            "n_rev": ok.astype(np.int64)})
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_type", "p_brand", "p_size"])
+
+    def pt_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("p_partkey")))
+        return pd.DataFrame({
+            "p_partkey": pc.cast(t.column("p_partkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "p_type": pd.Series(
+                t.column("p_type").to_numpy(zero_copy_only=False)),
+            "p_brand": pd.Series(
+                t.column("p_brand").to_numpy(zero_copy_only=False)),
+            "p_size": t.column("p_size")
+            .to_numpy(zero_copy_only=False).astype(np.float64)})
+
+    l_ds = li.map_batches(li_clean, batch_format="pyarrow").materialize()
+    p_ds = part.map_batches(pt_clean,
+                            batch_format="pyarrow").materialize()
+    if l_ds.count() == 0 or p_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(l_ds, p_ds, on="p_partkey")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "branch": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64"),
+                "n_rev": pd.Series([], dtype="int64")})
+        q = df["qty"].to_numpy(dtype=np.float64)
+        sz = df["p_size"].to_numpy(dtype=np.float64)
+        ty = df["p_type"]
+        br = df["p_brand"]
+        b1 = (ty == "PROMO").to_numpy() & (q >= 1) & (q <= 11) \
+            & (sz >= 1) & (sz <= 15)
+        b2 = (ty == "SMALL").to_numpy() & (q >= 10) & (q <= 20) \
+            & (sz >= 1) & (sz <= 30)
+        b3 = (br == "Brand#12").to_numpy() & (q >= 20) \
+            & (sz >= 1) & (sz <= 50)
+        branch = np.where(b1, 1, np.where(b2, 2, np.where(b3, 3, 0)))
+        keep = branch > 0
+        if not keep.any():
+            return pd.DataFrame({
+                "branch": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64"),
+                "n_rev": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({
+            "branch": branch[keep].astype(np.int64),
+            "n_rows": np.int64(1),
+            "rev": df["rev"].to_numpy(dtype=np.int64)[keep],
+            "n_rev": df["n_rev"].to_numpy(dtype=np.int64)[keep]})
+        return g.groupby("branch", as_index=False).sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["branch"], ["n_rows", "rev", "n_rev"]).to_pandas()
+    if agg.empty or "n_rows" not in agg:
+        return _empty_result(**empty)
+    out = pd.DataFrame({
+        "branch": agg["branch"].astype(np.int64),
+        "n_rows": agg["n_rows"].astype(np.int64),
+        "revenue_e6": _int_or_float64(pd.Series(np.where(
+            agg["n_rev"].to_numpy(dtype=np.int64) > 0,
+            agg["rev"].to_numpy(dtype=np.float64), np.nan)))})
+    return out.sort_values("branch").reset_index(drop=True)

@@ -350,6 +350,13 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "returnflag_priority_counts": ["l_returnflag", "n_rows",
                                        "high_count", "low_count"],
         "customer_order_distribution": ["c_count", "n_customers"],
+        "promo_revenue": ["l_year", "n_rows", "promo_e6", "total_e6",
+                          "promo_pct_e6"],
+        "small_qty_revenue": ["p_brand", "n_rows", "revenue_e6"],
+        "large_volume_customers": ["o_orderkey", "c_custkey", "c_name",
+                                   "o_orderdate", "totalprice_e6",
+                                   "sum_qty_e6", "rk"],
+        "disjunctive_revenue": ["branch", "n_rows", "revenue_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -566,6 +573,19 @@ NASTY_QUERIES = [
     # Q13-style histogram: NULL/dangling o_custkey excluded from the
     # counts; zero bucket = distinct customers minus matched
     "customer_order_distribution",
+    # Q14-style promo share: NULL price/discount rows drop before the
+    # join; the integer percent formula is shared with the oracle
+    "promo_revenue",
+    # Q17-style correlated average: NULL quantities skipped by the
+    # per-part moments AND failing the cleared inequality
+    "small_qty_revenue",
+    # Q18-style HAVING join-back: NULL quantities skipped by the
+    # per-order mass; NULL totalprice ranks last via the sentinel;
+    # NULL custkeys drop (inner-join parity)
+    "large_volume_customers",
+    # Q19-style disjunction: NaN quantities fail every band; NULL
+    # price/discount counts in n_rows but not the revenue sum
+    "disjunctive_revenue",
 ]
 
 
