@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q.small_qty_revenue,
         "large_volume_customers": q.large_volume_customers,
         "disjunctive_revenue": q.disjunctive_revenue,
+        "mannwhitney_chars": q.mannwhitney_chars,
+        "benford_totalprice": q.benford_totalprice,
+        "daily_autocorr": q.daily_autocorr,
     }
 
 
@@ -4049,5 +4052,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev) AS BIGINT) AS revenue_e6
             FROM j WHERE branch > 0
             GROUP BY 1 ORDER BY 1
+        """,
+        # Mann-Whitney doubled-U from the (lang, length) histogram:
+        # ties contribute their half exactly, all-integer
+        "mannwhitney_chars": """
+            WITH h AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY 1, 2),
+            p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                         CAST(sum(CASE WHEN a.v > b.v
+                                       THEN 2 * a.n * b.n
+                                       WHEN a.v = b.v THEN a.n * b.n
+                                       ELSE 0 END) AS BIGINT) AS u2
+                  FROM h a JOIN h b ON a.lang < b.lang
+                  GROUP BY 1, 2),
+            c AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nn
+                  FROM h GROUP BY 1)
+            SELECT p.lang_a, p.lang_b, ca.nn AS n_a, cb.nn AS n_b,
+                   p.u2
+            FROM p JOIN c ca ON ca.lang = p.lang_a
+                   JOIN c cb ON cb.lang = p.lang_b
+            ORDER BY 1, 2
+        """,
+        # Benford census: digit from the e6-int price's decimal
+        # string (the engine's integer magnitude divide is identical);
+        # integer half-away observed share; libm log10 reference
+        "benford_totalprice": """
+            WITH t AS (
+                SELECT CAST(round(1000000 * o_totalprice) AS BIGINT)
+                    AS tp
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND round(1000000 * o_totalprice) > 0),
+            g AS (SELECT CAST(substr(CAST(tp AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM t GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g)
+            SELECT g.digit, g.n,
+                   CAST((2000000 * g.n + tot.nn) // (2 * tot.nn)
+                        AS BIGINT) AS obs_pct_e6,
+                   CAST(round(1000000 * log10(1 + 1.0 / g.digit))
+                        AS BIGINT) AS benford_e6
+            FROM g, tot ORDER BY g.digit
+        """,
+        # lag-1 autocorrelation of daily counts per type: exact
+        # integer moments over consecutive-day pairs; the Pearson
+        # closed form shares the corr_chars_tokens operand order
+        "daily_autocorr": """
+            WITH d AS (
+                SELECT event_type,
+                       epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS day_i,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            p AS (SELECT a.event_type, a.n AS x, b.n AS y
+                  FROM d a JOIN d b
+                    ON b.event_type IS NOT DISTINCT FROM a.event_type
+                   AND b.day_i = a.day_i + 1),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM p GROUP BY 1),
+            r AS (SELECT event_type, n_pairs,
+                         (CAST(n_pairs AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) AS num,
+                         (CAST(n_pairs AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n_pairs AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy) AS v2
+                  FROM m)
+            SELECT event_type, n_pairs,
+                   CASE WHEN v2 > 0
+                        THEN CAST(round(1000000 * (num / sqrt(v2)))
+                                  AS BIGINT)
+                        ELSE NULL END AS corr_e6
+            FROM r ORDER BY event_type
         """,
     }

@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "small_qty_revenue",
     "large_volume_customers",
     "disjunctive_revenue",
+    "mannwhitney_chars",
+    "benford_totalprice",
+    "daily_autocorr",
 ]
 
 

@@ -8515,3 +8515,186 @@ def disjunctive_revenue(sf_dir: str) -> pa.Table:
             agg["n_rev"].to_numpy(dtype=np.int64) > 0,
             agg["rev"].to_numpy(dtype=np.float64), np.nan)))})
     return out.sort_values("branch").reset_index(drop=True)
+
+
+def mannwhitney_chars(sf_dir: str) -> pa.Table:
+    """Pairwise Mann-Whitney rank-sum statistic on document length
+    across languages — the nonparametric sibling of
+    ``welch_ttest_chars``.  The naive statistic needs POOLED ranks per
+    language pair; instead the engine folds the corpus once into the
+    bounded (lang × distinct-length) count histogram (the
+    ``chars_percent_rank`` bounded-domain motif) and computes the
+    doubled U statistic ``u2 = Σ 2·cntₐ·cnt_b[v_b < vₐ] +
+    cntₐ·cnt_b[v_b = vₐ]`` all-integer from the histogram — ties
+    contribute their half exactly, no float rank arithmetic anywhere.
+    NULL lang and NULL n_chars are excluded (the welch policy);
+    ordered pairs (lang_a < lang_b) with both sides non-empty.  The
+    driver-side pair fold is O(langs² × distinct lengths) via
+    searchsorted — bounded by the length domain, not the corpus."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("lang")),
+                             pc.is_valid(t.column("n_chars"))))
+        df = pd.DataFrame({
+            "lang": pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False)),
+            "v": pc.cast(t.column("n_chars"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "n": np.int64(1)})
+        return df.groupby(["lang", "v"], as_index=False).sum()
+
+    h = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang", "v"], ["n"]).to_pandas()
+    empty = dict(lang_a=object, lang_b=object, n_a="int64",
+                 n_b="int64", u2="int64")
+    if h.empty or "n" not in h:
+        return _empty_result(**empty)
+    h = h.sort_values(["lang", "v"]).reset_index(drop=True)
+    langs = sorted(h["lang"].unique())
+    per = {g: (sub["v"].to_numpy(dtype=np.int64),
+               sub["n"].to_numpy(dtype=np.int64))
+           for g, sub in h.groupby("lang")}
+    rows = []
+    for i, la in enumerate(langs):
+        va, na = per[la]
+        for lb in langs[i + 1:]:
+            vb, nb = per[lb]
+            cum_b = np.concatenate(([0], np.cumsum(nb)))
+            lt = cum_b[np.searchsorted(vb, va, side="left")]
+            ge = np.searchsorted(vb, va, side="left")
+            eq = cum_b[np.searchsorted(vb, va, side="right")] - cum_b[ge]
+            u2 = int((na * (2 * lt + eq)).sum())
+            rows.append((la, lb, int(na.sum()), int(nb.sum()), u2))
+    if not rows:
+        return _empty_result(**empty)
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a",
+                                      "n_b", "u2"])
+    for c in ("n_a", "n_b", "u2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def benford_totalprice(sf_dir: str) -> pa.Table:
+    """Benford first-significant-digit census over order totals — the
+    classic fraud/quality screen.  The digit is extracted ALL-INTEGER
+    from the e6-scaled price (decimal magnitude via searchsorted
+    against exact int64 powers of ten, then one integer divide —
+    never float log10 on row data, whose SIMD ulps could flip a
+    boundary), matching the oracle's string-prefix extraction exactly.
+    The observed share is the integer half-away ratio
+    ``(2e6·n + N) // (2N)``; the Benford reference probability is a
+    9-value driver-side scalar ``math.log10`` (libm, the lm_score ln
+    convention).  NULL and non-positive totals are excluded."""
+    import math
+
+    empty = dict(digit="int64", n="int64", obs_pct_e6="int64",
+                 benford_e6="int64")
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    _POW10 = (10 ** np.arange(1, 19, dtype=np.int64))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tp = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        ok = ~np.isnan(tp)
+        e6 = np.where(ok, _round_half_away(np.where(ok, 1e6 * tp, 0.0)),
+                      0).astype(np.int64)
+        e6 = e6[ok & (e6 > 0)]
+        if e6.size == 0:
+            return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        # decimal magnitude: number of powers of ten ≤ x, so the
+        # divisor 10^mag strips everything after the leading digit
+        mag = np.searchsorted(_POW10, e6, side="right")
+        digit = e6 // np.concatenate(([np.int64(1)], _POW10))[mag]
+        df = pd.DataFrame({"digit": digit.astype(np.int64),
+                           "n": np.int64(1)})
+        return df.groupby("digit", as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["digit"], ["n"]).to_pandas()
+    if g.empty or "n" not in g:
+        return _empty_result(**empty)
+    big_n = int(g["n"].sum())
+    out = pd.DataFrame({
+        "digit": g["digit"].astype(np.int64),
+        "n": g["n"].astype(np.int64),
+        "obs_pct_e6": np.array(
+            [(2 * 10**6 * int(n) + big_n) // (2 * big_n)
+             for n in g["n"]], dtype=np.int64),
+        "benford_e6": np.array(
+            [int(_round_half_away(np.float64(
+                1e6 * math.log10(1.0 + 1.0 / int(d)))))
+             for d in g["digit"]], dtype=np.int64)})
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+def daily_autocorr(sf_dir: str) -> pa.Table:
+    """Lag-1 autocorrelation of daily event counts per event type —
+    the burstiness diagnostic.  One combiner pass folds the corpus to
+    the bounded (type × day) count grid (the daily_drift shape); the
+    consecutive-day pairs (x_t, x_{t+1}) and their EXACT integer
+    moment sums are a driver-side vectorized fold over that grid, and
+    the only float arithmetic is the shared Pearson closed form
+    (identical operand order as the oracle — the corr_chars_tokens
+    convention).  NULL timestamps are excluded (event-time policy);
+    NULL event_type is a group; a day pairs only with its immediate
+    calendar successor; types with no consecutive pair drop."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day_i": us // _DAY_US,
+            "n": np.int64(1)})
+        return df.groupby(["event_type", "day_i"], as_index=False).sum()
+
+    grid = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "day_i"], ["n"]).to_pandas()
+    empty = dict(event_type=object, n_pairs="int64", corr_e6="int64")
+    if grid.empty or "n" not in grid:
+        return _empty_result(**empty)
+    grid = grid.sort_values(["event_type", "day_i"]) \
+        .reset_index(drop=True)
+    rows = []
+    for ty, sub in grid.groupby("event_type", dropna=False):
+        d = sub["day_i"].to_numpy(dtype=np.int64)
+        n = sub["n"].to_numpy(dtype=np.int64)
+        consec = d[1:] == d[:-1] + 1
+        x = n[:-1][consec]
+        y = n[1:][consec]
+        if x.size == 0:
+            continue
+        rows.append((ty, int(x.size), int(x.sum()), int(y.sum()),
+                     int((x * y).sum()), int((x * x).sum()),
+                     int((y * y).sum())))
+    if not rows:
+        return _empty_result(**empty)
+    m = pd.DataFrame(rows, columns=["event_type", "n_pairs", "sx",
+                                    "sy", "sxy", "sxx", "syy"])
+    m = _restore_null_keys(m, ["event_type"])
+    n = m["n_pairs"].to_numpy(dtype=np.int64).astype(np.float64)
+    sx = m["sx"].to_numpy(dtype=np.int64).astype(np.float64)
+    sy = m["sy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxy = m["sxy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxx = m["sxx"].to_numpy(dtype=np.int64).astype(np.float64)
+    syy = m["syy"].to_numpy(dtype=np.int64).astype(np.float64)
+    num = n * sxy - sx * sy
+    v2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr_e6 = np.where(
+            v2 > 0.0,
+            _round_half_away(1e6 * (num / np.sqrt(
+                np.where(v2 > 0.0, v2, 1.0)))),
+            np.nan)
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "n_pairs": m["n_pairs"].astype(np.int64),
+                        "corr_e6": _int_or_float64(
+                            pd.Series(corr_e6))})
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

@@ -357,6 +357,10 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                    "o_orderdate", "totalprice_e6",
                                    "sum_qty_e6", "rk"],
         "disjunctive_revenue": ["branch", "n_rows", "revenue_e6"],
+        "mannwhitney_chars": ["lang_a", "lang_b", "n_a", "n_b", "u2"],
+        "benford_totalprice": ["digit", "n", "obs_pct_e6",
+                               "benford_e6"],
+        "daily_autocorr": ["event_type", "n_pairs", "corr_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -586,6 +590,15 @@ NASTY_QUERIES = [
     # Q19-style disjunction: NaN quantities fail every band; NULL
     # price/discount counts in n_rows but not the revenue sum
     "disjunctive_revenue",
+    # rank-sum from the length histogram: NULL lang/n_chars excluded;
+    # the nasty duplicate lengths exercise the tie half exactly
+    "mannwhitney_chars",
+    # Benford census: NULL totalprice excluded; integer digit
+    # extraction must match the string prefix on every magnitude
+    "benford_totalprice",
+    # lag-1 autocorr: NULL ts excluded, NULL type is a group, the
+    # nasty isolated/pre-1970 days must pair (or not) identically
+    "daily_autocorr",
 ]
 
 
