@@ -584,6 +584,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_chars": q.mannwhitney_chars,
         "benford_totalprice": q.benford_totalprice,
         "daily_autocorr": q.daily_autocorr,
+        "charclass_profile": q.charclass_profile,
+        "readability_counts": q.readability_counts,
+        "event_heatmap": q.event_heatmap,
+        "top_supplier": q.top_supplier,
     }
 
 
@@ -4135,5 +4139,78 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)
                         ELSE NULL END AS corr_e6
             FROM r ORDER BY event_type
+        """,
+        # char-class composition: single-char RE2 classes count
+        # identically in Arrow and DuckDB; codepoint length totals
+        "charclass_profile": """
+            WITH d AS (
+                SELECT lang,
+                       CAST(length(text) AS BIGINT) AS total,
+                       CAST(length(regexp_replace(text, '[^A-Za-z]',
+                            '', 'g')) AS BIGINT) AS alpha,
+                       CAST(length(regexp_replace(text, '[^0-9]', '',
+                            'g')) AS BIGINT) AS digit,
+                       CAST(len(regexp_extract_all(text, '\\s'))
+                            AS BIGINT) AS space
+                FROM documents WHERE text IS NOT NULL)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(total) AS BIGINT) AS n_chars,
+                   CAST(sum(alpha) AS BIGINT) AS n_alpha,
+                   CAST(sum(digit) AS BIGINT) AS n_digit,
+                   CAST(sum(space) AS BIGINT) AS n_space,
+                   CAST(sum(total - alpha - digit - space) AS BIGINT)
+                       AS n_other
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # readability raw counts: whitespace-split words (the
+        # corr_chars_tokens convention), sentence terminators, vowel
+        # RUNS via RE2 + quantifier on both sides
+        "readability_counts": """
+            WITH d AS (
+                SELECT lang,
+                       CAST(len(list_filter(string_split(text, ' '),
+                            w -> w <> '')) AS BIGINT) AS words,
+                       CAST(len(regexp_extract_all(text, '[.!?]'))
+                            AS BIGINT) AS sents,
+                       CAST(len(regexp_extract_all(text,
+                            '[aeiouAEIOU]+')) AS BIGINT) AS vgrp
+                FROM documents WHERE text IS NOT NULL)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(words) AS BIGINT) AS n_words,
+                   CAST(sum(sents) AS BIGINT) AS n_sentences,
+                   CAST(sum(vgrp) AS BIGINT) AS n_vowel_groups
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # hour × weekday heatmap: pure integer epoch arithmetic —
+        # day floor, Thursday offset, non-negative remainders
+        "event_heatmap": """
+            WITH d AS (
+                SELECT epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS day_i,
+                       epoch_us(ts) AS us
+                FROM events WHERE ts IS NOT NULL)
+            SELECT CAST(((day_i + 4) % 7 + 7) % 7 AS BIGINT) AS dow,
+                   CAST((us - day_i * 86400000000) // 3600000000
+                        AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Q15-style top supplier(s): ties all surface (= max parity)
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(round(1000000 * (l_extendedprice
+                            * (1 - l_discount))) AS BIGINT))
+                            AS BIGINT) AS total_rev_e6
+                FROM lineitem
+                WHERE l_suppkey IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                GROUP BY 1),
+            mx AS (SELECT max(total_rev_e6) AS m FROM r)
+            SELECT r.s_suppkey, s.s_name, r.total_rev_e6
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey, mx
+            WHERE r.total_rev_e6 = mx.m
+            ORDER BY r.s_suppkey
         """,
     }

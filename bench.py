@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "mannwhitney_chars",
     "benford_totalprice",
     "daily_autocorr",
+    "charclass_profile",
+    "readability_counts",
+    "event_heatmap",
+    "top_supplier",
 ]
 
 

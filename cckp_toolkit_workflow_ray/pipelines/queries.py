@@ -8698,3 +8698,190 @@ def daily_autocorr(sf_dir: str) -> pa.Table:
                             pd.Series(corr_e6))})
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def charclass_profile(sf_dir: str) -> pa.Table:
+    """Character-class composition profile per language — the script /
+    noise diagnostic a curation pipeline runs before language-specific
+    filters.  One pruned pass; every counter is an Arrow RE2
+    ``count_substring_regex`` kernel over single-char classes (ASCII
+    alpha, digit, ``\\s`` whitespace) so engine and DuckDB (also RE2)
+    count IDENTICALLY; ``other`` is pure arithmetic.  Totals use
+    codepoint length (Arrow ``utf8_length`` = DuckDB ``length``).
+    NULL texts are excluded; NULL lang is a kept group (sentinel
+    convention).  All-integer output — hash-exact at any parallelism."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        txt = t.column("text")
+        total = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        alpha = pc.count_substring_regex(txt, "[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.count_substring_regex(txt, "[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        space = pc.count_substring_regex(txt, r"\s") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_docs": np.int64(1), "n_chars": total,
+            "n_alpha": alpha, "n_digit": digit, "n_space": space,
+            "n_other": total - alpha - digit - space})
+        return df.groupby("lang", as_index=False).sum()
+
+    cols = ["n_docs", "n_chars", "n_alpha", "n_digit", "n_space",
+            "n_other"]
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], cols).to_pandas()
+    if g.empty or "n_docs" not in g:
+        return _empty_result(lang=object,
+                             **{c: "int64" for c in cols})
+    g = _restore_null_keys(g, ["lang"])
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g[["lang"] + cols].sort_values("lang", na_position="last") \
+        .reset_index(drop=True)
+
+
+def readability_counts(sf_dir: str) -> pa.Table:
+    """Readability raw-count rollup per language (the Flesch-family
+    inputs: words, sentence terminators, vowel-group syllable proxy) —
+    the curation signal for formulaic / machine-generated text.  One
+    pruned pass; all three counters are Arrow RE2 kernels (the
+    whitespace-split word convention shared with ``corr_chars_tokens``;
+    vowel RUNS counted via ``[aeiouAEIOU]+`` so engine and DuckDB's
+    RE2 ``regexp_extract_all`` agree exactly).  NULL texts excluded;
+    NULL lang a kept group.  All-integer output."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        txt = t.column("text")
+        words = pc.count_substring_regex(txt, "[^ ]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sents = pc.count_substring_regex(txt, "[.!?]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vgrp = pc.count_substring_regex(txt, "[aeiouAEIOU]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_docs": np.int64(1), "n_words": words,
+            "n_sentences": sents, "n_vowel_groups": vgrp})
+        return df.groupby("lang", as_index=False).sum()
+
+    cols = ["n_docs", "n_words", "n_sentences", "n_vowel_groups"]
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], cols).to_pandas()
+    if g.empty or "n_docs" not in g:
+        return _empty_result(lang=object,
+                             **{c: "int64" for c in cols})
+    g = _restore_null_keys(g, ["lang"])
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g[["lang"] + cols].sort_values("lang", na_position="last") \
+        .reset_index(drop=True)
+
+
+def event_heatmap(sf_dir: str) -> pa.Table:
+    """Hour-of-day × day-of-week event seasonality heatmap — the load
+    / anomaly baseline.  BOTH calendar coordinates are pure integer
+    epoch arithmetic (day index by floor division, weekday via the
+    1970-01-01-was-Thursday offset ``(day_i + 4) mod 7`` normalized
+    non-negative, hour from the non-negative in-day remainder) — no
+    timezone, no calendar library, so pre-1970 timestamps floor
+    identically in engine and SQL.  NULL timestamps are excluded
+    (event-time policy).  The result is the bounded 7×24 grid."""
+    _DAY_US = 86_400 * 10**6
+    _HOUR_US = 3_600 * 10**6
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        day_i = us // _DAY_US
+        df = pd.DataFrame({
+            "dow": (day_i + 4) % 7,
+            "hour": (us - day_i * _DAY_US) // _HOUR_US,
+            "n": np.int64(1)})
+        return df.groupby(["dow", "hour"], as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["dow", "hour"], ["n"]).to_pandas()
+    if g.empty or "n" not in g:
+        return _empty_result(dow="int64", hour="int64", n="int64")
+    for c in ("dow", "hour", "n"):
+        g[c] = g[c].astype(np.int64)
+    return g[["dow", "hour", "n"]].sort_values(["dow", "hour"]) \
+        .reset_index(drop=True)
+
+
+def top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-style top supplier(s): the supplier(s) whose lineitem
+    revenue equals the global maximum — ties all surface (SQL
+    ``= max`` parity, no arbitrary tie-break).  Per-supplier revenue
+    rides the sorted-run keyed reduction at supplier cardinality; the
+    global max is one bounded Ray aggregate over the reduced stream;
+    only the winners' names are fetched by broadcast key filter.
+    Rows with NULL suppkey/price/discount drop (documented WHERE
+    parity, mirrored in the oracle)."""
+    import ray
+
+    from ..functions.hashing import isin_sorted
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    empty = dict(s_suppkey="int64", s_name=object,
+                 total_rev_e6="int64")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.is_valid(t.column("l_suppkey")),
+                    pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                            pc.is_valid(t.column("l_discount"))))
+        t = t.filter(m)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "total_rev_e6": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+        return df.groupby("s_suppkey", as_index=False).sum()
+
+    per_supp = sorted_reduce_by_key_ds(
+        li.map_batches(li_clean, batch_format="pyarrow"),
+        ["s_suppkey"], {"total_rev_e6": "sum"}).materialize()
+    if per_supp.count() == 0:
+        return _empty_result(**empty)
+    from ray.data.aggregate import Max
+    mx = int(per_supp.aggregate(Max("total_rev_e6"))
+             ["max(total_rev_e6)"])
+    winners = per_supp.map_batches(
+        lambda df: df[df["total_rev_e6"] == mx],
+        batch_format="pandas").to_pandas()
+    if winners.empty:
+        return _empty_result(**empty)
+    keys = np.unique(winners["s_suppkey"].to_numpy(dtype=np.int64))
+    ref = ray.put(keys)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def pick(t: pa.Table, _ref=ref) -> pa.Table:
+        col = t.column("s_suppkey")
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(isin_sorted(ray.get(_ref), v) & valid))
+
+    names = sup.map_batches(pick, batch_format="pyarrow").to_pandas()
+    names["s_suppkey"] = names["s_suppkey"].astype(np.int64)
+    out = winners.merge(names, on="s_suppkey", how="inner")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["total_rev_e6"] = out["total_rev_e6"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "total_rev_e6"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)

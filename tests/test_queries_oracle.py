@@ -361,6 +361,12 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "benford_totalprice": ["digit", "n", "obs_pct_e6",
                                "benford_e6"],
         "daily_autocorr": ["event_type", "n_pairs", "corr_e6"],
+        "charclass_profile": ["lang", "n_docs", "n_chars", "n_alpha",
+                              "n_digit", "n_space", "n_other"],
+        "readability_counts": ["lang", "n_docs", "n_words",
+                               "n_sentences", "n_vowel_groups"],
+        "event_heatmap": ["dow", "hour", "n"],
+        "top_supplier": ["s_suppkey", "s_name", "total_rev_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -599,6 +605,15 @@ NASTY_QUERIES = [
     # lag-1 autocorr: NULL ts excluded, NULL type is a group, the
     # nasty isolated/pre-1970 days must pair (or not) identically
     "daily_autocorr",
+    # char-class counts over NULL/exotic-whitespace/Unicode-digit
+    # texts: RE2 \\s and [0-9] must agree on \\x0b, NBSP, ٣٤
+    "charclass_profile",
+    # readability counters on the exotic-whitespace tokenizer family
+    "readability_counts",
+    # heatmap: pre-1970 timestamps must floor/mod identically
+    "event_heatmap",
+    # Q15: NULL suppkey/price/discount rows drop; = max keeps ties
+    "top_supplier",
 ]
 
 
