@@ -588,6 +588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_counts": q.readability_counts,
         "event_heatmap": q.event_heatmap,
         "top_supplier": q.top_supplier,
+        "embedding_quantize": q.embedding_quantize,
+        "longest_doc_per_lang": q.longest_doc_per_lang,
     }
 
 
@@ -4212,5 +4214,48 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey, mx
             WHERE r.total_rev_e6 = mx.m
             ORDER BY r.s_suppkey
+        """,
+        # int8 scalar quantization: identical IEEE operand order makes
+        # the per-element e6 errors bit-equal; integer sums order-free
+        "embedding_quantize": """
+            WITH f AS (
+                SELECT vec_id, label,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings WHERE embedding IS NOT NULL),
+            mm AS (SELECT pos, min(x) AS mn, max(x) AS mx
+                   FROM f GROUP BY 1),
+            c AS (SELECT f.vec_id, f.label, f.x, mm.mn, mm.mx,
+                         CASE WHEN mm.mx > mm.mn
+                              THEN round((254 * (f.x - mm.mn))
+                                         / (mm.mx - mm.mn)) - 127
+                              ELSE 0 END AS code
+                  FROM f JOIN mm ON mm.pos = f.pos),
+            e AS (SELECT vec_id, label, abs(code) AS ac,
+                         CASE WHEN mx > mn
+                              THEN round(1000000 * ((x - (mn
+                                   + ((code + 127) * (mx - mn))
+                                   / 254)) * (x - (mn + ((code + 127)
+                                   * (mx - mn)) / 254))))
+                              ELSE 0 END AS err
+                  FROM c)
+            SELECT label,
+                   CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                   CAST(sum(err) AS BIGINT) AS sum_err_e6,
+                   CAST(sum(ac) AS BIGINT) AS sum_abs_code
+            FROM e GROUP BY 1 ORDER BY 1
+        """,
+        # grouped argmax: longest doc per lang, MIN-doc_id tie-break
+        "longest_doc_per_lang": """
+            WITH d AS (
+                SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(n_chars AS BIGINT) AS n_chars
+                FROM documents WHERE n_chars IS NOT NULL),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id) AS rk
+                  FROM d)
+            SELECT lang, doc_id, n_chars FROM r WHERE rk = 1
+            ORDER BY lang
         """,
     }

@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "readability_counts",
     "event_heatmap",
     "top_supplier",
+    "embedding_quantize",
+    "longest_doc_per_lang",
 ]
 
 

@@ -8885,3 +8885,125 @@ def top_supplier(sf_dir: str) -> pa.Table:
     out["total_rev_e6"] = out["total_rev_e6"].astype(np.int64)
     return out[["s_suppkey", "s_name", "total_rev_e6"]] \
         .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def embedding_quantize(sf_dir: str) -> pa.Table:
+    """Int8 scalar quantization of the embedding table with EXACT
+    reconstruction-error accounting — the compression step before a
+    billion-vector ANN index ships.  Pass 1 folds the corpus to the
+    per-dimension [min, max] envelope (a dim-bounded partial per
+    batch, combined on the driver); pass 2 codes every element
+    ``round((254·(x−mn))/(mx−mn)) − 127`` and measures the per-element
+    squared reconstruction error — every float expression evaluates
+    with the IDENTICAL operand order as the oracle on IEEE doubles, so
+    the per-element e6-rounded errors are bit-equal, and their sums
+    are INTEGER (order-free at any parallelism).  A zero-range
+    dimension codes 0 with zero error; NULL labels are a group
+    (float64 NaN convention); NULL embeddings are excluded."""
+    from ..stages.similarity import _to_matrix
+
+    empty = dict(label="int64", n_vecs="int64", sum_err_e6="int64",
+                 sum_abs_code="int64")
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    head = ds.take(1)
+    if not head:
+        return _empty_result(**empty)
+    dim = len(head[0]["embedding"])
+
+    def envelope(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("embedding")))
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {f"mn{i}": pd.Series([], dtype="float64")
+                 for i in range(dim)}
+                | {f"mx{i}": pd.Series([], dtype="float64")
+                   for i in range(dim)})
+        m = _to_matrix(t.column("embedding")).astype(np.float64)
+        row = {f"mn{i}": [m[:, i].min()] for i in range(dim)}
+        row |= {f"mx{i}": [m[:, i].max()] for i in range(dim)}
+        return pd.DataFrame(row)
+
+    env = ds.map_batches(envelope, batch_format="pyarrow").to_pandas()
+    if env.empty:
+        return _empty_result(**empty)
+    mn = np.array([env[f"mn{i}"].min() for i in range(dim)],
+                  dtype=np.float64)
+    mx = np.array([env[f"mx{i}"].max() for i in range(dim)],
+                  dtype=np.float64)
+    rng = mx - mn
+    live = rng > 0.0
+
+    def quant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("embedding")))
+        if t.num_rows == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.float64()),
+                "n_vecs": pa.array([], type=pa.int64()),
+                "sum_err_e6": pa.array([], type=pa.int64()),
+                "sum_abs_code": pa.array([], type=pa.int64())})
+        m = _to_matrix(t.column("embedding")).astype(np.float64)
+        code = np.zeros_like(m)
+        # identical operand order as the oracle: (254*(x-mn))/(mx-mn)
+        code[:, live] = _round_half_away(
+            (254.0 * (m[:, live] - mn[live])) / rng[live]) - 127.0
+        recon = np.tile(mn, (m.shape[0], 1))
+        recon[:, live] = mn[live] + ((code[:, live] + 127.0)
+                                     * rng[live]) / 254.0
+        diff = m - recon
+        err = _round_half_away(1e6 * (diff * diff)).astype(np.int64)
+        df = pd.DataFrame({
+            "label": t.column("label").to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+            "n_vecs": np.int64(1),
+            "sum_err_e6": err.sum(axis=1),
+            "sum_abs_code": np.abs(code).astype(np.int64).sum(axis=1)})
+        return pa.Table.from_pandas(
+            df.groupby("label", as_index=False, dropna=False).sum(),
+            preserve_index=False)
+
+    g = _sum_by_key(ds.map_batches(quant, batch_format="pyarrow"),
+                    ["label"],
+                    ["n_vecs", "sum_err_e6", "sum_abs_code"]).to_pandas()
+    if g.empty or "n_vecs" not in g:
+        return _empty_result(**empty)
+    g["label"] = _int_or_float64(g["label"])
+    for c in ("n_vecs", "sum_err_e6", "sum_abs_code"):
+        g[c] = g[c].astype(np.int64)
+    return g[["label", "n_vecs", "sum_err_e6", "sum_abs_code"]] \
+        .sort_values("label", na_position="last").reset_index(drop=True)
+
+
+def longest_doc_per_lang(sf_dir: str) -> pa.Table:
+    """Grouped argmax: the single longest document per language
+    (ties broken by MIN doc_id — fully deterministic), the per-group
+    champion-selection shape on the documents table (the
+    ``latest_event_per_user`` motif keyed by a string group).  Rides
+    the distributed grouped top-k (k=1): interior keys final in
+    place, ≤2 edge keys per block reconciled on the driver.  NULL
+    n_chars rows can't win (excluded); NULL lang is a kept group."""
+    from ..stages.ranking import grouped_top_k
+
+    empty = dict(lang=object, doc_id="int64", n_chars="int64")
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("n_chars")))
+        return pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    top = grouped_top_k(prepped, key_cols=["lang"],
+                        order_cols=["n_chars", "doc_id"],
+                        descending=[True, False], k=1).to_pandas()
+    if top.empty:
+        return _empty_result(**empty)
+    top = _restore_null_keys(top, ["lang"])
+    top["doc_id"] = top["doc_id"].astype(np.int64)
+    top["n_chars"] = top["n_chars"].astype(np.int64)
+    return top[["lang", "doc_id", "n_chars"]] \
+        .sort_values("lang", na_position="last").reset_index(drop=True)

@@ -367,6 +367,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                "n_sentences", "n_vowel_groups"],
         "event_heatmap": ["dow", "hour", "n"],
         "top_supplier": ["s_suppkey", "s_name", "total_rev_e6"],
+        "embedding_quantize": ["label", "n_vecs", "sum_err_e6",
+                               "sum_abs_code"],
+        "longest_doc_per_lang": ["lang", "doc_id", "n_chars"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -614,6 +617,12 @@ NASTY_QUERIES = [
     "event_heatmap",
     # Q15: NULL suppkey/price/discount rows drop; = max keeps ties
     "top_supplier",
+    # int8 quantization: the nasty zero vectors land in zero-range
+    # dimensions (code 0, zero error); NULL labels are a group
+    "embedding_quantize",
+    # grouped argmax: NULL lang group; the nasty duplicate lengths
+    # exercise the MIN-doc_id tie-break
+    "longest_doc_per_lang",
 ]
 
 
