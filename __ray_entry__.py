@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": q.top_supplier,
         "embedding_quantize": q.embedding_quantize,
         "longest_doc_per_lang": q.longest_doc_per_lang,
+        "type_cooccurrence_1h": q.type_cooccurrence_1h,
+        "market_share": q.market_share,
     }
 
 
@@ -4257,5 +4259,70 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT lang, doc_id, n_chars FROM r WHERE rk = 1
             ORDER BY lang
+        """,
+        # banded temporal self-join census: ordered same-user pairs
+        # within one hour, grouped by type pair (NULL types kept)
+        "type_cooccurrence_1h": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       event_type
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            p AS (SELECT a.event_type AS type_a,
+                         b.event_type AS type_b
+                  FROM e a JOIN e b ON b.user_id = a.user_id
+                   AND (b.us > a.us
+                        OR (b.us = a.us AND b.event_id > a.event_id))
+                   AND b.us <= a.us + 3600000000)
+            SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Q8-style market share: MIN region's customers, MIN nation's
+        # suppliers, exact integer half-away share per ship year
+        "market_share": """
+            WITH r AS (SELECT min(r_name) AS rm FROM region),
+            rn AS (SELECT n_nationkey, n_name FROM nation
+                   WHERE n_regionkey IN
+                       (SELECT r_regionkey FROM region
+                        WHERE r_name = (SELECT rm FROM r))),
+            nm AS (SELECT min(n_name) AS nn FROM rn),
+            cu AS (SELECT c_custkey FROM customer
+                   WHERE c_custkey IS NOT NULL
+                     AND c_nationkey IN
+                         (SELECT n_nationkey FROM rn)),
+            s AS (SELECT s_suppkey,
+                         CASE WHEN s_nationkey IN
+                             (SELECT n_nationkey FROM rn
+                              WHERE n_name = (SELECT nn FROM nm))
+                         THEN 1 ELSE 0 END AS is_nation
+                  FROM supplier
+                  WHERE s_suppkey IS NOT NULL
+                    AND s_nationkey IS NOT NULL),
+            li AS (SELECT l_orderkey, l_suppkey,
+                          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                          CAST(round(1000000 * (l_extendedprice
+                               * (1 - l_discount))) AS BIGINT) AS rev
+                   FROM lineitem
+                   WHERE l_shipdate IS NOT NULL
+                     AND l_suppkey IS NOT NULL
+                     AND l_extendedprice IS NOT NULL
+                     AND l_discount IS NOT NULL),
+            j AS (SELECT li.l_year, li.rev,
+                         li.rev * s.is_nation AS nrev
+                  FROM li
+                  JOIN s ON s.s_suppkey = li.l_suppkey
+                  JOIN orders o ON o.o_orderkey = li.l_orderkey
+                  JOIN cu ON cu.c_custkey = o.o_custkey),
+            g AS (SELECT l_year, CAST(count(*) AS BIGINT) AS n_rows,
+                         CAST(sum(nrev) AS BIGINT) AS nation_e6,
+                         CAST(sum(rev) AS BIGINT) AS total_e6
+                  FROM j GROUP BY 1)
+            SELECT l_year, n_rows, nation_e6, total_e6,
+                   CASE WHEN total_e6 > 0 THEN CAST(
+                       (2 * 1000000 * CAST(nation_e6 AS HUGEINT)
+                        + CAST(total_e6 AS HUGEINT))
+                       // (2 * CAST(total_e6 AS HUGEINT)) AS BIGINT)
+                   END AS share_e6
+            FROM g ORDER BY l_year
         """,
     }

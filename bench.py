@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "top_supplier",
     "embedding_quantize",
     "longest_doc_per_lang",
+    "type_cooccurrence_1h",
+    "market_share",
 ]
 
 

@@ -9007,3 +9007,247 @@ def longest_doc_per_lang(sf_dir: str) -> pa.Table:
     top["n_chars"] = top["n_chars"].astype(np.int64)
     return top[["lang", "doc_id", "n_chars"]] \
         .sort_values("lang", na_position="last").reset_index(drop=True)
+
+
+def type_cooccurrence_1h(sf_dir: str) -> pa.Table:
+    """Temporal self-join census: for every ordered pair of events of
+    the SAME user where the second falls within one hour of the first
+    (order = (ts, event_id), SQL parity), count occurrences per
+    (type_a, type_b) — the behavioral co-occurrence matrix, i.e. a
+    banded interval SELF-join reduced in place.  Scale shape: ONE
+    range sort by (user, ts, id); block-interior users emit their
+    in-window pairs fully vectorized (per-segment monotonic time
+    rebasing → one ``searchsorted`` per chunk, chunked so the rebased
+    clock never overflows int64; pair indices by the repeat/arange
+    fold — no per-user Python), reduced to the bounded type-pair grid
+    inside the block; the ≤2 block-edge users per block ship raw rows
+    (the ``inter_event_gaps`` contract).  Burst quadratic cost is the
+    operator's true semantics (a user with m events in an hour owns
+    m·(m−1)/2 pairs) — counted exactly, never capped.  NULL users /
+    timestamps are excluded; NULL event types are kept groups."""
+    from ..stages.ranking import _edge_mask
+
+    _H = 3_600 * 10**6
+    _CHUNK = 4 * 10**18
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({
+        "type_a": pd.Series([], dtype=object),
+        "type_b": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype="int64")})
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n < 2:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        tsv = df["ts_us"].to_numpy(dtype=np.int64)
+        ty = _sentinel_nulls(df["event_type"]).to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        span = (tsv[ends - 1] - tsv[starts]).astype(np.float64)
+        # chunk segments so the rebased monotonic clock stays in int64
+        cumf = np.cumsum(span + float(_H + 1))
+        chunk_of = np.floor(cumf / float(_CHUNK)).astype(np.int64)
+        parts = []
+        for c in np.unique(chunk_of):
+            seg = np.flatnonzero(chunk_of == c)
+            lo, hi = starts[seg[0]], ends[seg[-1]]
+            s0, e0 = starts[seg] - lo, ends[seg] - lo
+            sub_ts = tsv[lo:hi]
+            sp = sub_ts[e0 - 1] - sub_ts[s0]
+            offs = np.concatenate(
+                ([np.int64(0)],
+                 np.cumsum(sp + np.int64(_H + 1))[:-1]))
+            reps = e0 - s0
+            rebased = sub_ts - np.repeat(sub_ts[s0], reps) \
+                + np.repeat(offs, reps)
+            win_hi = np.searchsorted(rebased, rebased + _H,
+                                     side="right")
+            k = win_hi - np.arange(len(rebased)) - 1
+            k = np.maximum(k, 0)
+            total = int(k.sum())
+            if total == 0:
+                continue
+            i_flat = np.repeat(np.arange(len(rebased)), k)
+            j_flat = np.arange(total) \
+                - np.repeat(np.cumsum(k) - k, k) + i_flat + 1
+            sub_ty = ty[lo:hi]
+            parts.append(pd.DataFrame({
+                "type_a": sub_ty[i_flat], "type_b": sub_ty[j_flat],
+                "n": np.int64(1)}))
+        if not parts:
+            return _EMPTY
+        g = pd.concat(parts, ignore_index=True)
+        return g.groupby(["type_a", "type_b"], as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return pair_counts(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        edge_sorted = edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        parts = pd.concat([parts, pair_counts(edge_sorted)],
+                          ignore_index=True)
+    if parts.empty:
+        return _EMPTY.copy()
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n"] \
+        .sum()
+    out = _restore_null_keys(out, ["type_a", "type_b"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"], na_position="last") \
+        .reset_index(drop=True)
+
+
+def market_share(sf_dir: str) -> pa.Table:
+    """TPC-H-Q8-style market share: within orders placed by customers
+    of the deterministically-chosen region (lexicographic MIN r_name),
+    the per-ship-year revenue share supplied from that region's MIN
+    nation — the four-level snowflake (region → nation → customer /
+    supplier → orders → lineitem) with a conditional-share rollup.
+    Dimension maps (nation keys, supplier→nation) ship ONCE via
+    ``ray.put`` (the ``nation_trade_volume`` precedent); customers
+    filter by a vectorized ``isin`` against the broadcast nation-key
+    set and stay distributed; the only shuffles are the two bucketed
+    key exchanges.  The share is the exact integer half-away ratio
+    ``(2e6·nation + total) // (2·total)`` (HUGEINT in the oracle).
+    NULL keys/prices/discounts/shipdates drop (inner-join parity)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.joins import hash_join, restore_plain_ints
+
+    empty = dict(l_year="int64", n_rows="int64", nation_e6="int64",
+                 total_e6="int64", share_e6="int64")
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    if reg.empty or reg["r_name"].dropna().empty or nat.empty:
+        return _empty_result(**empty)
+    r_min = reg["r_name"].dropna().min()
+    rkeys = reg[reg["r_name"] == r_min]["r_regionkey"]
+    rnat = nat[nat["n_regionkey"].isin(rkeys)]
+    if rnat.empty or rnat["n_name"].dropna().empty:
+        return _empty_result(**empty)
+    n_min = rnat["n_name"].dropna().min()
+    nkeys = np.sort(rnat["n_nationkey"].to_numpy(dtype=np.int64))
+    target_nk = set(rnat[rnat["n_name"] == n_min]["n_nationkey"]
+                    .astype(np.int64).tolist())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .to_pandas().dropna()
+    sup["is_nation"] = sup["s_nationkey"].astype(np.int64) \
+        .isin(target_nk).astype(np.int64)
+    s_ref = ray.put(sup[["s_suppkey", "is_nation"]]
+                    .astype({"s_suppkey": "int64"}))
+    nk_ref = ray.put(nkeys)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cu_clean(df: pd.DataFrame, _ref=nk_ref) -> pd.DataFrame:
+        from ..functions.hashing import isin_sorted
+        df = df[df["c_custkey"].notna() & df["c_nationkey"].notna()]
+        nk = df["c_nationkey"].to_numpy(dtype=np.int64)
+        return df[isin_sorted(ray.get(_ref), nk)][["c_custkey"]] \
+            .astype({"c_custkey": "int64"}) \
+            .rename(columns={"c_custkey": "o_custkey"})
+
+    cu = cust.map_batches(cu_clean, batch_format="pandas").materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        return pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if cu.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    jo = hash_join(o_ds, cu, on="o_custkey").map_batches(
+        lambda df: restore_plain_ints(df)[["l_orderkey"]],
+        batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def li_clean(t: pa.Table, _ref=s_ref) -> pd.DataFrame:
+        m = pc.and_(pc.and_(pc.is_valid(t.column("l_shipdate")),
+                            pc.is_valid(t.column("l_suppkey"))),
+                    pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                            pc.is_valid(t.column("l_discount"))))
+        t = t.filter(m)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "l_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()).to_numpy(zero_copy_only=False),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+        m2 = df.merge(ray.get(_ref), on="s_suppkey")
+        m2["nrev"] = m2["rev"] * m2["is_nation"]
+        m2["n_rows"] = np.int64(1)
+        return m2.groupby(["l_orderkey", "l_year"],
+                          as_index=False)[["rev", "nrev", "n_rows"]] \
+            .sum()
+
+    l_ds = li.map_batches(li_clean, batch_format="pyarrow").materialize()
+    if l_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(l_ds, jo, on="l_orderkey")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "l_year": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "nrev": pd.Series([], dtype="int64"),
+                "rev": pd.Series([], dtype="int64")})
+        return df.groupby("l_year", as_index=False)[
+            ["n_rows", "nrev", "rev"]].sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["l_year"], ["n_rows", "nrev", "rev"]).to_pandas()
+    if agg.empty or "n_rows" not in agg:
+        return _empty_result(**empty)
+    share = [float((2 * 10**6 * int(a) + int(t)) // (2 * int(t)))
+             if int(t) > 0 else np.nan
+             for a, t in zip(agg["nrev"], agg["rev"])]
+    out = pd.DataFrame({
+        "l_year": agg["l_year"].astype(np.int64),
+        "n_rows": agg["n_rows"].astype(np.int64),
+        "nation_e6": agg["nrev"].astype(np.int64),
+        "total_e6": agg["rev"].astype(np.int64),
+        "share_e6": _int_or_float64(pd.Series(share))})
+    return out.sort_values("l_year").reset_index(drop=True)

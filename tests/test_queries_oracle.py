@@ -370,6 +370,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "embedding_quantize": ["label", "n_vecs", "sum_err_e6",
                                "sum_abs_code"],
         "longest_doc_per_lang": ["lang", "doc_id", "n_chars"],
+        "type_cooccurrence_1h": ["type_a", "type_b", "n"],
+        "market_share": ["l_year", "n_rows", "nation_e6", "total_e6",
+                         "share_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -623,6 +626,12 @@ NASTY_QUERIES = [
     # grouped argmax: NULL lang group; the nasty duplicate lengths
     # exercise the MIN-doc_id tie-break
     "longest_doc_per_lang",
+    # temporal self-join: NULL users/ts excluded, NULL types are pair
+    # members; the nasty equal-ts events exercise the id tie order
+    "type_cooccurrence_1h",
+    # Q8 snowflake: NULL custkey/suppkey/price/discount rows drop on
+    # every level; integer half-away share
+    "market_share",
 ]
 
 
