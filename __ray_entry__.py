@@ -592,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_doc_per_lang": q.longest_doc_per_lang,
         "type_cooccurrence_1h": q.type_cooccurrence_1h,
         "market_share": q.market_share,
+        "cluster_representatives": q.cluster_representatives,
+        "top_words_concat": q.top_words_concat,
     }
 
 
@@ -4324,5 +4326,69 @@ def oracle_sql() -> dict[str, str]:
                        // (2 * CAST(total_e6 AS HUGEINT)) AS BIGINT)
                    END AS share_e6
             FROM g ORDER BY l_year
+        """,
+        # quality-priority near-dup representatives: recursive-CTE CC
+        # over the exported pair set; perturbed lengths closed-form
+        "cluster_representatives": "WITH RECURSIVE "
+        + _lsh_pair_ctes(q.CLUSTER_REP_ORACLE_DIR) + """,
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION
+                SELECT id_b, id_a FROM verified),
+            reach(node, lbl) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.lbl
+                FROM reach r JOIN edges e ON e.a = r.node
+                WHERE r.lbl < e.b),
+            minlbl AS (SELECT node, min(lbl) AS lbl
+                       FROM reach GROUP BY node),
+            corpus AS (
+                SELECT doc_id,
+                       CAST(length(coalesce(text, '')) AS BIGINT)
+                           AS qlen
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       CAST(CASE WHEN doc_id % 50 = 0
+                                 THEN length(coalesce(text, ''))
+                                 WHEN position(' ' IN
+                                     coalesce(text, '')) > 0
+                                 THEN length(coalesce(text, ''))
+                                     - position(' ' IN
+                                       coalesce(text, '')) + 5
+                                 ELSE 4 END AS BIGINT)
+                FROM documents WHERE doc_id % 10 = 0),
+            mem AS (SELECT m.node, m.lbl, c.qlen
+                    FROM minlbl m
+                    JOIN corpus c ON c.doc_id = m.node),
+            rr AS (SELECT lbl, node, qlen, ROW_NUMBER() OVER (
+                       PARTITION BY lbl
+                       ORDER BY qlen DESC, node) AS rk
+                   FROM mem),
+            sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+                   FROM mem GROUP BY lbl)
+            SELECT rr.lbl AS cluster, rr.node AS rep_doc,
+                   rr.qlen AS rep_len, sz.n_members
+            FROM rr JOIN sz ON sz.lbl = rr.lbl
+            WHERE rr.rk = 1 ORDER BY rr.lbl""",
+        # ordered string aggregation: top-3 words per lang in exact
+        # (count DESC, word ASC) rank order
+        "top_words_concat": """
+            WITH w AS (
+                SELECT lang,
+                       unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS word
+                FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+                  FROM w GROUP BY 1, 2),
+            r AS (SELECT lang, word, n, ROW_NUMBER() OVER (
+                      PARTITION BY lang
+                      ORDER BY n DESC, word) AS rk
+                  FROM c)
+            SELECT lang,
+                   string_agg(word, ',' ORDER BY rk) AS top_words,
+                   CAST(sum(n) AS BIGINT) AS top_n
+            FROM r WHERE rk <= 3 GROUP BY lang ORDER BY lang
         """,
     }

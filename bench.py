@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "longest_doc_per_lang",
     "type_cooccurrence_1h",
     "market_share",
+    "cluster_representatives",
+    "top_words_concat",
 ]
 
 

@@ -9251,3 +9251,127 @@ def market_share(sf_dir: str) -> pa.Table:
         "total_e6": agg["rev"].astype(np.int64),
         "share_e6": _int_or_float64(pd.Series(share))})
     return out.sort_values("l_year").reset_index(drop=True)
+
+
+CLUSTER_REP_ORACLE_DIR = "/tmp/cckp_cluster_rep_oracle"
+
+
+def cluster_representatives(sf_dir: str) -> pa.Table:
+    """Quality-priority near-dup cluster representatives: for every
+    LSH-verified near-dup cluster of the derived corpus, keep the
+    LONGEST member (tie → min doc_id) — the curation policy that keeps
+    the best version rather than the arbitrary min-id
+    (``minhash_dedup_filtered``) or first-seen (``golden_records``).
+    Fully distributed: verified pair Dataset → min-label propagation
+    connected components → one bucketed join attaching each member's
+    quality length → distributed grouped top-k (k = 1) champion per
+    cluster + sorted-run member counts.  SQL-oracled end-to-end via the
+    stage's oracle export: the oracle recomputes pairs, runs the
+    recursive-CTE CC, re-derives every member's perturbed length
+    CLOSED-FORM (reversal preserves code-point length; the first-word
+    replacement is ``len − pos + 5``), and picks the same champion."""
+    from ..stages.dedup import (cluster_near_dups_dataset,
+                                minhash_lsh_pairs)
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join, restore_plain_ints
+    from ..stages.ranking import grouped_top_k
+
+    empty = dict(cluster="int64", rep_doc="int64", rep_len="int64",
+                 n_members="int64")
+    corpus = _derived_text_corpus(sf_dir).materialize()
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5,
+                              as_dataset=True,
+                              export_oracle_dir=CLUSTER_REP_ORACLE_DIR)
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return _empty_result(**empty)
+    labels = cluster_near_dups_dataset(pairs)
+
+    def qlen(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(t.column("text"), "")
+        return pd.DataFrame({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "qlen": pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    lens = corpus.map_batches(qlen, batch_format="pyarrow")
+    mem = hash_join(labels, lens, on="doc_id").map_batches(
+        restore_plain_ints, batch_format="pandas").materialize()
+    champ = grouped_top_k(mem, key_cols=["cluster_rep"],
+                          order_cols=["qlen", "doc_id"],
+                          descending=[True, False], k=1)
+    sizes = sorted_reduce_by_key_ds(
+        mem.map_batches(
+            lambda df: pd.DataFrame({
+                "cluster_rep": df["cluster_rep"].to_numpy(
+                    dtype=np.int64),
+                "n_members": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        ["cluster_rep"], {"n_members": "sum"})
+    j = hash_join(champ.map_batches(restore_plain_ints,
+                                    batch_format="pandas"),
+                  sizes, on="cluster_rep").to_pandas()
+    if j.empty:
+        return _empty_result(**empty)
+    out = pd.DataFrame({
+        "cluster": j["cluster_rep"].astype(np.int64),
+        "rep_doc": j["doc_id"].astype(np.int64),
+        "rep_len": j["qlen"].astype(np.int64),
+        "n_members": j["n_members"].astype(np.int64)})
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+def top_words_concat(sf_dir: str) -> pa.Table:
+    """Order-sensitive string aggregation: the top-3 words per language
+    (count DESC, word ASC) concatenated in rank order — SQL
+    ``string_agg(word, ',' ORDER BY rk)`` parity, the report-building
+    aggregation whose ORDER the engine must reproduce exactly, not just
+    the member set.  Word counts combine per batch (the shared
+    single-space tokenizer); the per-lang champions ride the
+    distributed grouped top-k; only the O(langs × 3) winners reach the
+    driver for the join.  NULL texts are excluded; NULL lang is a kept
+    group."""
+    from ..stages.ranking import grouped_top_k
+
+    empty = dict(lang=object, top_words=object, top_n="int64")
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        lang = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False)))
+        words = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        rep_lang = np.repeat(lang.to_numpy(), lens)
+        keep = flat != ""
+        if not keep.any():
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"lang": rep_lang[keep], "word": flat[keep],
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "word"], as_index=False).sum()
+
+    counts = _sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "word"], ["n"])
+    top = grouped_top_k(counts, key_cols=["lang"],
+                        order_cols=["n", "word"],
+                        descending=[True, False], k=3).to_pandas()
+    if top.empty:
+        return _empty_result(**empty)
+    top = top.sort_values(["lang", "n", "word"],
+                          ascending=[True, False, True])
+    rows = []
+    for lang, sub in top.groupby("lang", dropna=False):
+        rows.append((lang, ",".join(sub["word"].tolist()),
+                     int(sub["n"].sum())))
+    out = pd.DataFrame(rows, columns=["lang", "top_words", "top_n"])
+    out = _restore_null_keys(out, ["lang"])
+    out["top_n"] = out["top_n"].astype(np.int64)
+    return out.sort_values("lang", na_position="last") \
+        .reset_index(drop=True)

@@ -373,6 +373,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "type_cooccurrence_1h": ["type_a", "type_b", "n"],
         "market_share": ["l_year", "n_rows", "nation_e6", "total_e6",
                          "share_e6"],
+        "cluster_representatives": ["cluster", "rep_doc", "rep_len",
+                                    "n_members"],
+        "top_words_concat": ["lang", "top_words", "top_n"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -632,6 +635,12 @@ NASTY_QUERIES = [
     # Q8 snowflake: NULL custkey/suppkey/price/discount rows drop on
     # every level; integer half-away share
     "market_share",
+    # quality-priority representatives: the nasty NULL-text and dup
+    # seeds exercise the qlen-0 members and the champion tie-break
+    "cluster_representatives",
+    # ordered string agg on the exotic-whitespace tokenizer; NULL lang
+    # group; the rank ORDER must survive the distributed top-k
+    "top_words_concat",
 ]
 
 
