@@ -594,6 +594,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": q.market_share,
         "cluster_representatives": q.cluster_representatives,
         "top_words_concat": q.top_words_concat,
+        "url_depth_profile": q.url_depth_profile,
+        "boilerplate_rate_by_source": q.boilerplate_rate_by_source,
+        "ewma_daily": q.ewma_daily,
     }
 
 
@@ -4390,5 +4393,81 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(word, ',' ORDER BY rk) AS top_words,
                    CAST(sum(n) AS BIGINT) AS top_n
             FROM r WHERE rk <= 3 GROUP BY lang ORDER BY lang
+        """,
+        # per-host URL structure: slash depth past scheme+host, query
+        # incidence; NULL canonical urls excluded (NULL source policy)
+        "url_depth_profile": _URL_CANON_CTE + """
+            SELECT NULLIF(lower(regexp_extract(canonical_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                   '') AS host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(length(regexp_replace(canonical_url,
+                        '[^/]', '', 'g')) - 2) AS BIGINT) AS sum_depth,
+                   CAST(sum(CASE WHEN canonical_url LIKE '%?%'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_query
+            FROM canon WHERE canonical_url IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        # boilerplate incidence per source: paragraph_dedup derivation,
+        # global-recurrence tag, integer half-away rate
+        "boilerplate_rate_by_source": """
+            WITH d AS (
+                SELECT source, text, length(text) AS l
+                FROM documents WHERE text IS NOT NULL),
+            j AS (SELECT source,
+                         substr(text, 1, l // 2) || chr(10)
+                         || substr(text, l // 2 + 1) AS t2
+                  FROM d),
+            p AS (SELECT source,
+                         unnest(string_split(t2, chr(10))) AS para
+                  FROM j),
+            g AS (SELECT para, source, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2),
+            gl AS (SELECT para, CAST(sum(n) AS BIGINT) AS n_glob
+                   FROM g GROUP BY 1),
+            r AS (SELECT g.source, g.n,
+                         CASE WHEN gl.n_glob > 1 THEN g.n
+                              ELSE 0 END AS nb
+                  FROM g JOIN gl ON gl.para = g.para),
+            s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_paras,
+                         CAST(sum(nb) AS BIGINT) AS n_boiler
+                  FROM r GROUP BY 1)
+            SELECT source, n_paras, n_boiler,
+                   CASE WHEN n_paras > 0 THEN CAST(
+                       (2 * 1000000 * CAST(n_boiler AS HUGEINT)
+                        + CAST(n_paras AS HUGEINT))
+                       // (2 * CAST(n_paras AS HUGEINT)) AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS boiler_rate_e6
+            FROM s ORDER BY source
+        """,
+        # exact half-life EWMA over the trailing 30-day window: the
+        # recurrence closes to an integer numerator over 2^29
+        "ewma_daily": """
+            WITH d AS (
+                SELECT event_type,
+                       epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS day_i,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            mx AS (SELECT event_type, max(day_i) AS mday
+                   FROM d GROUP BY 1),
+            w AS (SELECT d.event_type, d.n,
+                         CAST(d.day_i - (mx.mday - 29) AS BIGINT)
+                             AS off
+                  FROM d JOIN mx
+                    ON mx.event_type IS NOT DISTINCT FROM d.event_type
+                  WHERE d.day_i >= mx.mday - 29),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(n * (CASE WHEN off = 0 THEN 1
+                              ELSE (CAST(1 AS BIGINT) << (off - 1))
+                              END)) AS BIGINT) AS num
+                  FROM w GROUP BY 1)
+            SELECT event_type, n_days, num,
+                   CAST((2 * 1000000 * CAST(num AS HUGEINT)
+                         + 536870912)
+                        // (2 * CAST(536870912 AS HUGEINT))
+                        AS BIGINT) AS ewma_e6
+            FROM s ORDER BY event_type
         """,
     }

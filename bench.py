@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "market_share",
     "cluster_representatives",
     "top_words_concat",
+    "url_depth_profile",
+    "boilerplate_rate_by_source",
+    "ewma_daily",
 ]
 
 

@@ -9375,3 +9375,195 @@ def top_words_concat(sf_dir: str) -> pa.Table:
     out["top_n"] = out["top_n"].astype(np.int64)
     return out.sort_values("lang", na_position="last") \
         .reset_index(drop=True)
+
+
+def url_depth_profile(sf_dir: str) -> pa.Table:
+    """Per-host URL structure profile over the canonicalized crawl
+    frontier: path depth (slash count past the scheme+host — canonical
+    urls always carry exactly two scheme slashes and a bare host, so
+    ``count('/') − 2``) and query-string incidence — the crawl-shape
+    diagnostic for per-host politeness budgets.  One pass over the
+    derived url corpus through the shared RE2 canonicalizer; counters
+    are Arrow substring-count kernels; rows whose canonical url is
+    NULL (NULL source → NULL url) are excluded (documented, mirrored
+    in the oracle).  All-integer output."""
+    from ..functions.urls import canonicalize_urls, url_hosts
+
+    urls = _derived_url_corpus(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cu = canonicalize_urls(t.column("url"))
+        m = pc.is_valid(cu)
+        cu = cu.filter(m)
+        if len(cu) == 0:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_urls": pd.Series([], dtype="int64"),
+                "sum_depth": pd.Series([], dtype="int64"),
+                "n_query": pd.Series([], dtype="int64")})
+        host = url_hosts(cu).to_pandas().astype(object)
+        depth = pc.count_substring(cu, "/") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) - 2
+        hasq = (pc.count_substring(cu, "?")
+                .to_numpy(zero_copy_only=False) > 0).astype(np.int64)
+        df = pd.DataFrame({"host": host, "n_urls": np.int64(1),
+                           "sum_depth": depth, "n_query": hasq})
+        return df.groupby("host", as_index=False).sum()
+
+    g = _sum_by_key(urls.map_batches(partial, batch_format="pyarrow"),
+                    ["host"], ["n_urls", "sum_depth", "n_query"]) \
+        .to_pandas()
+    if g.empty or "n_urls" not in g:
+        return _empty_result(host=object, n_urls="int64",
+                             sum_depth="int64", n_query="int64")
+    for c in ("n_urls", "sum_depth", "n_query"):
+        g[c] = g[c].astype(np.int64)
+    return g[["host", "n_urls", "sum_depth", "n_query"]] \
+        .sort_values("host").reset_index(drop=True)
+
+
+def boilerplate_rate_by_source(sf_dir: str) -> pa.Table:
+    """Per-source boilerplate incidence (CCNet/RefinedWeb diagnostic):
+    the fraction of paragraph INSTANCES whose text recurs anywhere in
+    the corpus — the signal that decides whether a source needs
+    paragraph-level dedup before training.  Paragraphs follow the
+    ``paragraph_dedup`` derivation (each text newline-joined at its
+    code-point midpoint, then split on every newline, so embedded
+    newlines split too — SQL ``string_split`` parity).  Scale shape:
+    instances carry the 128-bit content key (ints-only exchange, the
+    ``_pair_keys`` motif); per-(key, source) counts and per-key global
+    counts both ride the sorted-run reduction; one bucketed join tags
+    boilerplate; the surface is the bounded per-source grid with the
+    integer half-away rate.  NULL texts are excluded; NULL source is
+    a kept group."""
+    from ..stages.dedup import _pair_keys
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join, restore_plain_ints
+
+    empty = dict(source=object, n_paras="int64", n_boiler="int64",
+                 boiler_rate_e6="int64")
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def paras(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "h1": pd.Series([], dtype="int64"),
+                "h2": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        joined = [(s := x)[: len(s) // 2] + "\n" + s[len(s) // 2:]
+                  for x in texts]
+        arr = pa.array(joined, type=pa.string())
+        parts = pc.split_pattern(arr, "\n")
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+        src = np.repeat(_sentinel_nulls(pd.Series(
+            t.column("source").to_numpy(zero_copy_only=False)))
+            .to_numpy(), lens)
+        h1, h2 = _pair_keys(flat)
+        df = pd.DataFrame({"h1": h1, "h2": h2, "source": src,
+                           "n": np.int64(1)})
+        return df.groupby(["h1", "h2", "source"], as_index=False).sum()
+
+    per_src = sorted_reduce_by_key_ds(
+        ds.map_batches(paras, batch_format="pyarrow"),
+        ["h1", "h2", "source"], {"n": "sum"}).materialize()
+    if per_src.count() == 0:
+        return _empty_result(**empty)
+    glob = sorted_reduce_by_key_ds(
+        per_src.map_batches(
+            lambda df: df.rename(columns={"n": "n_glob"})[
+                ["h1", "h2", "n_glob"]],
+            batch_format="pandas"),
+        ["h1", "h2"], {"n_glob": "sum"})
+    j = hash_join(per_src, glob, on=["h1", "h2"])
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_paras": pd.Series([], dtype="int64"),
+                "n_boiler": pd.Series([], dtype="int64")})
+        df = restore_plain_ints(df)
+        n = df["n"].to_numpy(dtype=np.int64)
+        boiler = (df["n_glob"].to_numpy(dtype=np.int64) > 1) \
+            .astype(np.int64)
+        g = pd.DataFrame({"source": df["source"], "n_paras": n,
+                          "n_boiler": n * boiler})
+        return g.groupby("source", as_index=False).sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["source"], ["n_paras", "n_boiler"]).to_pandas()
+    if agg.empty or "n_paras" not in agg:
+        return _empty_result(**empty)
+    agg = _restore_null_keys(agg, ["source"])
+    np_, nb = (agg["n_paras"].to_numpy(dtype=np.int64),
+               agg["n_boiler"].to_numpy(dtype=np.int64))
+    rate = np.array([(2 * 10**6 * int(b) + int(t)) // (2 * int(t))
+                     if t > 0 else 0 for b, t in zip(nb, np_)],
+                    dtype=np.int64)
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_paras": np_.astype(np.int64),
+        "n_boiler": nb.astype(np.int64),
+        "boiler_rate_e6": rate})
+    return out.sort_values("source", na_position="last") \
+        .reset_index(drop=True)
+
+
+def ewma_daily(sf_dir: str) -> pa.Table:
+    """EXACT α=½ exponentially-weighted moving average of daily event
+    counts over each type's trailing 30-day calendar window — the
+    monitoring smoother, computed with NO float recurrence anywhere:
+    missing days are zeros, so the recurrence ``s_t = (x_t + s_{t−1})/2``
+    closes to the integer numerator ``N = x₀ + Σ_{t≥1} x_t·2^{t−1}``
+    over ``D = 2^29``, and the e6 surface is the integer half-away
+    ratio on arbitrary-precision ints (HUGEINT in the oracle) — a
+    float EWMA loop would drift by ulps per day; this one is
+    bit-reproducible forever.  One combiner pass folds the corpus to
+    the bounded (type × day) grid; the window fold is driver-side on
+    that grid (the ``daily_autocorr`` precedent).  NULL timestamps
+    are excluded; NULL event_type is a group."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day_i": us // _DAY_US,
+            "n": np.int64(1)})
+        return df.groupby(["event_type", "day_i"], as_index=False).sum()
+
+    grid = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "day_i"], ["n"]).to_pandas()
+    empty = dict(event_type=object, n_days="int64", num="int64",
+                 ewma_e6="int64")
+    if grid.empty or "n" not in grid:
+        return _empty_result(**empty)
+    rows = []
+    den = 2**29
+    for ty, sub in grid.groupby("event_type", dropna=False):
+        d = sub["day_i"].to_numpy(dtype=np.int64)
+        n = sub["n"].to_numpy(dtype=np.int64)
+        mday = int(d.max())
+        win = d >= mday - 29
+        off = (d[win] - (mday - 29)).astype(np.int64)
+        xs = n[win]
+        num = sum(int(x) * (1 if o == 0 else 1 << (int(o) - 1))
+                  for x, o in zip(xs, off))
+        ewma = (2 * 10**6 * num + den) // (2 * den)
+        rows.append((ty, int(win.sum()), num, ewma))
+    m = pd.DataFrame(rows, columns=["event_type", "n_days", "num",
+                                    "ewma_e6"])
+    m = _restore_null_keys(m, ["event_type"])
+    for c in ("n_days", "num", "ewma_e6"):
+        m[c] = m[c].astype(np.int64)
+    return m.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

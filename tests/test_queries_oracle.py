@@ -376,6 +376,11 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "cluster_representatives": ["cluster", "rep_doc", "rep_len",
                                     "n_members"],
         "top_words_concat": ["lang", "top_words", "top_n"],
+        "url_depth_profile": ["host", "n_urls", "sum_depth",
+                              "n_query"],
+        "boilerplate_rate_by_source": ["source", "n_paras",
+                                       "n_boiler", "boiler_rate_e6"],
+        "ewma_daily": ["event_type", "n_days", "num", "ewma_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -641,6 +646,15 @@ NASTY_QUERIES = [
     # ordered string agg on the exotic-whitespace tokenizer; NULL lang
     # group; the rank ORDER must survive the distributed top-k
     "top_words_concat",
+    # url depth: NULL source -> NULL canonical rows excluded on both
+    # sides; canonicalizer parity on the nasty url classes
+    "url_depth_profile",
+    # boilerplate rate: NULL source group, NULL texts excluded, the
+    # nasty embedded newlines split into extra paragraph instances
+    "boilerplate_rate_by_source",
+    # exact EWMA: NULL ts excluded, NULL type group, pre-1970 and
+    # isolated days window identically
+    "ewma_daily",
 ]
 
 
