@@ -597,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_depth_profile": q.url_depth_profile,
         "boilerplate_rate_by_source": q.boilerplate_rate_by_source,
         "ewma_daily": q.ewma_daily,
+        "dedup_method_overlap": q.dedup_method_overlap,
+        "docs_above_lang_median": q.docs_above_lang_median,
     }
 
 
@@ -4469,5 +4471,45 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * CAST(536870912 AS HUGEINT))
                         AS BIGINT) AS ewma_e6
             FROM s ORDER BY event_type
+        """,
+        # method-agreement report: both pair sets recomputed from the
+        # engines' own exports; zero-pair methods emit no row
+        "dedup_method_overlap": "WITH "
+        + _lsh_pair_ctes(q.OVL_MH_DIR) + f""",
+            shs AS (SELECT * FROM
+                    read_parquet('{q.OVL_SH_DIR}/*.parquet')),
+            sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            mp AS (SELECT id_a, id_b FROM verified),
+            tb AS (SELECT m.id_a FROM mp m JOIN sp s
+                       ON s.id_a = m.id_a AND s.id_b = m.id_b),
+            u AS (
+                SELECT 'minhash' AS method,
+                       CAST(count(*) AS BIGINT) AS n_pairs,
+                       (SELECT CAST(count(*) AS BIGINT) FROM tb)
+                           AS n_both
+                FROM mp HAVING count(*) > 0
+                UNION ALL
+                SELECT 'simhash', CAST(count(*) AS BIGINT),
+                       (SELECT CAST(count(*) AS BIGINT) FROM tb)
+                FROM sp HAVING count(*) > 0)
+            SELECT method, n_pairs, n_both FROM u ORDER BY method""",
+        # tag-against-group-aggregate: exact quantile_disc median,
+        # NULL-safe group join, vectorized three-way census
+        "docs_above_lang_median": """
+            WITH d AS (SELECT lang, n_chars FROM documents
+                       WHERE n_chars IS NOT NULL),
+            m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                  FROM d GROUP BY 1)
+            SELECT d.lang, CAST(m.med AS BIGINT) AS med,
+                   CAST(sum(CASE WHEN d.n_chars > m.med
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                   CAST(sum(CASE WHEN d.n_chars = m.med
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+                   CAST(sum(CASE WHEN d.n_chars < m.med
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+            FROM d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang
+            GROUP BY 1, 2 ORDER BY 1
         """,
     }

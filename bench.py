@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "url_depth_profile",
     "boilerplate_rate_by_source",
     "ewma_daily",
+    "dedup_method_overlap",
+    "docs_above_lang_median",
 ]
 
 

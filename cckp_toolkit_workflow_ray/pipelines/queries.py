@@ -9567,3 +9567,121 @@ def ewma_daily(sf_dir: str) -> pa.Table:
         m[c] = m[c].astype(np.int64)
     return m.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+OVL_MH_DIR = "/tmp/cckp_overlap_mh_oracle"
+OVL_SH_DIR = "/tmp/cckp_overlap_sh_oracle/sims"
+
+
+def dedup_method_overlap(sf_dir: str) -> pa.Table:
+    """Near-dup METHOD agreement report: the MinHash-LSH (Jaccard ≥
+    0.5) and SimHash (hamming ≤ 3) pair sets over the same derived
+    corpus, with their intersection — the calibration diagnostic that
+    tells a curation run whether the cheap SimHash pass can replace
+    the LSH pass on a given corpus.  Both pair engines are the
+    existing distributed stages (each exporting its own oracle
+    tables); the overlap is a driver-side indicator merge on the
+    candidate-bounded pair frames.  A method with zero pairs emits no
+    row (SQL HAVING parity)."""
+    import os
+    import shutil
+
+    from ..stages.dedup import (doc_simhash64, minhash_lsh_pairs,
+                                simhash_pairs)
+
+    corpus = _derived_text_corpus(sf_dir).materialize()
+    mh = minhash_lsh_pairs(corpus, jaccard_threshold=0.5,
+                           export_oracle_dir=OVL_MH_DIR)
+
+    def sims(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "simhash": pa.array(
+                doc_simhash64(texts).astype(np.int64),
+                type=pa.int64())})
+
+    shutil.rmtree(os.path.dirname(OVL_SH_DIR), ignore_errors=True)
+    os.makedirs(OVL_SH_DIR, exist_ok=True)
+    corpus.map_batches(sims, batch_format="pyarrow").write_parquet(
+        OVL_SH_DIR)
+    sh = simhash_pairs(corpus, max_hamming=3)[["id_a", "id_b"]]
+
+    mh = mh[["id_a", "id_b"]]
+    both = mh.merge(sh, on=["id_a", "id_b"], how="inner")
+    rows = []
+    if len(mh):
+        rows.append(("minhash", len(mh), len(both)))
+    if len(sh):
+        rows.append(("simhash", len(sh), len(both)))
+    out = pd.DataFrame(rows, columns=["method", "n_pairs", "n_both"])
+    if out.empty:
+        return _empty_result(method=object, n_pairs="int64",
+                             n_both="int64")
+    for c in ("n_pairs", "n_both"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("method").reset_index(drop=True)
+
+
+def docs_above_lang_median(sf_dir: str) -> pa.Table:
+    """Tag-against-group-aggregate: per language, how many documents
+    sit above / at / below their language's EXACT median length — the
+    aggregate-then-broadcast-back-to-rows shape (compute a per-group
+    statistic distributed, ship the tiny result to every task, tag the
+    stream without a second shuffle).  The median is the distributed
+    exact grouped selection (SQL ``quantile_disc(0.5)`` rank rule);
+    the tagging pass is one vectorized comparison against the
+    broadcast per-lang table.  NULL n_chars rows are excluded; NULL
+    lang is a kept group."""
+    import ray
+
+    from ..stages.groupagg import exact_grouped_quantiles
+
+    empty = dict(lang=object, med="int64", n_above="int64",
+                 n_equal="int64", n_below="int64")
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("n_chars")))
+        return pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+
+    filt = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    med = exact_grouped_quantiles(filt, "lang", "n_chars", [0.5])
+    if med.empty:
+        return _empty_result(**empty)
+    med = med.rename(columns={"q50": "med"})
+    ref = ray.put(med[["lang", "med"]])
+
+    def tag(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "n_above": pd.Series([], dtype="int64"),
+                "n_equal": pd.Series([], dtype="int64"),
+                "n_below": pd.Series([], dtype="int64")})
+        m = df.merge(ray.get(_ref), on="lang")
+        v = m["n_chars"].to_numpy(dtype=np.int64)
+        q = m["med"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({
+            "lang": m["lang"],
+            "n_above": (v > q).astype(np.int64),
+            "n_equal": (v == q).astype(np.int64),
+            "n_below": (v < q).astype(np.int64)})
+        return g.groupby("lang", as_index=False).sum()
+
+    agg = _sum_by_key(filt.map_batches(tag, batch_format="pandas"),
+                      ["lang"],
+                      ["n_above", "n_equal", "n_below"]).to_pandas()
+    if agg.empty or "n_above" not in agg:
+        return _empty_result(**empty)
+    agg = agg.merge(med, on="lang")
+    agg = _restore_null_keys(agg, ["lang"])
+    agg["med"] = agg["med"].astype(np.int64)
+    for c in ("n_above", "n_equal", "n_below"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["lang", "med", "n_above", "n_equal", "n_below"]] \
+        .sort_values("lang", na_position="last").reset_index(drop=True)

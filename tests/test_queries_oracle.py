@@ -381,6 +381,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "boilerplate_rate_by_source": ["source", "n_paras",
                                        "n_boiler", "boiler_rate_e6"],
         "ewma_daily": ["event_type", "n_days", "num", "ewma_e6"],
+        "dedup_method_overlap": ["method", "n_pairs", "n_both"],
+        "docs_above_lang_median": ["lang", "med", "n_above",
+                                   "n_equal", "n_below"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -655,6 +658,12 @@ NASTY_QUERIES = [
     # exact EWMA: NULL ts excluded, NULL type group, pre-1970 and
     # isolated days window identically
     "ewma_daily",
+    # method agreement: both pair engines on the nasty dup seeds and
+    # NULL texts; zero-pair methods must drop their row
+    "dedup_method_overlap",
+    # tag-vs-group-median: NULL lang group joins NULL-safely; the
+    # nasty duplicate lengths exercise the = bucket
+    "docs_above_lang_median",
 ]
 
 
