@@ -7596,7 +7596,9 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     (supplier nation → customer nation) pair per ship year — the
     double-dimension enrichment + three-key rollup shape.  Both nation
     dimensions ship ONCE via ``ray.put`` (supplier→nation onto
-    lineitem batches, customer→nation onto orders batches); the only
+    lineitem batches, customer→nation onto orders batches) as INTEGER
+    nation keys — names are restored only on the bounded surface, so
+    the exchange is ints-only; the only
     shuffle is the orders ⋈ lineitem key exchange; the final rollup is
     a bounded (25 × 25 × years) keyed sum.  Rows with NULL
     shipdate/price/discount/suppkey/custkey drop (SQL inner-join
@@ -7611,18 +7613,23 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
                  n_rows="int64", revenue_e6="int64")
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"]).to_pandas()
+    # ints-only exchange: ship the nation KEY through the shuffle and
+    # restore names only on the bounded (25×25×years) surface — nation
+    # name strings through a 6M-row key exchange cost ~2× the bytes
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"]) \
         .to_pandas().merge(nat, left_on="s_nationkey",
-                           right_on="n_nationkey") \
-        .rename(columns={"n_name": "supp_nation"})
+                           right_on="n_nationkey")
+    sup["sn"] = sup["n_nationkey"].astype(np.int64)
     cus = pq.read_table(f"{sf_dir}/customer.parquet",
                         columns=["c_custkey", "c_nationkey"]) \
         .to_pandas().merge(nat, left_on="c_nationkey",
-                           right_on="n_nationkey") \
-        .rename(columns={"n_name": "cust_nation"})
-    s_ref = ray.put(sup[["s_suppkey", "supp_nation"]])
-    c_ref = ray.put(cus[["c_custkey", "cust_nation"]])
+                           right_on="n_nationkey")
+    cus["cn"] = cus["n_nationkey"].astype(np.int64)
+    s_ref = ray.put(sup[["s_suppkey", "sn"]]
+                    .astype({"s_suppkey": "int64"}))
+    c_ref = ray.put(cus[["c_custkey", "cn"]]
+                    .astype({"c_custkey": "int64"}))
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate",
@@ -7648,8 +7655,8 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             "rev": _round_half_away(1e6 * (p * (1 - d)))
             .astype(np.int64), "n_rows": np.int64(1)})
         m2 = df.merge(ray.get(_ref), on="s_suppkey")
-        # pre-combine: one row per (order, supp_nation, year) partial
-        return m2.groupby(["l_orderkey", "supp_nation", "l_year"],
+        # pre-combine: one row per (order, supp-nation-key, year)
+        return m2.groupby(["l_orderkey", "sn", "l_year"],
                           as_index=False)[["rev", "n_rows"]].sum()
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -7662,7 +7669,7 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
             .to_numpy(zero_copy_only=False)})
         return df.merge(ray.get(_ref), on="c_custkey")[
-            ["l_orderkey", "cust_nation"]]
+            ["l_orderkey", "cn"]]
 
     l_ds = li.map_batches(li_clean,
                           batch_format="pyarrow").materialize()
@@ -7675,20 +7682,23 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({
-                "supp_nation": pd.Series([], dtype=object),
-                "cust_nation": pd.Series([], dtype=object),
+                "sn": pd.Series([], dtype="int64"),
+                "cn": pd.Series([], dtype="int64"),
                 "l_year": pd.Series([], dtype="int64"),
                 "n_rows": pd.Series([], dtype="int64"),
                 "rev": pd.Series([], dtype="int64")})
-        return df.groupby(["supp_nation", "cust_nation", "l_year"],
+        return df.groupby(["sn", "cn", "l_year"],
                           as_index=False)[["n_rows", "rev"]].sum()
 
     agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
-                      ["supp_nation", "cust_nation", "l_year"],
+                      ["sn", "cn", "l_year"],
                       ["n_rows", "rev"]).to_pandas()
     if agg.empty or "rev" not in agg:
         return _empty_result(**empty)
     agg = agg.rename(columns={"rev": "revenue_e6"})
+    names = nat.set_index(nat["n_nationkey"].astype(np.int64))["n_name"]
+    agg["supp_nation"] = agg["sn"].astype(np.int64).map(names)
+    agg["cust_nation"] = agg["cn"].astype(np.int64).map(names)
     for c in ("l_year", "n_rows", "revenue_e6"):
         agg[c] = agg[c].astype(np.int64)
     return agg[["supp_nation", "cust_nation", "l_year", "n_rows",
