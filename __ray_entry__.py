@@ -599,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": q.ewma_daily,
         "dedup_method_overlap": q.dedup_method_overlap,
         "docs_above_lang_median": q.docs_above_lang_median,
+        "order_backlog_daily": q.order_backlog_daily,
     }
 
 
@@ -4511,5 +4512,39 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below
             FROM d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        # sweep-line interval count: +1/-1 deltas, dense calendar span,
+        # cumulative window sum
+        "order_backlog_daily": """
+            WITH e AS (
+                SELECT l_orderkey,
+                       max(epoch_us(date_trunc('day', l_shipdate))
+                           // 86400000000) AS end_day
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                GROUP BY 1),
+            o AS (SELECT o_orderkey,
+                         epoch_us(date_trunc('day', o_orderdate))
+                             // 86400000000 AS start_day
+                  FROM orders
+                  WHERE o_orderkey IS NOT NULL
+                    AND o_orderdate IS NOT NULL),
+            iv AS (SELECT o.start_day AS s,
+                          greatest(o.start_day, e.end_day) AS t
+                   FROM o JOIN e ON e.l_orderkey = o.o_orderkey),
+            d AS (SELECT day_i, CAST(sum(delta) AS BIGINT) AS delta
+                  FROM (SELECT s AS day_i, 1 AS delta FROM iv
+                        UNION ALL
+                        SELECT t + 1, -1 FROM iv) u
+                  GROUP BY 1),
+            bounds AS (SELECT min(s) AS lo, max(t) AS hi FROM iv),
+            days AS (SELECT unnest(range(lo, hi + 1)) AS day_i
+                     FROM bounds)
+            SELECT CAST(days.day_i AS BIGINT) AS day_i,
+                   CAST(sum(coalesce(d.delta, 0)) OVER (
+                       ORDER BY days.day_i
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+            FROM days LEFT JOIN d USING (day_i) ORDER BY day_i
         """,
     }

@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "ewma_daily",
     "dedup_method_overlap",
     "docs_above_lang_median",
+    "order_backlog_daily",
 ]
 
 

@@ -9695,3 +9695,94 @@ def docs_above_lang_median(sf_dir: str) -> pa.Table:
         agg[c] = agg[c].astype(np.int64)
     return agg[["lang", "med", "n_above", "n_equal", "n_below"]] \
         .sort_values("lang", na_position="last").reset_index(drop=True)
+
+
+def order_backlog_daily(sf_dir: str) -> pa.Table:
+    """Daily open-order backlog — the sweep-line interval-count shape:
+    an order is OPEN from its order day through its last ship day
+    (inclusive), and the backlog on day d is the number of open
+    intervals covering d.  Scale shape: per-order last-ship rides the
+    sorted-run keyed MAX (order cardinality); one bucketed join pairs
+    it with the order day; every interval then collapses to two DELTA
+    events (+1 at start, −1 past end) combined per batch, so the only
+    driver-side object is the bounded (calendar × ±1) delta grid whose
+    prefix sum is the backlog — the corpus never funnels through the
+    driver and nothing quadratic in interval length is ever
+    materialized.  Orders with a NULL order date or no shipped
+    lineitem drop (inner parity); backlog days run from each interval
+    start to its end only (zero-backlog gap days are reported too —
+    the day domain is the contiguous [min_day, max_day] span)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join, restore_plain_ints
+
+    _DAY_US = 86_400 * 10**6
+    empty = dict(day_i="int64", n_open="int64")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_max(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_shipdate"))))
+        us = pc.cast(t.column("l_shipdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "end_day": us // _DAY_US})
+        return df.groupby("o_orderkey", as_index=False).max()
+
+    per_order = sorted_reduce_by_key_ds(
+        li.map_batches(li_max, batch_format="pyarrow"),
+        ["o_orderkey"], {"end_day": "max"}).materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("o_orderkey")),
+                             pc.is_valid(t.column("o_orderdate"))))
+        us = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "start_day": us // _DAY_US})
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if per_order.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(per_order, o_ds, on="o_orderkey")
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "day_i": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="int64")})
+        df = restore_plain_ints(df)
+        s = df["start_day"].to_numpy(dtype=np.int64)
+        e = df["end_day"].to_numpy(dtype=np.int64)
+        # an order whose last ship precedes its start still spans its
+        # start day (end = max(start, end)) — closed interval policy
+        e = np.maximum(s, e)
+        g = pd.DataFrame({
+            "day_i": np.concatenate((s, e + 1)),
+            "delta": np.concatenate((
+                np.ones(len(s), dtype=np.int64),
+                -np.ones(len(s), dtype=np.int64)))})
+        return g.groupby("day_i", as_index=False).sum()
+
+    grid = _sum_by_key(j.map_batches(deltas, batch_format="pandas"),
+                       ["day_i"], ["delta"]).to_pandas()
+    if grid.empty or "delta" not in grid:
+        return _empty_result(**empty)
+    grid = grid.sort_values("day_i").reset_index(drop=True)
+    days = grid["day_i"].to_numpy(dtype=np.int64)
+    dense = np.arange(days[0], days[-1])  # [min, max_close) span
+    deltas_dense = np.zeros(len(dense), dtype=np.int64)
+    idx = np.searchsorted(dense, days[:-1])
+    # the final +(-1) day closes the last interval — outside the span
+    deltas_dense[idx] = grid["delta"].to_numpy(dtype=np.int64)[:-1]
+    out = pd.DataFrame({
+        "day_i": dense,
+        "n_open": np.cumsum(deltas_dense)})
+    out["day_i"] = out["day_i"].astype(np.int64)
+    out["n_open"] = out["n_open"].astype(np.int64)
+    return out.reset_index(drop=True)

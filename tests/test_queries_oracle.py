@@ -384,6 +384,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "dedup_method_overlap": ["method", "n_pairs", "n_both"],
         "docs_above_lang_median": ["lang", "med", "n_above",
                                    "n_equal", "n_below"],
+        "order_backlog_daily": ["day_i", "n_open"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -664,6 +665,9 @@ NASTY_QUERIES = [
     # tag-vs-group-median: NULL lang group joins NULL-safely; the
     # nasty duplicate lengths exercise the = bucket
     "docs_above_lang_median",
+    # sweep-line backlog: NULL orderdates drop; extra nasty orders
+    # with no lineitems drop (inner parity)
+    "order_backlog_daily",
 ]
 
 
