@@ -600,6 +600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_overlap": q.dedup_method_overlap,
         "docs_above_lang_median": q.docs_above_lang_median,
         "order_backlog_daily": q.order_backlog_daily,
+        "tokens_per_char_ols": q.tokens_per_char_ols,
+        "quality_funnel": q.quality_funnel,
+        "top_event_trigrams": q.top_event_trigrams,
     }
 
 
@@ -4546,5 +4549,84 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY days.day_i
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
             FROM days LEFT JOIN d USING (day_i) ORDER BY day_i
+        """,
+        # per-lang OLS calibration line: exact integer moments, shared
+        # closed-form operand order (the corr_chars_tokens convention)
+        "tokens_per_char_ols": """
+            WITH d AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) AS BIGINT)
+                           AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+            m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM d GROUP BY lang),
+            r AS (SELECT lang, n_pairs,
+                         (CAST(n_pairs AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy) AS num,
+                         (CAST(n_pairs AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx) AS den,
+                         CAST(sy AS DOUBLE) AS syd,
+                         CAST(sx AS DOUBLE) AS sxd,
+                         CAST(n_pairs AS DOUBLE) AS nd
+                  FROM m)
+            SELECT lang, n_pairs,
+                   CASE WHEN den > 0
+                        THEN CAST(round(1000000 * (num / den))
+                                  AS BIGINT) END AS slope_e6,
+                   CASE WHEN den > 0
+                        THEN CAST(round(1000000 * ((syd
+                             - (num / den) * sxd) / nd)) AS BIGINT)
+                   END AS intercept_e6
+            FROM r ORDER BY lang
+        """,
+        # stacked quality gates: NULL text/n_chars fail gate 1
+        "quality_funnel": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                        AND n_chars >= 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_len_ok,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                        AND n_chars >= 100
+                        AND len(regexp_extract_all(text, '[.!?]')) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sentence_ok,
+                   CAST(sum(CASE WHEN text IS NOT NULL
+                        AND n_chars >= 100
+                        AND len(regexp_extract_all(text, '[.!?]')) > 0
+                        AND len(list_filter(string_split(text, ' '),
+                                w -> w <> '')) >= 20
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_ok
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # order-3 sequence mining: LAG×2 inside the user partition,
+        # row-counter guard so a NULL STATE stays distinct from "no
+        # previous event"; engine sentinel sorts first -> NULLS FIRST
+        "top_event_trigrams": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       event_type
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            l AS (SELECT event_type AS t3,
+                         LAG(event_type, 1) OVER w AS t2,
+                         LAG(event_type, 2) OVER w AS t1,
+                         ROW_NUMBER() OVER w AS rn
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY us, event_id)),
+            g AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+                  FROM l WHERE rn >= 3 GROUP BY 1, 2, 3),
+            r AS (SELECT t1, t2, t3, n, CAST(ROW_NUMBER() OVER (
+                      ORDER BY n DESC, t1 ASC NULLS FIRST,
+                               t2 ASC NULLS FIRST, t3 ASC NULLS FIRST)
+                      AS BIGINT) AS rk
+                  FROM g)
+            SELECT t1, t2, t3, n, rk FROM r WHERE rk <= 5
+            ORDER BY rk
         """,
     }

@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "dedup_method_overlap",
     "docs_above_lang_median",
     "order_backlog_daily",
+    "tokens_per_char_ols",
+    "quality_funnel",
+    "top_event_trigrams",
 ]
 
 

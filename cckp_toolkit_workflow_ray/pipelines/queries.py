@@ -9786,3 +9786,177 @@ def order_backlog_daily(sf_dir: str) -> pa.Table:
     out["day_i"] = out["day_i"].astype(np.int64)
     out["n_open"] = out["n_open"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def tokens_per_char_ols(sf_dir: str) -> pa.Table:
+    """Per-language OLS regression of whitespace token count on
+    document length — the tokens-per-char calibration line a budget
+    planner uses to convert byte budgets to token budgets.  The same
+    exact-integer moment sums as ``corr_chars_tokens``; the only float
+    arithmetic is the two closed forms (slope, intercept) evaluated
+    with the IDENTICAL operand order as the oracle.  Pairwise NULL
+    exclusion; NULL lang is a group; zero-variance groups yield NULL
+    slope and intercept."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("n_chars")),
+                             pc.is_valid(t.column("text"))))
+        x = t.column("n_chars").to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        y = pc.count_substring_regex(t.column("text"), "[^ ]+") \
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_pairs": 1, "sx": x, "sy": y, "sxy": x * y,
+            "sxx": x * x})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(),
+            preserve_index=False)
+
+    s = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"],
+                    ["n_pairs", "sx", "sy", "sxy", "sxx"]).to_pandas()
+    empty = dict(lang=object, n_pairs="int64", slope_e6="int64",
+                 intercept_e6="int64")
+    if s.empty or "n_pairs" not in s:
+        return _empty_result(**empty)
+    s = _restore_null_keys(s, ["lang"])
+    n = s["n_pairs"].to_numpy(dtype=np.int64).astype(np.float64)
+    sx = s["sx"].to_numpy(dtype=np.int64).astype(np.float64)
+    sy = s["sy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxy = s["sxy"].to_numpy(dtype=np.int64).astype(np.float64)
+    sxx = s["sxx"].to_numpy(dtype=np.int64).astype(np.float64)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(den > 0.0, num / np.where(den > 0.0, den, 1.0),
+                         np.nan)
+        slope_e6 = np.where(den > 0.0, _round_half_away(1e6 * slope),
+                            np.nan)
+        inter_e6 = np.where(
+            den > 0.0,
+            _round_half_away(1e6 * ((sy - slope * sx) / n)), np.nan)
+    out = pd.DataFrame({
+        "lang": s["lang"], "n_pairs": s["n_pairs"].astype(np.int64),
+        "slope_e6": _int_or_float64(pd.Series(slope_e6)),
+        "intercept_e6": _int_or_float64(pd.Series(inter_e6))})
+    return out.sort_values("lang", na_position="last") \
+        .reset_index(drop=True)
+
+
+def quality_funnel(sf_dir: str) -> pa.Table:
+    """Stacked quality-gate funnel per language — the curation report
+    that shows WHERE documents fall out: gate 1 length ≥ 100 chars,
+    gate 2 additionally a sentence terminator, gate 3 additionally
+    ≥ 20 whitespace tokens.  One pruned pass; every gate is a
+    vectorized Arrow kernel; NULL text/n_chars fail gate 1 (SQL CASE
+    parity).  All-integer output."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(t.column("text"), "")
+        has_text = pc.is_valid(t.column("text")) \
+            .to_numpy(zero_copy_only=False)
+        g1 = has_text & ~pd.isna(nc) & (np.nan_to_num(
+            nc.astype(np.float64), nan=-1.0) >= 100.0)
+        sents = pc.count_substring_regex(txt, "[.!?]") \
+            .to_numpy(zero_copy_only=False)
+        g2 = g1 & (sents > 0)
+        words = pc.count_substring_regex(txt, "[^ ]+") \
+            .to_numpy(zero_copy_only=False)
+        g3 = g2 & (words >= 20)
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_docs": np.int64(1),
+            "n_len_ok": g1.astype(np.int64),
+            "n_sentence_ok": g2.astype(np.int64),
+            "n_tokens_ok": g3.astype(np.int64)})
+        return df.groupby("lang", as_index=False).sum()
+
+    cols = ["n_docs", "n_len_ok", "n_sentence_ok", "n_tokens_ok"]
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang"], cols).to_pandas()
+    if g.empty or "n_docs" not in g:
+        return _empty_result(lang=object,
+                             **{c: "int64" for c in cols})
+    g = _restore_null_keys(g, ["lang"])
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g[["lang"] + cols].sort_values("lang", na_position="last") \
+        .reset_index(drop=True)
+
+
+def top_event_trigrams(sf_dir: str) -> pa.Table:
+    """Top-5 per-user event-type TRIGRAMS (three consecutive events
+    under ORDER BY (ts, event_id)) — the order-3 sequence-mining
+    extension of ``event_transitions``.  One range sort by
+    (user, ts, id); block-interior users emit trigrams with two
+    vectorized shifts; the ≤2 edge users per block ship raw rows (the
+    sorted-run contract); the bounded (type³) grid then takes the
+    global top-5 by (n DESC, t1, t2, t3).  NULL users/timestamps are
+    excluded; NULL event types are sequence STATES (sentinel
+    round-trip, the ``event_transitions`` policy)."""
+    from ..stages.ranking import _edge_mask
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({
+        "t1": pd.Series([], dtype=object),
+        "t2": pd.Series([], dtype=object),
+        "t3": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype="int64")})
+
+    def trigrams(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 3:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        ty = _sentinel_nulls(df["event_type"]).to_numpy()
+        same = (u[2:] == u[:-2]) & (u[1:-1] == u[:-2])
+        if not same.any():
+            return _EMPTY
+        g = pd.DataFrame({"t1": ty[:-2][same], "t2": ty[1:-1][same],
+                          "t3": ty[2:][same], "n": np.int64(1)})
+        return g.groupby(["t1", "t2", "t3"], as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return trigrams(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        edge_sorted = edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        parts = pd.concat([parts, trigrams(edge_sorted)],
+                          ignore_index=True)
+    if parts.empty:
+        return _EMPTY.assign(rk=pd.Series([], dtype="int64"))
+    g = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    g = g.sort_values(["n", "t1", "t2", "t3"],
+                      ascending=[False, True, True, True]).head(5)
+    g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    g = _restore_null_keys(g, ["t1", "t2", "t3"])
+    g["n"] = g["n"].astype(np.int64)
+    return g.reset_index(drop=True)

@@ -385,6 +385,11 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "docs_above_lang_median": ["lang", "med", "n_above",
                                    "n_equal", "n_below"],
         "order_backlog_daily": ["day_i", "n_open"],
+        "tokens_per_char_ols": ["lang", "n_pairs", "slope_e6",
+                                "intercept_e6"],
+        "quality_funnel": ["lang", "n_docs", "n_len_ok",
+                           "n_sentence_ok", "n_tokens_ok"],
+        "top_event_trigrams": ["t1", "t2", "t3", "n", "rk"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -668,6 +673,14 @@ NASTY_QUERIES = [
     # sweep-line backlog: NULL orderdates drop; extra nasty orders
     # with no lineitems drop (inner parity)
     "order_backlog_daily",
+    # OLS calibration: pairwise NULL exclusion, NULL lang group,
+    # single-doc zero-variance NULL slope
+    "tokens_per_char_ols",
+    # funnel gates on NULL text / NULL n_chars and exotic whitespace
+    "quality_funnel",
+    # trigram mining: NULL types are STATES; equal-ts id tie order;
+    # the row-counter guard vs genuinely-NULL states
+    "top_event_trigrams",
 ]
 
 
