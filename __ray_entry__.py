@@ -603,6 +603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_per_char_ols": q.tokens_per_char_ols,
         "quality_funnel": q.quality_funnel,
         "top_event_trigrams": q.top_event_trigrams,
+        "monthly_revenue": q.monthly_revenue,
+        "customer_lifetime_span": q.customer_lifetime_span,
     }
 
 
@@ -4628,5 +4630,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM g)
             SELECT t1, t2, t3, n, rk FROM r WHERE rk <= 5
             ORDER BY rk
+        """,
+        # month-grain rollup: calendar year()/month() parity, e6
+        # masses with aggregate-NULL parity
+        "monthly_revenue": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(month(o_orderdate) AS BIGINT) AS o_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(1000000 * o_totalprice)
+                        AS BIGINT)) AS BIGINT) AS revenue_e6
+            FROM orders WHERE o_orderdate IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # per-customer first->last order span, 30-day bands
+        "customer_lifetime_span": """
+            WITH p AS (
+                SELECT o_custkey,
+                       min(epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000) AS lo,
+                       max(epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000) AS hi
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_orderdate IS NOT NULL
+                GROUP BY 1)
+            SELECT CAST((hi - lo) // 30 AS BIGINT) AS span_band,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM p GROUP BY 1 ORDER BY 1
         """,
     }

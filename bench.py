@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "tokens_per_char_ols",
     "quality_funnel",
     "top_event_trigrams",
+    "monthly_revenue",
+    "customer_lifetime_span",
 ]
 
 

@@ -9960,3 +9960,99 @@ def top_event_trigrams(sf_dir: str) -> pa.Table:
     g = _restore_null_keys(g, ["t1", "t2", "t3"])
     g["n"] = g["n"].astype(np.int64)
     return g.reset_index(drop=True)
+
+
+def monthly_revenue(sf_dir: str) -> pa.Table:
+    """Calendar-month revenue rollup over orders — the month-grain
+    reporting aggregate (every other time op here is day- or
+    hour-grain).  Month keys are the Arrow calendar kernels
+    (``year``/``month``, DuckDB parity incl. pre-1970); the masses are
+    the e6 monetary idiom with per-metric NULL parity.  NULL order
+    dates drop (event-time policy); a month whose orders all have
+    NULL totalprice reports a NULL mass with an exact n_orders."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_orderdate")))
+        tp = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        ok = ~np.isnan(tp)
+        df = pd.DataFrame({
+            "o_year": pc.cast(pc.year(t.column("o_orderdate")),
+                              pa.int64()).to_numpy(zero_copy_only=False),
+            "o_month": pc.cast(pc.month(t.column("o_orderdate")),
+                               pa.int64()).to_numpy(zero_copy_only=False),
+            "n_orders": np.int64(1),
+            "rev": np.where(ok, _round_half_away(
+                np.where(ok, 1e6 * tp, 0.0)), 0).astype(np.int64),
+            "n_rev": ok.astype(np.int64)})
+        return df.groupby(["o_year", "o_month"], as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["o_year", "o_month"],
+                    ["n_orders", "rev", "n_rev"]).to_pandas()
+    empty = dict(o_year="int64", o_month="int64", n_orders="int64",
+                 revenue_e6="int64")
+    if g.empty or "n_orders" not in g:
+        return _empty_result(**empty)
+    out = pd.DataFrame({
+        "o_year": g["o_year"].astype(np.int64),
+        "o_month": g["o_month"].astype(np.int64),
+        "n_orders": g["n_orders"].astype(np.int64),
+        "revenue_e6": _int_or_float64(pd.Series(np.where(
+            g["n_rev"].to_numpy(dtype=np.int64) > 0,
+            g["rev"].to_numpy(dtype=np.float64), np.nan)))})
+    return out.sort_values(["o_year", "o_month"]).reset_index(drop=True)
+
+
+def customer_lifetime_span(sf_dir: str) -> pa.Table:
+    """Per-entity activity-range histogram: the days between each
+    customer's FIRST and LAST order, bucketed per 30-day band — the
+    lifetime/churn diagnostic (the min+max-per-entity motif; every
+    other per-entity op here reduces one extremum).  Per-customer
+    min/max ride ONE sorted-run keyed reduction carrying both
+    extrema; the band histogram is a bounded second aggregation, so
+    customer cardinality never reaches the driver.  NULL custkeys and
+    order dates drop; single-order customers land in band 0."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    _DAY_US = 86_400 * 10**6
+    empty = dict(span_band="int64", n_customers="int64")
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("o_custkey")),
+                             pc.is_valid(t.column("o_orderdate"))))
+        us = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "c": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "lo": us // _DAY_US, "hi": us // _DAY_US})
+        return df.groupby("c", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    per_cust = sorted_reduce_by_key_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c"], {"lo": "min", "hi": "max"})
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "span_band": pd.Series([], dtype="int64"),
+                "n_customers": pd.Series([], dtype="int64")})
+        span = df["hi"].to_numpy(dtype=np.int64) \
+            - df["lo"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"span_band": span // 30,
+                          "n_customers": np.int64(1)})
+        return g.groupby("span_band", as_index=False).sum()
+
+    agg = _sum_by_key(per_cust.map_batches(bands,
+                                           batch_format="pandas"),
+                      ["span_band"], ["n_customers"]).to_pandas()
+    if agg.empty or "n_customers" not in agg:
+        return _empty_result(**empty)
+    agg["span_band"] = agg["span_band"].astype(np.int64)
+    agg["n_customers"] = agg["n_customers"].astype(np.int64)
+    return agg[["span_band", "n_customers"]].sort_values("span_band") \
+        .reset_index(drop=True)

@@ -390,6 +390,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "quality_funnel": ["lang", "n_docs", "n_len_ok",
                            "n_sentence_ok", "n_tokens_ok"],
         "top_event_trigrams": ["t1", "t2", "t3", "n", "rk"],
+        "monthly_revenue": ["o_year", "o_month", "n_orders",
+                            "revenue_e6"],
+        "customer_lifetime_span": ["span_band", "n_customers"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -681,6 +684,12 @@ NASTY_QUERIES = [
     # trigram mining: NULL types are STATES; equal-ts id tie order;
     # the row-counter guard vs genuinely-NULL states
     "top_event_trigrams",
+    # month rollup: NULL orderdates drop, all-NULL-price months
+    # report NULL mass with exact n_orders
+    "monthly_revenue",
+    # lifetime span: NULL custkey/orderdate drop; the nasty extra
+    # orders create fresh single-order customers in band 0
+    "customer_lifetime_span",
 ]
 
 
