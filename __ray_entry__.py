@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_trigrams": q.top_event_trigrams,
         "monthly_revenue": q.monthly_revenue,
         "customer_lifetime_span": q.customer_lifetime_span,
+        "host_reciprocity": q.host_reciprocity,
+        "url_prefix_blocklist": q.url_prefix_blocklist,
     }
 
 
@@ -4657,5 +4659,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((hi - lo) // 30 AS BIGINT) AS span_band,
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM p GROUP BY 1 ORDER BY 1
+        """,
+        # directed-edge reciprocity over the shared host graph (self-
+        # loops excluded; weights ignored — set property)
+        "host_reciprocity": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT doc_id,
+                       NULLIF(lower(regexp_extract(canonical_url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                           '') AS host
+                FROM canon),
+            e0 AS (
+                SELECT DISTINCT a.host AS src, b.host AS dst
+                FROM hx a JOIN hx b ON b.doc_id = a.doc_id + 1
+                WHERE a.host IS NOT NULL AND b.host IS NOT NULL
+                  AND a.host <> b.host),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                         CAST(sum(CASE WHEN EXISTS (
+                             SELECT 1 FROM e0 r
+                             WHERE r.src = e0.dst
+                               AND r.dst = e0.src)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_reciprocal
+                  FROM e0)
+            SELECT n_edges, n_reciprocal,
+                   CAST((2 * 1000000 * CAST(n_reciprocal AS HUGEINT)
+                         + CAST(n_edges AS HUGEINT))
+                        // (2 * CAST(n_edges AS HUGEINT)) AS BIGINT)
+                       AS reciprocity_e6
+            FROM s WHERE n_edges > 0
+        """,
+        # robots/deny-list motif: 5 smallest canonical urls truncated
+        # to 30 code points; blocked = ANY prefix match
+        "url_prefix_blocklist": _URL_CANON_CTE + """
+            , cu AS (SELECT canonical_url AS u FROM canon
+                     WHERE canonical_url IS NOT NULL),
+            low AS (SELECT DISTINCT substr(u, 1, 30) AS p
+                    FROM (SELECT u FROM cu ORDER BY u LIMIT 5)),
+            t AS (SELECT NULLIF(lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+                       '') AS host,
+                         CASE WHEN EXISTS (SELECT 1 FROM low
+                              WHERE starts_with(cu.u, low.p))
+                         THEN 1 ELSE 0 END AS blocked
+                  FROM cu)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(blocked) AS BIGINT) AS n_blocked
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }

@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "top_event_trigrams",
     "monthly_revenue",
     "customer_lifetime_span",
+    "host_reciprocity",
+    "url_prefix_blocklist",
 ]
 
 

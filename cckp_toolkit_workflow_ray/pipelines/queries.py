@@ -10056,3 +10056,127 @@ def customer_lifetime_span(sf_dir: str) -> pa.Table:
     agg["n_customers"] = agg["n_customers"].astype(np.int64)
     return agg[["span_band", "n_customers"]].sort_values("span_band") \
         .reset_index(drop=True)
+
+
+def host_reciprocity(sf_dir: str) -> pa.Table:
+    """Directed-graph reciprocity of the host crawl graph: the
+    fraction of distinct directed edges whose REVERSE edge also
+    exists (self-loops excluded — trivially reciprocal).  One
+    bucketed self-join of the distinct edge set against its own
+    transpose (the wedge-machinery motif); the surface is one integer
+    row with the half-away rate.  The shared ``_host_graph``
+    derivation (NULL hosts → no edge) and weights are ignored —
+    reciprocity is a set property."""
+    from ..stages.groupagg import sorted_distinct_keys
+    from ..stages.joins import hash_join
+
+    empty = dict(n_edges="int64", n_reciprocal="int64",
+                 reciprocity_e6="int64")
+    edges, _nodes = _host_graph(sf_dir)
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]]
+        return df[["src", "dst"]].drop_duplicates()
+
+    e = sorted_distinct_keys(
+        edges.map_batches(dedupe, batch_format="pandas"),
+        ["src", "dst"]).materialize()
+    if e.count() == 0:
+        return _empty_result(**empty)
+    rev = e.map_batches(
+        lambda df: df.rename(columns={"src": "dst", "dst": "src"})
+        .assign(rec=np.int64(1)),
+        batch_format="pandas")
+    j = hash_join(e, rev, on=["src", "dst"], how="left")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "n_edges": pd.Series([], dtype="int64"),
+                "n_reciprocal": pd.Series([], dtype="int64")})
+        rec = df["rec"].fillna(0).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "n_edges": [np.int64(len(df))],
+            "n_reciprocal": [np.int64((rec > 0).sum())]})
+
+    parts = j.map_batches(rollup, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return _empty_result(**empty)
+    ne = int(parts["n_edges"].sum())
+    nr = int(parts["n_reciprocal"].sum())
+    if ne == 0:
+        return _empty_result(**empty)
+    return pd.DataFrame({
+        "n_edges": np.array([ne], dtype=np.int64),
+        "n_reciprocal": np.array([nr], dtype=np.int64),
+        "reciprocity_e6": np.array(
+            [(2 * 10**6 * nr + ne) // (2 * ne)], dtype=np.int64)})
+
+
+def url_prefix_blocklist(sf_dir: str) -> pa.Table:
+    """URL prefix-blocklist filter — the robots/deny-list motif: the
+    deny set is the 5 lexicographically-smallest canonical urls
+    truncated to 30 code points (deterministic, data-derived), and a
+    url is blocked when ANY deny entry prefixes it.  The deny list
+    broadcasts once; the match is the classic sorted-prefix binary
+    search (one ``searchsorted`` per batch + one vectorized
+    ``startswith`` against the predecessor — never a per-pattern
+    scan).  Rows with NULL canonical urls are excluded; the surface
+    is the bounded per-host (n_urls, n_blocked) grid."""
+    import ray
+
+    from ..functions.urls import canonicalize_urls, url_hosts
+
+    empty = dict(host=object, n_urls="int64", n_blocked="int64")
+    urls = _derived_url_corpus(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        cu = canonicalize_urls(t.column("url"))
+        cu = cu.filter(pc.is_valid(cu))
+        return pa.table({"cu": cu})
+
+    cds = urls.map_batches(canon, batch_format="pyarrow").materialize()
+    if cds.count() == 0:
+        return _empty_result(**empty)
+    # deterministic deny list: 5 smallest canonical urls, 30-cp prefix,
+    # reduced PREFIX-FREE (dropping an entry that extends a shorter one
+    # never changes the any-match set) so the predecessor binary search
+    # below is exact
+    low = cds.sort("cu").limit(5).to_pandas()
+    cand = sorted({u[:30] for u in low["cu"]})
+    deny = [p for p in cand
+            if not any(p != q and p.startswith(q) for q in cand)]
+    # exclusive upper bound of each prefix's match range: p ≤ u < succ
+    succ = [p[:-1] + chr(ord(p[-1]) + 1) if p else "￿"
+            for p in deny]
+    d_ref = ray.put((np.array(deny, dtype=object),
+                     np.array(succ, dtype=object)))
+
+    def tag(t: pa.Table, _ref=d_ref) -> pd.DataFrame:
+        cu = t.column("cu")
+        host = url_hosts(cu).to_pandas().astype(object)
+        vals = cu.to_numpy(zero_copy_only=False).astype(object)
+        dn, sc = ray.get(_ref)
+        # prefix-free predecessor check, fully vectorized: the only
+        # possible matching entry is the last deny ≤ url, and it
+        # matches iff url < its successor string
+        idx = np.searchsorted(dn, vals, side="right") - 1
+        blocked = np.zeros(len(vals), dtype=bool)
+        has = idx >= 0
+        if has.any():
+            blocked[has] = vals[has] < sc[np.maximum(idx, 0)][has]
+        df = pd.DataFrame({
+            "host": _sentinel_nulls(host),
+            "n_urls": np.int64(1),
+            "n_blocked": blocked.astype(np.int64)})
+        return df.groupby("host", as_index=False).sum()
+
+    g = _sum_by_key(cds.map_batches(tag, batch_format="pyarrow"),
+                    ["host"], ["n_urls", "n_blocked"]).to_pandas()
+    if g.empty or "n_urls" not in g:
+        return _empty_result(**empty)
+    g = _restore_null_keys(g, ["host"])
+    g["n_urls"] = g["n_urls"].astype(np.int64)
+    g["n_blocked"] = g["n_blocked"].astype(np.int64)
+    return g[["host", "n_urls", "n_blocked"]] \
+        .sort_values("host", na_position="last").reset_index(drop=True)

@@ -393,6 +393,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "monthly_revenue": ["o_year", "o_month", "n_orders",
                             "revenue_e6"],
         "customer_lifetime_span": ["span_band", "n_customers"],
+        "host_reciprocity": ["n_edges", "n_reciprocal",
+                             "reciprocity_e6"],
+        "url_prefix_blocklist": ["host", "n_urls", "n_blocked"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -690,6 +693,11 @@ NASTY_QUERIES = [
     # lifetime span: NULL custkey/orderdate drop; the nasty extra
     # orders create fresh single-order customers in band 0
     "customer_lifetime_span",
+    # reciprocity over NULL-host-pruned distinct edges, no self-loops
+    "host_reciprocity",
+    # deny-list prefix match: NULL canonical urls excluded; the
+    # prefix-free predecessor search must equal SQL's any-EXISTS
+    "url_prefix_blocklist",
 ]
 
 
