@@ -607,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_lifetime_span": q.customer_lifetime_span,
         "host_reciprocity": q.host_reciprocity,
         "url_prefix_blocklist": q.url_prefix_blocklist,
+        "dedup_threshold_curve": q.dedup_threshold_curve,
+        "doc_id_islands": q.doc_id_islands,
+        "value_iqr_outliers": q.value_iqr_outliers,
     }
 
 
@@ -4706,5 +4709,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                    CAST(sum(blocked) AS BIGINT) AS n_blocked
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        # survival curve from ONE export: same candidates, exact
+        # Jaccards, three vectorized threshold counts
+        "dedup_threshold_curve": "WITH "
+        + _lsh_pair_ctes(q.THRESH_CURVE_ORACLE_DIR) + """,
+            jv AS (SELECT CAST(coalesce(i.i, 0) AS DOUBLE)
+                          / (na.n + nb.n - coalesce(i.i, 0)) AS j
+                   FROM cand c
+                   JOIN sizes na ON na.doc = c.id_a
+                   JOIN sizes nb ON nb.doc = c.id_b
+                   LEFT JOIN inter i ON i.id_a = c.id_a
+                        AND i.id_b = c.id_b),
+            jv05 AS (SELECT j FROM jv WHERE j >= 0.5),
+            t AS (SELECT unnest([50, 70, 90]) AS th)
+            SELECT CAST(t.th AS BIGINT) AS threshold_e2,
+                   CAST(sum(CASE WHEN jv05.j >= t.th / 100.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+            FROM t, jv05 GROUP BY 1 ORDER BY 1""",
+        # gaps-and-islands on doc ids: the ROW_NUMBER grouping trick,
+        # 5 longest islands + island count
+        "doc_id_islands": """
+            WITH d AS (SELECT DISTINCT doc_id FROM documents
+                       WHERE doc_id IS NOT NULL),
+            r AS (SELECT doc_id, doc_id - ROW_NUMBER() OVER (
+                      ORDER BY doc_id) AS grp FROM d),
+            i AS (SELECT min(doc_id) AS island_start,
+                         max(doc_id) AS island_end,
+                         CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT)
+                             AS island_len
+                  FROM r GROUP BY grp),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_islands FROM i),
+            rr AS (SELECT i.*, CAST(ROW_NUMBER() OVER (
+                       ORDER BY island_len DESC, island_start)
+                       AS BIGINT) AS rk FROM i)
+            SELECT CAST(island_start AS BIGINT) AS island_start,
+                   CAST(island_end AS BIGINT) AS island_end,
+                   island_len, n.n_islands, rk
+            FROM rr, n WHERE rk <= 5 ORDER BY rk
+        """,
+        # Tukey fences on exact quartiles; NULL-safe group join
+        "value_iqr_outliers": """
+            WITH d AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL),
+            qs AS (SELECT event_type,
+                          quantile_disc(value, 0.25) AS q1,
+                          quantile_disc(value, 0.75) AS q3
+                   FROM d GROUP BY 1)
+            SELECT d.event_type, qs.q1, qs.q3,
+                   CAST(sum(CASE WHEN d.value
+                        < qs.q1 - 1.5 * (qs.q3 - qs.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+                   CAST(sum(CASE WHEN d.value
+                        > qs.q3 + 1.5 * (qs.q3 - qs.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM d JOIN qs
+              ON qs.event_type IS NOT DISTINCT FROM d.event_type
+            GROUP BY 1, 2, 3 ORDER BY 1
         """,
     }

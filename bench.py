@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "customer_lifetime_span",
     "host_reciprocity",
     "url_prefix_blocklist",
+    "dedup_threshold_curve",
+    "doc_id_islands",
+    "value_iqr_outliers",
 ]
 
 

@@ -10180,3 +10180,180 @@ def url_prefix_blocklist(sf_dir: str) -> pa.Table:
     g["n_blocked"] = g["n_blocked"].astype(np.int64)
     return g[["host", "n_urls", "n_blocked"]] \
         .sort_values("host", na_position="last").reset_index(drop=True)
+
+
+THRESH_CURVE_ORACLE_DIR = "/tmp/cckp_thresh_curve_oracle"
+
+
+def dedup_threshold_curve(sf_dir: str) -> pa.Table:
+    """Near-dup survival curve: how many verified pairs remain at
+    Jaccard thresholds 0.5 / 0.7 / 0.9 — the calibration report that
+    picks a production dedup threshold.  ONE LSH pass (banded at 0.5)
+    computes exact pair Jaccards; the curve is three vectorized
+    threshold counts over the same verified frame, and the oracle
+    recomputes all three counts from the single export — candidates
+    are identical by construction, so the curve is exact relative to
+    the 0.5-band recall at every threshold."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _derived_text_corpus(sf_dir), jaccard_threshold=0.5,
+        export_oracle_dir=THRESH_CURVE_ORACLE_DIR)
+    empty = dict(threshold_e2="int64", n_pairs="int64")
+    if pairs.empty:
+        return _empty_result(**empty)
+    j = pairs["jaccard"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        "threshold_e2": np.array([50, 70, 90], dtype=np.int64),
+        "n_pairs": np.array([(j >= 0.5).sum(), (j >= 0.7).sum(),
+                             (j >= 0.9).sum()], dtype=np.int64)})
+    return out
+
+
+def doc_id_islands(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands over document ids: contiguous doc_id runs —
+    the completeness audit that shows WHERE a corpus lost shards
+    (sessionization's island motif on an ID axis instead of time).
+    One range sort by doc_id; block-interior breaks are vectorized
+    diffs; each block ships only its first/last id (the host-graph
+    boundary contract), so the driver assembles islands from
+    O(2 × blocks) rows.  The surface is the 5 LONGEST islands
+    (length DESC, start ASC) plus the island count.  NULL doc_ids are
+    excluded."""
+    from ..stages.ranking import _edge_mask
+
+    empty = dict(island_start="int64", island_end="int64",
+                 island_len="int64", n_islands="int64", rk="int64")
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        return pd.DataFrame({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64())
+            .to_numpy(zero_copy_only=False)}).drop_duplicates()
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+                  .sort("doc_id").materialize()
+
+    def block_islands(df: pd.DataFrame) -> pd.DataFrame:
+        # islands fully interior to the block close here; the block's
+        # first and last id ship onward as open boundary stubs
+        if df.empty:
+            return pd.DataFrame({
+                "s": pd.Series([], dtype="int64"),
+                "e": pd.Series([], dtype="int64"),
+                "open": pd.Series([], dtype="int64")})
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        brk = np.flatnonzero(ids[1:] != ids[:-1] + 1)
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(ids) - 1]))
+        out = pd.DataFrame({"s": ids[starts], "e": ids[ends],
+                            "open": np.zeros(len(starts),
+                                             dtype=np.int64)})
+        # first and last island of the block may continue next door
+        out.iloc[0, out.columns.get_loc("open")] = 1
+        out.iloc[-1, out.columns.get_loc("open")] = 1
+        return out
+
+    segs = sorted_ds.map_batches(
+        block_islands, batch_format="pandas",
+        batch_size=None).to_pandas()
+    if segs.empty:
+        return _empty_result(**empty)
+    closed = segs[segs["open"] == 0][["s", "e"]]
+    # merge boundary stubs: adjacent open segments chain when the next
+    # start is exactly previous end + 1
+    ob = segs[segs["open"] == 1].sort_values("s").reset_index(drop=True)
+    merged = []
+    cs = ce = None
+    for s0, e0 in zip(ob["s"], ob["e"]):
+        if cs is None:
+            cs, ce = int(s0), int(e0)
+        elif int(s0) == ce + 1:
+            ce = int(e0)
+        else:
+            merged.append((cs, ce))
+            cs, ce = int(s0), int(e0)
+    if cs is not None:
+        merged.append((cs, ce))
+    isl = pd.concat([closed, pd.DataFrame(merged, columns=["s", "e"])],
+                    ignore_index=True)
+    isl["island_len"] = isl["e"] - isl["s"] + 1
+    n_islands = len(isl)
+    top = isl.sort_values(["island_len", "s"],
+                          ascending=[False, True]).head(5)
+    out = pd.DataFrame({
+        "island_start": top["s"].to_numpy(dtype=np.int64),
+        "island_end": top["e"].to_numpy(dtype=np.int64),
+        "island_len": top["island_len"].to_numpy(dtype=np.int64),
+        "n_islands": np.full(len(top), n_islands, dtype=np.int64),
+        "rk": np.arange(1, len(top) + 1, dtype=np.int64)})
+    return out.reset_index(drop=True)
+
+
+def value_iqr_outliers(sf_dir: str) -> pa.Table:
+    """Per-type IQR outlier fences on the event value stream: exact
+    quartiles (``quantile_disc`` rank rule via the distributed grouped
+    selection), Tukey fences at 1.5×IQR, and the out-of-fence census —
+    the robust-outlier sibling of ``value_winsorized``'s fixed-bound
+    clamp.  Fences are floats with the IDENTICAL operand order as the
+    oracle (``q1 − 1.5·(q3 − q1)``); the census is one vectorized
+    second pass against the broadcast per-type fence table.  NULL
+    values are excluded from ranks and census; NULL event_type is a
+    group; all-NULL-value groups drop (no quartiles)."""
+    import ray
+
+    from ..stages.groupagg import exact_grouped_quantiles
+
+    empty = dict(event_type=object, q1="float64", q3="float64",
+                 n_below="int64", n_above="int64")
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "value": t.column("value").to_numpy(zero_copy_only=False)
+            .astype(np.float64)})
+
+    filt = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    qs = exact_grouped_quantiles(filt, "event_type", "value",
+                                 [0.25, 0.75])
+    if qs.empty:
+        return _empty_result(**empty)
+    qs = qs.rename(columns={"q25": "q1", "q75": "q3"})
+    qs = qs[qs["q1"].notna() & qs["q3"].notna()]
+    if qs.empty:
+        return _empty_result(**empty)
+    ref = ray.put(qs[["event_type", "q1", "q3"]])
+
+    def census(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_below": pd.Series([], dtype="int64"),
+                "n_above": pd.Series([], dtype="int64")})
+        m = df.merge(ray.get(_ref), on="event_type")
+        v = m["value"].to_numpy(dtype=np.float64)
+        q1 = m["q1"].to_numpy(dtype=np.float64)
+        q3 = m["q3"].to_numpy(dtype=np.float64)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        g = pd.DataFrame({
+            "event_type": m["event_type"],
+            "n_below": (v < lo).astype(np.int64),
+            "n_above": (v > hi).astype(np.int64)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    agg = _sum_by_key(filt.map_batches(census, batch_format="pandas"),
+                      ["event_type"], ["n_below", "n_above"]).to_pandas()
+    if agg.empty or "n_below" not in agg:
+        return _empty_result(**empty)
+    out = agg.merge(qs, on="event_type")
+    out = _restore_null_keys(out, ["event_type"])
+    out["n_below"] = out["n_below"].astype(np.int64)
+    out["n_above"] = out["n_above"].astype(np.int64)
+    return out[["event_type", "q1", "q3", "n_below", "n_above"]] \
+        .sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

@@ -396,6 +396,11 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "host_reciprocity": ["n_edges", "n_reciprocal",
                              "reciprocity_e6"],
         "url_prefix_blocklist": ["host", "n_urls", "n_blocked"],
+        "dedup_threshold_curve": ["threshold_e2", "n_pairs"],
+        "doc_id_islands": ["island_start", "island_end", "island_len",
+                           "n_islands", "rk"],
+        "value_iqr_outliers": ["event_type", "q1", "q3", "n_below",
+                               "n_above"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -698,6 +703,14 @@ NASTY_QUERIES = [
     # deny-list prefix match: NULL canonical urls excluded; the
     # prefix-free predecessor search must equal SQL's any-EXISTS
     "url_prefix_blocklist",
+    # survival curve on the nasty dup seeds (exact tie Jaccards at
+    # the 0.5 boundary must threshold identically)
+    "dedup_threshold_curve",
+    # islands: the nasty +10M perturbed ids create far-apart islands
+    "doc_id_islands",
+    # Tukey fences: NULL values excluded, NULL type group, all-NULL
+    # groups drop
+    "value_iqr_outliers",
 ]
 
 
