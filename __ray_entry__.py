@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_curve": q.dedup_threshold_curve,
         "doc_id_islands": q.doc_id_islands,
         "value_iqr_outliers": q.value_iqr_outliers,
+        "apply_upserts": q.apply_upserts,
     }
 
 
@@ -4766,5 +4767,37 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN qs
               ON qs.event_type IS NOT DISTINCT FROM d.event_type
             GROUP BY 1, 2, 3 ORDER BY 1
+        """,
+        # MERGE INTO (SCD-1): delete wins over update, NULL-propagating
+        # concat on updates, inserts ride a union
+        "apply_upserts": """
+            WITH b AS (SELECT doc_id, lang, text FROM documents),
+            d AS (SELECT doc_id,
+                         CASE WHEN doc_id % 13 = 0 THEN 'D'
+                              ELSE 'U' END AS op,
+                         CASE WHEN doc_id % 13 = 0 THEN NULL
+                              ELSE 'rev2 ' || text END AS new_text
+                  FROM documents
+                  WHERE doc_id IS NOT NULL
+                    AND (doc_id % 13 = 0 OR doc_id % 9 = 0)),
+            m AS (SELECT b.lang,
+                         CASE WHEN d.op = 'U' THEN d.new_text
+                              ELSE b.text END AS final,
+                         CASE WHEN d.op = 'U' THEN 1 ELSE 0 END
+                             AS upd,
+                         d.op
+                  FROM b LEFT JOIN d ON d.doc_id = b.doc_id),
+            kept AS (SELECT lang, final, upd, 0 AS ins FROM m
+                     WHERE op IS DISTINCT FROM 'D'),
+            ins AS (SELECT lang, text AS final, 0 AS upd, 1 AS ins
+                    FROM documents
+                    WHERE doc_id IS NOT NULL AND doc_id % 17 = 0),
+            u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(upd) AS BIGINT) AS n_updated,
+                   CAST(sum(ins) AS BIGINT) AS n_inserted,
+                   CAST(sum(length(coalesce(final, ''))) AS BIGINT)
+                       AS sum_chars
+            FROM u GROUP BY 1 ORDER BY 1
         """,
     }

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "dedup_threshold_curve",
     "doc_id_islands",
     "value_iqr_outliers",
+    "apply_upserts",
 ]
 
 

@@ -10243,7 +10243,9 @@ def doc_id_islands(sf_dir: str) -> pa.Table:
                 "s": pd.Series([], dtype="int64"),
                 "e": pd.Series([], dtype="int64"),
                 "open": pd.Series([], dtype="int64")})
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        # global duplicates can survive the per-batch pre-sort dedup;
+        # within the sorted block np.unique restores DISTINCT parity
+        ids = np.unique(df["doc_id"].to_numpy(dtype=np.int64))
         brk = np.flatnonzero(ids[1:] != ids[:-1] + 1)
         starts = np.concatenate(([0], brk + 1))
         ends = np.concatenate((brk, [len(ids) - 1]))
@@ -10262,15 +10264,17 @@ def doc_id_islands(sf_dir: str) -> pa.Table:
         return _empty_result(**empty)
     closed = segs[segs["open"] == 0][["s", "e"]]
     # merge boundary stubs: adjacent open segments chain when the next
-    # start is exactly previous end + 1
+    # start touches the previous end (``<= ce + 1`` also absorbs a
+    # duplicate id straddling a block boundary — per-batch dedup can't
+    # see it, and SQL's global DISTINCT must not see a split island)
     ob = segs[segs["open"] == 1].sort_values("s").reset_index(drop=True)
     merged = []
     cs = ce = None
     for s0, e0 in zip(ob["s"], ob["e"]):
         if cs is None:
             cs, ce = int(s0), int(e0)
-        elif int(s0) == ce + 1:
-            ce = int(e0)
+        elif int(s0) <= ce + 1:
+            ce = max(ce, int(e0))
         else:
             merged.append((cs, ce))
             cs, ce = int(s0), int(e0)
@@ -10356,4 +10360,124 @@ def value_iqr_outliers(sf_dir: str) -> pa.Table:
     out["n_above"] = out["n_above"].astype(np.int64)
     return out[["event_type", "q1", "q3", "n_below", "n_above"]] \
         .sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
+
+
+def apply_upserts(sf_dir: str) -> pa.Table:
+    """MERGE INTO (SCD-1 apply): a deterministic delta stream —
+    updates (doc_id % 9 = 0 → 'rev2 ' prefix), deletes (doc_id % 13
+    = 0, precedence over update), inserts (doc_id % 17 = 0 cloned at
+    +20M) — applied onto the base corpus, then the post-merge
+    per-lang rollup.  The apply is ONE bucketed LEFT hash join of the
+    base against the keyed U/D deltas (never a row loop; inserts ride
+    a side union), matching SQL MERGE semantics: delete wins over
+    update, an update of a NULL text stays NULL ('rev2 ' || NULL is
+    NULL — concat propagates), unmatched rows pass through.  NULL
+    doc_ids never match a delta (equi-join parity).  The rollup
+    counts applied ops and the final corpus text mass."""
+    from ..stages.joins import hash_join, restore_plain_ints
+
+    empty = dict(lang=object, n_docs="int64", n_updated="int64",
+                 n_inserted="int64", sum_chars="int64")
+    base = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def mk_deltas(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(ids)
+        ids = ids[ok].astype(np.int64)
+        texts = t.column("text").to_numpy(zero_copy_only=False)[ok]
+        is_d = ids % 13 == 0
+        is_u = (ids % 9 == 0) & ~is_d
+        sel = is_d | is_u
+        if not sel.any():
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "op": pd.Series([], dtype=object),
+                "new_text": pd.Series([], dtype=object)})
+        nt = np.array([None if x is None else "rev2 " + x
+                       for x in texts[sel]], dtype=object)
+        return pd.DataFrame({
+            "doc_id": ids[sel],
+            "op": np.where(is_d[sel], "D", "U").astype(object),
+            "new_text": np.where(is_d[sel], None, nt)})
+
+    deltas = base.map_batches(mk_deltas,
+                              batch_format="pyarrow").materialize()
+
+    def base_keyed(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": pd.Series(
+                t.column("doc_id").to_numpy(zero_copy_only=False)),
+            "lang": pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False)),
+            "text": pd.Series(
+                t.column("text").to_numpy(zero_copy_only=False))})
+
+    b_ds = base.map_batches(base_keyed,
+                            batch_format="pyarrow").materialize()
+    if b_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(b_ds, deltas, on="doc_id", how="left")
+
+    def apply_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_updated": pd.Series([], dtype="int64"),
+                "n_inserted": pd.Series([], dtype="int64"),
+                "chars": pd.Series([], dtype="int64")})
+        df = restore_plain_ints(df)
+        op = df["op"].to_numpy(dtype=object)
+        keep = op != "D"
+        df = df[keep]
+        upd = (df["op"].to_numpy(dtype=object) == "U")
+        final = pd.Series(np.where(
+            upd, df["new_text"].to_numpy(dtype=object),
+            df["text"].to_numpy(dtype=object)))
+        lens = final.str.len().fillna(0).to_numpy(dtype=np.int64)
+        g = pd.DataFrame({
+            "lang": _sentinel_nulls(df["lang"]),
+            "n_docs": np.int64(1),
+            "n_updated": upd.astype(np.int64),
+            "n_inserted": np.int64(0),
+            "chars": lens})
+        return g.groupby("lang", as_index=False).sum()
+
+    def inserts(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(ids)
+        sel = np.zeros(len(ids), dtype=bool)
+        sel[ok] = ids[ok].astype(np.int64) % 17 == 0
+        if not sel.any():
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_updated": pd.Series([], dtype="int64"),
+                "n_inserted": pd.Series([], dtype="int64"),
+                "chars": pd.Series([], dtype="int64")})
+        texts = pd.Series(
+            t.column("text").to_numpy(zero_copy_only=False)[sel])
+        lens = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+        g = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False)[sel])),
+            "n_docs": np.int64(1),
+            "n_updated": np.int64(0),
+            "n_inserted": np.int64(1),
+            "chars": lens})
+        return g.groupby("lang", as_index=False).sum()
+
+    cols = ["n_docs", "n_updated", "n_inserted", "chars"]
+    merged = j.map_batches(apply_rollup, batch_format="pandas") \
+        .union(base.map_batches(inserts, batch_format="pyarrow"))
+    g = _sum_by_key(merged, ["lang"], cols).to_pandas()
+    if g.empty or "n_docs" not in g:
+        return _empty_result(**empty)
+    g = _restore_null_keys(g, ["lang"])
+    g = g.rename(columns={"chars": "sum_chars"})
+    for c in ("n_docs", "n_updated", "n_inserted", "sum_chars"):
+        g[c] = g[c].astype(np.int64)
+    return g[["lang", "n_docs", "n_updated", "n_inserted",
+              "sum_chars"]].sort_values("lang", na_position="last") \
         .reset_index(drop=True)

@@ -401,6 +401,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                            "n_islands", "rk"],
         "value_iqr_outliers": ["event_type", "q1", "q3", "n_below",
                                "n_above"],
+        "apply_upserts": ["lang", "n_docs", "n_updated", "n_inserted",
+                          "sum_chars"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -711,6 +713,9 @@ NASTY_QUERIES = [
     # Tukey fences: NULL values excluded, NULL type group, all-NULL
     # groups drop
     "value_iqr_outliers",
+    # MERGE apply: NULL doc_ids match no delta; 'rev2 ' || NULL stays
+    # NULL; delete precedence; NULL lang rollup group
+    "apply_upserts",
 ]
 
 
