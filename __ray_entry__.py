@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_id_islands": q.doc_id_islands,
         "value_iqr_outliers": q.value_iqr_outliers,
         "apply_upserts": q.apply_upserts,
+        "host_n50": q.host_n50,
+        "token_length_histogram": q.token_length_histogram,
+        "session_entry_exit": q.session_entry_exit,
     }
 
 
@@ -4799,5 +4802,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(coalesce(final, ''))) AS BIGINT)
                        AS sum_chars
             FROM u GROUP BY 1 ORDER BY 1
+        """,
+        # N50 host concentration: cumulative window over the host grid
+        "host_n50": _URL_CANON_CTE + """
+            , hx AS (
+                SELECT NULLIF(lower(regexp_extract(canonical_url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), '')
+                    AS host
+                FROM canon),
+            hc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM hx WHERE host IS NOT NULL GROUP BY 1),
+            ranked AS (SELECT n_docs,
+                              ROW_NUMBER() OVER (
+                                  ORDER BY n_docs DESC, host) AS rk,
+                              SUM(n_docs) OVER (
+                                  ORDER BY n_docs DESC, host
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                       FROM hc),
+            tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t,
+                           CAST(count(*) AS BIGINT) AS nh FROM hc)
+            SELECT tot.nh AS n_hosts, tot.t AS total_docs,
+                   CAST(min(ranked.rk) AS BIGINT) AS n50
+            FROM ranked, tot WHERE 2 * ranked.cum >= tot.t
+            GROUP BY 1, 2
+        """,
+        # word-length distribution per lang (code-point lengths)
+        "token_length_histogram": """
+            WITH w AS (
+                SELECT lang,
+                       unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS word
+                FROM documents WHERE text IS NOT NULL)
+            SELECT lang, CAST(length(word) AS BIGINT) AS word_len,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # session entry/exit matrix: 30-min gap islands, boundary
+        # types by rank; NULL types are genuine states
+        "session_entry_exit": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       event_type
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            l AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY us, event_id)),
+            s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            f AS (SELECT user_id, sid, event_type,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                             ORDER BY us, event_id) AS rf,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                             ORDER BY us DESC, event_id DESC) AS rl
+                  FROM s),
+            g AS (SELECT user_id, sid,
+                         max(CASE WHEN rf = 1 THEN event_type END)
+                             AS entry_type,
+                         max(CASE WHEN rl = 1 THEN event_type END)
+                             AS exit_type
+                  FROM f GROUP BY 1, 2)
+            SELECT entry_type, exit_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM g GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

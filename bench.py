@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "doc_id_islands",
     "value_iqr_outliers",
     "apply_upserts",
+    "host_n50",
+    "token_length_histogram",
+    "session_entry_exit",
 ]
 
 

@@ -10481,3 +10481,160 @@ def apply_upserts(sf_dir: str) -> pa.Table:
     return g[["lang", "n_docs", "n_updated", "n_inserted",
               "sum_chars"]].sort_values("lang", na_position="last") \
         .reset_index(drop=True)
+
+
+def host_n50(sf_dir: str) -> pa.Table:
+    """Host-concentration N50 (the assembly-statistics motif applied
+    to crawl frontiers): the minimal number of hosts that together
+    hold at least half the documents — the single-number skew summary
+    next to ``gini_hosts``.  Host doc counts fold to the bounded host
+    grid; the N50 scan is a driver-side cumulative sum over that grid
+    ordered (count DESC, host ASC).  NULL hosts (NULL source → NULL
+    url) are excluded."""
+    from ..functions.urls import canonicalize_urls, url_hosts
+
+    empty = dict(n_hosts="int64", total_docs="int64", n50="int64")
+    urls = _derived_url_corpus(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cu = canonicalize_urls(t.column("url"))
+        host = url_hosts(cu).to_pandas()
+        host = host[host.notna()]
+        if host.empty:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"host": host.astype(object),
+                           "n_docs": np.int64(1)})
+        return df.groupby("host", as_index=False).sum()
+
+    g = _sum_by_key(urls.map_batches(partial, batch_format="pyarrow"),
+                    ["host"], ["n_docs"]).to_pandas()
+    if g.empty or "n_docs" not in g:
+        return _empty_result(**empty)
+    g = g.sort_values(["n_docs", "host"],
+                      ascending=[False, True]).reset_index(drop=True)
+    counts = g["n_docs"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    n50 = int(np.searchsorted(2 * cum, total, side="left")) + 1
+    return pd.DataFrame({
+        "n_hosts": np.array([len(g)], dtype=np.int64),
+        "total_docs": np.array([total], dtype=np.int64),
+        "n50": np.array([n50], dtype=np.int64)})
+
+
+def token_length_histogram(sf_dir: str) -> pa.Table:
+    """Word-length distribution per language — the sub-token
+    morphology signal (agglutinative languages skew long) a tokenizer
+    budget uses.  The shared single-space tokenizer; lengths are
+    code-point Arrow kernels over the flattened word stream; the
+    surface is the bounded (lang × distinct length) grid.  NULL texts
+    are excluded; NULL lang is a kept group; empty tokens (runs of
+    spaces) are dropped on both sides."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        lang = _sentinel_nulls(pd.Series(
+            t.column("lang").to_numpy(zero_copy_only=False)))
+        words = pc.split_pattern(t.column("text"), " ")
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        wl = pc.utf8_length(pc.list_flatten(words)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rep_lang = np.repeat(lang.to_numpy(), lens)
+        keep = wl > 0
+        if not keep.any():
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "word_len": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"lang": rep_lang[keep],
+                           "word_len": wl[keep], "n": np.int64(1)})
+        return df.groupby(["lang", "word_len"], as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["lang", "word_len"], ["n"]).to_pandas()
+    if g.empty or "n" not in g:
+        return _empty_result(lang=object, word_len="int64", n="int64")
+    g = _restore_null_keys(g, ["lang"])
+    g["word_len"] = g["word_len"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["lang", "word_len", "n"]] \
+        .sort_values(["lang", "word_len"], na_position="last") \
+        .reset_index(drop=True)
+
+
+def session_entry_exit(sf_dir: str) -> pa.Table:
+    """Session entry/exit matrix: for every 30-minute-gap session, the
+    FIRST and LAST event type, counted per (entry, exit) pair — the
+    landing/leaving-page analytics on top of gap sessionization.  One
+    range sort by (user, ts, id); block-interior users sessionize with
+    one vectorized gap scan and pick boundary types by index (no
+    per-session Python); edge users ride the sorted-run contract.
+    NULL users/timestamps are excluded; NULL event types are genuine
+    entry/exit STATES (sentinel round-trip)."""
+    from ..stages.ranking import _edge_mask
+
+    _GAP = 1_800 * 10**6
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({
+        "entry_type": pd.Series([], dtype=object),
+        "exit_type": pd.Series([], dtype=object),
+        "n_sessions": pd.Series([], dtype="int64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        tsv = df["ts_us"].to_numpy(dtype=np.int64)
+        ty = _sentinel_nulls(df["event_type"]).to_numpy()
+        brk = np.concatenate((
+            [True], (u[1:] != u[:-1]) | (tsv[1:] - tsv[:-1] > _GAP)))
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:] - 1, [len(u) - 1]))
+        g = pd.DataFrame({"entry_type": ty[starts],
+                          "exit_type": ty[ends],
+                          "n_sessions": np.int64(1)})
+        return g.groupby(["entry_type", "exit_type"],
+                         as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return pairs(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        edge_sorted = edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        parts = pd.concat([parts, pairs(edge_sorted)],
+                          ignore_index=True)
+    if parts.empty:
+        return _EMPTY.copy()
+    out = parts.groupby(["entry_type", "exit_type"],
+                        as_index=False)["n_sessions"].sum()
+    out = _restore_null_keys(out, ["entry_type", "exit_type"])
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return out.sort_values(["entry_type", "exit_type"],
+                           na_position="last").reset_index(drop=True)

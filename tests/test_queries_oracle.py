@@ -403,6 +403,10 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                "n_above"],
         "apply_upserts": ["lang", "n_docs", "n_updated", "n_inserted",
                           "sum_chars"],
+        "host_n50": ["n_hosts", "total_docs", "n50"],
+        "token_length_histogram": ["lang", "word_len", "n"],
+        "session_entry_exit": ["entry_type", "exit_type",
+                               "n_sessions"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -716,6 +720,13 @@ NASTY_QUERIES = [
     # MERGE apply: NULL doc_ids match no delta; 'rev2 ' || NULL stays
     # NULL; delete precedence; NULL lang rollup group
     "apply_upserts",
+    # N50 over NULL-host-excluded counts (host-graph policy)
+    "host_n50",
+    # word-length grid on the exotic-whitespace/NULL-text tokenizer
+    "token_length_histogram",
+    # entry/exit matrix: NULL users/ts excluded, NULL types as
+    # boundary states, equal-ts id tie order
+    "session_entry_exit",
 ]
 
 
