@@ -614,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_n50": q.host_n50,
         "token_length_histogram": q.token_length_histogram,
         "session_entry_exit": q.session_entry_exit,
+        "value_volatility": q.value_volatility,
+        "returning_share_daily": q.returning_share_daily,
     }
 
 
@@ -4869,5 +4871,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT entry_type, exit_type,
                    CAST(count(*) AS BIGINT) AS n_sessions
             FROM g GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # per-user value LAG volatility rolled up per later-event type
+        "value_volatility": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       event_type, value
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            l AS (SELECT event_type, value,
+                         LAG(value) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS pv
+                  FROM e),
+            d AS (SELECT event_type,
+                         CAST(round(1000000 * abs(value - pv))
+                              AS BIGINT) AS ad
+                  FROM l
+                  WHERE value IS NOT NULL AND pv IS NOT NULL)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_steps,
+                   CAST(sum(ad) AS BIGINT) AS sum_absdiff_e6
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # new-vs-returning daily actives: first-day tag on distinct
+        # (user, day) pairs
+        "returning_share_daily": """
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS day_i
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            f AS (SELECT user_id, min(day_i) AS first_day
+                  FROM p GROUP BY 1)
+            SELECT CAST(p.day_i AS BIGINT) AS day_i,
+                   CAST(sum(CASE WHEN p.day_i = f.first_day
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN p.day_i <> f.first_day
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+            FROM p JOIN f ON f.user_id = p.user_id
+            GROUP BY 1 ORDER BY 1
         """,
     }

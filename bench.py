@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "host_n50",
     "token_length_histogram",
     "session_entry_exit",
+    "value_volatility",
+    "returning_share_daily",
 ]
 
 

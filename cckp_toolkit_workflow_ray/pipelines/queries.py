@@ -10638,3 +10638,142 @@ def session_entry_exit(sf_dir: str) -> pa.Table:
     out["n_sessions"] = out["n_sessions"].astype(np.int64)
     return out.sort_values(["entry_type", "exit_type"],
                            na_position="last").reset_index(drop=True)
+
+
+def value_volatility(sf_dir: str) -> pa.Table:
+    """Per-type value volatility: the mass of |Δvalue| between
+    CONSECUTIVE events of one user (ORDER BY ts, id), rolled up per
+    event type of the LATER event — the stream-stability diagnostic
+    (the ``inter_event_gaps`` LAG motif lifted from timestamps to
+    payloads).  Deltas are exact e6 integers of per-row float
+    differences (identical operand order as the oracle); steps where
+    either side's value is NULL are skipped (SQL LAG NULL parity).
+    NULL users/timestamps are excluded; NULL event_type is a kept
+    group."""
+    from ..stages.ranking import _edge_mask
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "value": pc.cast(t.column("value"), pa.float64())})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_steps": pd.Series([], dtype="int64"),
+        "sum_absdiff_e6": pd.Series([], dtype="int64")})
+
+    def vol(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        ty = _sentinel_nulls(df["event_type"]).to_numpy()
+        d = np.abs(v[1:] - v[:-1])
+        ok = (u[1:] == u[:-1]) & ~np.isnan(d)
+        if not ok.any():
+            return _EMPTY
+        g = pd.DataFrame({
+            "event_type": ty[1:][ok],
+            "n_steps": np.int64(1),
+            "sum_absdiff_e6": _round_half_away(1e6 * d[ok])
+            .astype(np.int64)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return vol(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        edge_sorted = edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        parts = pd.concat([parts, vol(edge_sorted)],
+                          ignore_index=True)
+    if parts.empty:
+        return _EMPTY.copy()
+    out = parts.groupby("event_type", as_index=False).sum()
+    out = _restore_null_keys(out, ["event_type"])
+    out["n_steps"] = out["n_steps"].astype(np.int64)
+    out["sum_absdiff_e6"] = out["sum_absdiff_e6"].astype(np.int64)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
+
+
+def returning_share_daily(sf_dir: str) -> pa.Table:
+    """New-vs-returning daily active users — the cohort-adjacent
+    engagement report: per day, how many of the day's distinct active
+    users are on their FIRST day vs returning.  Per-user first day
+    rides the sorted-run keyed MIN; distinct (user, day) pairs ride
+    the sorted-run distinct; one bucketed join tags each pair; the
+    surface is the bounded per-day grid.  NULL users/timestamps are
+    excluded (the ``user_growth`` policy)."""
+    from ..stages.groupagg import (sorted_distinct_keys,
+                                   sorted_reduce_by_key_ds)
+    from ..stages.joins import hash_join, restore_plain_ints
+
+    _DAY_US = 86_400 * 10**6
+    empty = dict(day_i="int64", n_new="int64", n_returning="int64")
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": pc.cast(t.column("user_id"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "day_i": us // _DAY_US}).drop_duplicates()
+
+    pairs = sorted_distinct_keys(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "day_i"]).materialize()
+    if pairs.count() == 0:
+        return _empty_result(**empty)
+    first = sorted_reduce_by_key_ds(
+        pairs.map_batches(
+            lambda df: df.rename(columns={"day_i": "first_day"}),
+            batch_format="pandas"),
+        ["user_id"], {"first_day": "min"})
+    j = hash_join(pairs, first, on="user_id")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "day_i": pd.Series([], dtype="int64"),
+                "n_new": pd.Series([], dtype="int64"),
+                "n_returning": pd.Series([], dtype="int64")})
+        df = restore_plain_ints(df)
+        new = (df["day_i"].to_numpy(dtype=np.int64)
+               == df["first_day"].to_numpy(dtype=np.int64))
+        g = pd.DataFrame({
+            "day_i": df["day_i"].to_numpy(dtype=np.int64),
+            "n_new": new.astype(np.int64),
+            "n_returning": (~new).astype(np.int64)})
+        return g.groupby("day_i", as_index=False).sum()
+
+    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
+                      ["day_i"], ["n_new", "n_returning"]).to_pandas()
+    if agg.empty or "n_new" not in agg:
+        return _empty_result(**empty)
+    for c in ("day_i", "n_new", "n_returning"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[["day_i", "n_new", "n_returning"]] \
+        .sort_values("day_i").reset_index(drop=True)

@@ -407,6 +407,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "token_length_histogram": ["lang", "word_len", "n"],
         "session_entry_exit": ["entry_type", "exit_type",
                                "n_sessions"],
+        "value_volatility": ["event_type", "n_steps",
+                             "sum_absdiff_e6"],
+        "returning_share_daily": ["day_i", "n_new", "n_returning"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -727,6 +730,12 @@ NASTY_QUERIES = [
     # entry/exit matrix: NULL users/ts excluded, NULL types as
     # boundary states, equal-ts id tie order
     "session_entry_exit",
+    # value LAG volatility: NULL values skip the step (LAG parity),
+    # NULL type group, boundary users contribute exactly once
+    "value_volatility",
+    # new-vs-returning: NULL users/ts excluded; the nasty future-day
+    # events create fresh first-day groups
+    "returning_share_daily",
 ]
 
 
