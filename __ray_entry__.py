@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_entry_exit": q.session_entry_exit,
         "value_volatility": q.value_volatility,
         "returning_share_daily": q.returning_share_daily,
+        "corpus_report": q.corpus_report,
     }
 
 
@@ -4910,5 +4911,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
             FROM p JOIN f ON f.user_id = p.user_id
             GROUP BY 1 ORDER BY 1
+        """,
+        # one-row executive summary; integer half-away rates
+        "corpus_report": """
+            WITH s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(DISTINCT lang) AS BIGINT)
+                           AS n_langs,
+                       CAST(count(DISTINCT source) AS BIGINT)
+                           AS n_sources,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                       CAST(count(*) - count(text) AS BIGINT)
+                           AS n_null,
+                       CAST(count(DISTINCT text) AS BIGINT)
+                           AS n_distinct,
+                       CAST(count(text) AS BIGINT) AS n_text
+                FROM documents)
+            SELECT n_docs, n_langs, n_sources, total_chars,
+                   CAST((2000000 * n_null + n_docs) // (2 * n_docs)
+                        AS BIGINT) AS null_text_rate_e6,
+                   CASE WHEN n_text > 0 THEN CAST(
+                       (2000000 * n_distinct + n_text) // (2 * n_text)
+                       AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                       AS distinct_text_rate_e6
+            FROM s WHERE n_docs > 0
         """,
     }

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "session_entry_exit",
     "value_volatility",
     "returning_share_daily",
+    "corpus_report",
 ]
 
 

@@ -10777,3 +10777,72 @@ def returning_share_daily(sf_dir: str) -> pa.Table:
         agg[c] = agg[c].astype(np.int64)
     return agg[["day_i", "n_new", "n_returning"]] \
         .sort_values("day_i").reset_index(drop=True)
+
+
+def corpus_report(sf_dir: str) -> pa.Table:
+    """One-row corpus executive summary: doc count, distinct langs /
+    sources, total text mass, NULL-text rate, and the exact
+    distinct-text rate — the first report any curation run prints.
+    One combiner pass for the scalar masses (langs/sources are
+    low-cardinality value sets folded per batch); the distinct-text
+    count is the 128-bit sorted-run distinct (corpus cardinality
+    never touches Ray's per-group aggregate); rates are the integer
+    half-away ratio.  Emits no row on an empty corpus (SQL GROUP BY
+    parity via the constant group)."""
+    from ..stages.dedup import _pair_keys
+    from ..stages.groupagg import sorted_distinct_keys
+
+    empty = dict(n_docs="int64", n_langs="int64", n_sources="int64",
+                 total_chars="int64", null_text_rate_e6="int64",
+                 distinct_text_rate_e6="int64")
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "lang", "source", "text", "n_chars"])
+
+    def scalars(t: pa.Table) -> pd.DataFrame:
+        lang = pd.Series(t.column("lang").to_numpy(zero_copy_only=False))
+        src = pd.Series(t.column("source").to_numpy(zero_copy_only=False))
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        nulls = pc.sum(pc.cast(pc.is_null(t.column("text")),
+                               pa.int64())).as_py() or 0
+        return pd.DataFrame({
+            "n_docs": [np.int64(t.num_rows)],
+            "n_null_text": [np.int64(nulls)],
+            "total_chars": [np.int64(np.nansum(
+                nc.astype(np.float64)))],
+            "langs": [",".join(sorted(set(lang.dropna())))],
+            "sources": [",".join(sorted(set(src.dropna())))]})
+
+    parts = ds.map_batches(scalars, batch_format="pyarrow").to_pandas()
+    if parts.empty or int(parts["n_docs"].sum()) == 0:
+        return _empty_result(**empty)
+    n_docs = int(parts["n_docs"].sum())
+    n_null = int(parts["n_null_text"].sum())
+    total_chars = int(parts["total_chars"].sum())
+    langs = set()
+    sources = set()
+    for s in parts["langs"]:
+        langs.update(x for x in s.split(",") if x)
+    for s in parts["sources"]:
+        sources.update(x for x in s.split(",") if x)
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("text")))
+        h1, h2 = _pair_keys(
+            t.column("text").to_numpy(zero_copy_only=False))
+        return pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
+
+    n_distinct = sorted_distinct_keys(
+        ds.map_batches(keys, batch_format="pyarrow"),
+        ["h1", "h2"]).count()
+    n_text = n_docs - n_null
+    return pd.DataFrame({
+        "n_docs": np.array([n_docs], dtype=np.int64),
+        "n_langs": np.array([len(langs)], dtype=np.int64),
+        "n_sources": np.array([len(sources)], dtype=np.int64),
+        "total_chars": np.array([total_chars], dtype=np.int64),
+        "null_text_rate_e6": np.array(
+            [(2 * 10**6 * n_null + n_docs) // (2 * n_docs)],
+            dtype=np.int64),
+        "distinct_text_rate_e6": np.array(
+            [(2 * 10**6 * n_distinct + n_text) // (2 * n_text)
+             if n_text > 0 else 0], dtype=np.int64)})

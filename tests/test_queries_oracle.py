@@ -410,6 +410,9 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "value_volatility": ["event_type", "n_steps",
                              "sum_absdiff_e6"],
         "returning_share_daily": ["day_i", "n_new", "n_returning"],
+        "corpus_report": ["n_docs", "n_langs", "n_sources",
+                          "total_chars", "null_text_rate_e6",
+                          "distinct_text_rate_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -736,6 +739,9 @@ NASTY_QUERIES = [
     # new-vs-returning: NULL users/ts excluded; the nasty future-day
     # events create fresh first-day groups
     "returning_share_daily",
+    # executive summary: NULL text/lang/source rates on the nasty
+    # corpus; 128-bit distinct vs SQL DISTINCT text
+    "corpus_report",
 ]
 
 
