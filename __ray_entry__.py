@@ -617,6 +617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_volatility": q.value_volatility,
         "returning_share_daily": q.returning_share_daily,
         "corpus_report": q.corpus_report,
+        "source_lang_entropy": q.source_lang_entropy,
+        "max_silence_days": q.max_silence_days,
     }
 
 
@@ -4935,5 +4937,39 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) ELSE CAST(0 AS BIGINT) END
                        AS distinct_text_rate_e6
             FROM s WHERE n_docs > 0
+        """,
+        # lang-mix entropy per source: the token_entropy e6-quantized
+        # ln convention (integer inner sum, one float closed form)
+        "source_lang_entropy": """
+            WITH c AS (SELECT source, lang,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                         CAST(count(*) AS BIGINT) AS n_langs,
+                         CAST(sum(n * CAST(round(1000000 * ln(n))
+                              AS BIGINT)) AS BIGINT) AS s
+                  FROM c GROUP BY 1)
+            SELECT source, n_docs, n_langs,
+                   CAST(round(1000000 * ln(n_docs)
+                              - CAST(s AS DOUBLE) / n_docs)
+                        AS BIGINT) AS entropy_e6
+            FROM s ORDER BY source
+        """,
+        # longest silent stretch per type between first and last
+        # active day; single-day types report 0
+        "max_silence_days": """
+            WITH d AS (SELECT DISTINCT event_type,
+                              epoch_us(date_trunc('day', ts))
+                                  // 86400000000 AS day_i
+                       FROM events WHERE ts IS NOT NULL),
+            l AS (SELECT event_type, day_i,
+                         LAG(day_i) OVER (PARTITION BY event_type
+                             ORDER BY day_i) AS prev
+                  FROM d)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days_active,
+                   CAST(coalesce(max(day_i - prev - 1), 0) AS BIGINT)
+                       AS max_gap_days
+            FROM l GROUP BY 1 ORDER BY 1
         """,
     }

@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "value_volatility",
     "returning_share_daily",
     "corpus_report",
+    "source_lang_entropy",
+    "max_silence_days",
 ]
 
 

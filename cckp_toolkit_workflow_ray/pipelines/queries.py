@@ -7655,9 +7655,12 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             "rev": _round_half_away(1e6 * (p * (1 - d)))
             .astype(np.int64), "n_rows": np.int64(1)})
         m2 = df.merge(ray.get(_ref), on="s_suppkey")
-        # pre-combine: one row per (order, supp-nation-key, year)
-        return m2.groupby(["l_orderkey", "sn", "l_year"],
-                          as_index=False)[["rev", "n_rows"]].sum()
+        # pre-combine: one row per (order, supp-nation-key, year);
+        # emit ARROW blocks — the join's bucket sort over pandas
+        # blocks measured ~10x slower on this exchange
+        g2 = m2.groupby(["l_orderkey", "sn", "l_year"],
+                        as_index=False)[["rev", "n_rows"]].sum()
+        return pa.Table.from_pandas(g2, preserve_index=False)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
@@ -7668,8 +7671,9 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             .to_numpy(zero_copy_only=False),
             "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
             .to_numpy(zero_copy_only=False)})
-        return df.merge(ray.get(_ref), on="c_custkey")[
-            ["l_orderkey", "cn"]]
+        return pa.Table.from_pandas(
+            df.merge(ray.get(_ref), on="c_custkey")[
+                ["l_orderkey", "cn"]], preserve_index=False)
 
     l_ds = li.map_batches(li_clean,
                           batch_format="pyarrow").materialize()
@@ -7690,9 +7694,14 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
         return df.groupby(["sn", "cn", "l_year"],
                           as_index=False)[["n_rows", "rev"]].sum()
 
-    agg = _sum_by_key(j.map_batches(rollup, batch_format="pandas"),
-                      ["sn", "cn", "l_year"],
-                      ["n_rows", "rev"]).to_pandas()
+    # the pre-combined partial stream is ≤ blocks × (25·25·years) rows,
+    # so the sorted-run reduction finishes in ONE bounded driver
+    # groupby — Ray's hash aggregate measured 13.7 s of this query's
+    # 17.8 s on the same stream
+    from ..stages.groupagg import sorted_reduce_by_key_ds as _srk
+    agg = _srk(j.map_batches(rollup, batch_format="pandas"),
+               ["sn", "cn", "l_year"],
+               {"n_rows": "sum", "rev": "sum"}).to_pandas()
     if agg.empty or "rev" not in agg:
         return _empty_result(**empty)
     agg = agg.rename(columns={"rev": "revenue_e6"})
@@ -10846,3 +10855,98 @@ def corpus_report(sf_dir: str) -> pa.Table:
         "distinct_text_rate_e6": np.array(
             [(2 * 10**6 * n_distinct + n_text) // (2 * n_text)
              if n_text > 0 else 0], dtype=np.int64)})
+
+
+def source_lang_entropy(sf_dir: str) -> pa.Table:
+    """Per-source language-mix entropy — the diversity score a mixture
+    planner reads before reweighting: ``H = ln N − (Σ n·ln n)/N`` over
+    the source's lang counts, evaluated with scalar libm ``math.log``
+    per distinct count VALUE (the lm_score ln-parity convention — a
+    SIMD ``np.log`` can differ from DuckDB's libm ln by an ulp and
+    flip an e6 rounding) on the bounded (source × lang) grid.  NULL
+    lang is a counted category (SQL GROUP BY keeps it); NULL source is
+    a kept group."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": _sentinel_nulls(pd.Series(
+                t.column("source").to_numpy(zero_copy_only=False))),
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n": np.int64(1)})
+        return df.groupby(["source", "lang"], as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["source", "lang"], ["n"]).to_pandas()
+    empty = dict(source=object, n_docs="int64", n_langs="int64",
+                 entropy_e6="int64")
+    if g.empty or "n" not in g:
+        return _empty_result(**empty)
+    rows = []
+    for src, sub in g.groupby("source", dropna=False):
+        n = sub["n"].to_numpy(dtype=np.int64)
+        big_n = int(n.sum())
+        # token_entropy convention: per-count e6-quantized libm ln
+        # summed as EXACT ints (order-free), one float closed form
+        uniq, cnt = np.unique(n, return_counts=True)
+        s = sum(int(c) * int(u)
+                * int(_round_half_away(np.float64(
+                    1e6 * math.log(float(u)))))
+                for u, c in zip(uniq, cnt))
+        ent = int(_round_half_away(np.float64(
+            1e6 * math.log(float(big_n)) - s / float(big_n))))
+        rows.append((src, big_n, len(sub), ent))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "n_langs",
+                                      "entropy_e6"])
+    out = _restore_null_keys(out, ["source"])
+    for c in ("n_docs", "n_langs", "entropy_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source", na_position="last") \
+        .reset_index(drop=True)
+
+
+def max_silence_days(sf_dir: str) -> pa.Table:
+    """Longest silent stretch per event type: the maximum run of
+    consecutive calendar days WITHOUT an event, between the type's
+    first and last active day — the liveness/outage diagnostic
+    complementing ``doc_id_islands`` on the time axis.  One combiner
+    pass folds to the bounded (type × day) grid; the max-gap scan is
+    a driver-side vectorized diff (the ``daily_autocorr`` precedent).
+    NULL timestamps are excluded; NULL event_type is a group;
+    single-day types report 0."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "event_type": _sentinel_nulls(pd.Series(
+                t.column("event_type").to_numpy(zero_copy_only=False))),
+            "day_i": us // _DAY_US}).drop_duplicates()
+
+    grid = _sum_by_key(
+        ds.map_batches(
+            lambda t: partial(t).assign(n=np.int64(1)),
+            batch_format="pyarrow"),
+        ["event_type", "day_i"], ["n"]).to_pandas()
+    empty = dict(event_type=object, n_days_active="int64",
+                 max_gap_days="int64")
+    if grid.empty or "day_i" not in grid:
+        return _empty_result(**empty)
+    rows = []
+    for ty, sub in grid.groupby("event_type", dropna=False):
+        d = np.sort(sub["day_i"].to_numpy(dtype=np.int64))
+        gap = int((d[1:] - d[:-1] - 1).max()) if len(d) > 1 else 0
+        rows.append((ty, len(d), max(gap, 0)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days_active",
+                                      "max_gap_days"])
+    out = _restore_null_keys(out, ["event_type"])
+    out["n_days_active"] = out["n_days_active"].astype(np.int64)
+    out["max_gap_days"] = out["max_gap_days"].astype(np.int64)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

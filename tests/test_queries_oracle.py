@@ -413,6 +413,10 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "corpus_report": ["n_docs", "n_langs", "n_sources",
                           "total_chars", "null_text_rate_e6",
                           "distinct_text_rate_e6"],
+        "source_lang_entropy": ["source", "n_docs", "n_langs",
+                                "entropy_e6"],
+        "max_silence_days": ["event_type", "n_days_active",
+                             "max_gap_days"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -742,6 +746,12 @@ NASTY_QUERIES = [
     # executive summary: NULL text/lang/source rates on the nasty
     # corpus; 128-bit distinct vs SQL DISTINCT text
     "corpus_report",
+    # lang-mix entropy: NULL lang is a counted category, NULL source
+    # a group; e6-quantized ln parity
+    "source_lang_entropy",
+    # silence gaps: NULL ts excluded, NULL type group, the nasty
+    # isolated pre-1970/future days create giant gaps
+    "max_silence_days",
 ]
 
 
