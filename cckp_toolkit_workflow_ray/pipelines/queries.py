@@ -52,12 +52,20 @@ def _empty_result(**cols) -> pd.DataFrame:
 
 
 def _sum_by_key(partials, keys: list[str], cols: list[str]):
-    """groupby(keys).sum(cols) over an already-combined partial stream."""
-    from ray.data.aggregate import Sum
+    """groupby(keys).sum(cols) over an already-combined partial stream.
 
-    return partials.groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in cols]
-    )
+    Delegates to the sorted-run keyed reduction: the partial streams
+    here are bounded grids (langs × …), and Ray's hash Aggregate pays
+    a multi-second all-to-all barrier even on a 5-row grid (measured
+    13.7 s of nation_trade_volume's 17.8 s, 5.9 s of
+    order_backlog_daily's 10.2 s on a 2.5k-row day grid).  The
+    reduction finishes in ONE bounded driver groupby below its 2M-row
+    limit and falls back to the range-sort path above it — same
+    NaN-key semantics (pandas ``dropna=False``)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    return sorted_reduce_by_key_ds(partials, keys,
+                                   {c: "sum" for c in cols})
 
 
 # SQL GROUP BY keeps a NULL group; see functions/nulls.py for the shared
