@@ -194,12 +194,10 @@ def stats_profile(sf_dir: str) -> pa.Table:
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Min("min_chars", alias_name="min_chars"),
-        Max("max_chars", alias_name="max_chars"),
-        Sum("sum_chars", alias_name="sum_chars"),
-    )
+    from ..stages.groupagg import sorted_reduce_by_key_ds as _srk2
+    agg = _srk2(ds.map_batches(partial, batch_format="pyarrow"),
+                ["lang"], {"n_docs": "sum", "min_chars": "min",
+                           "max_chars": "max", "sum_chars": "sum"})
     df = _restore_null_keys(agg.to_pandas(), ["lang"])
     df["avg_chars"] = df["sum_chars"].astype(np.float64) / df["n_docs"]
     return df

@@ -51,10 +51,13 @@ def _doc_distinct_grams(texts, n: int) -> tuple[list, np.ndarray]:
 
 
 def _sum_rollup(parts):
-    from ray.data.aggregate import Sum
+    # sorted-run reduction: Ray's hash Aggregate pays a multi-second
+    # barrier even on the bounded per-lang grid (queries._sum_by_key
+    # precedent)
+    from .groupagg import sorted_reduce_by_key_ds
 
-    return parts.groupby("lang").aggregate(
-        *[Sum(c, alias_name=c) for c in ROLLUP_COLS])
+    return sorted_reduce_by_key_ds(
+        parts, ["lang"], {c: "sum" for c in ROLLUP_COLS})
 
 
 def dup_ngram_rollup(ds, text_col: str = "text", lang_col: str = "lang",

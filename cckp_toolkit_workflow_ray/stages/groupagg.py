@@ -304,8 +304,16 @@ def salted_distinct_count(ds, key: str, entity: str, n_salts: int = 64,
 
     per_salt = pairs.groupby([key, "__salt"]).map_groups(
         count_group, batch_format="pandas")
-    return per_salt.groupby(key).aggregate(
-        Sum("n_distinct", alias_name="n_distinct"))
+    # final fold over the (keys × salts) grid: the sorted-run
+    # reduction, not Ray's hash Aggregate (barrier cost precedent).
+    # pandas keeps a NULL key as NaN — restore the None the previous
+    # Ray-aggregate contract handed consumers
+    from ..functions.nulls import restore_null_keys
+
+    return sorted_reduce_by_key_ds(
+        per_salt, [key], {"n_distinct": "sum"}).map_batches(
+        lambda df: restore_null_keys(df, [key]),
+        batch_format="pandas")
 
 
 def grouped_value_counts(ds, key: str, val: str,
