@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q.corpus_report,
         "source_lang_entropy": q.source_lang_entropy,
         "max_silence_days": q.max_silence_days,
+        "knn_label_agreement": q.knn_label_agreement,
     }
 
 
@@ -4971,5 +4972,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(max(day_i - prev - 1), 0) AS BIGINT)
                        AS max_gap_days
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # leave-one-out 1-NN label agreement; zero vectors excluded,
+        # self excluded before ranking, NULL-label NULL-safe agree
+        "knn_label_agreement": """
+            WITH v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
+                          x -> x <> 0)) > 0),
+            p AS (SELECT a.vec_id, a.label AS la, b.vec_id AS nb,
+                         b.label AS lb,
+                         list_cosine_similarity(a.e, b.e) AS s
+                  FROM v a JOIN v b ON b.vec_id <> a.vec_id),
+            r AS (SELECT vec_id, la, lb, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY s DESC, nb) AS rk
+                  FROM p)
+            SELECT la AS label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN lb IS NOT DISTINCT FROM la
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1
         """,
     }

@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "source_lang_entropy",
     "max_silence_days",
+    "knn_label_agreement",
 ]
 
 

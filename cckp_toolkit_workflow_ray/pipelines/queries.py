@@ -10956,3 +10956,66 @@ def max_silence_days(sf_dir: str) -> pa.Table:
     out["max_gap_days"] = out["max_gap_days"].astype(np.int64)
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def knn_label_agreement(sf_dir: str) -> pa.Table:
+    """Leave-one-out 1-NN label agreement over the embedding table —
+    the embedding-quality eval (a good space puts same-label vectors
+    nearest).  Every non-zero vector queries the corpus through the
+    distributed exact top-k (per-batch matmul partials against the
+    broadcast query matrix — the ``knn_embeddings`` small-path,
+    documented: the IVF index is the scale path); the self-match is
+    excluded BEFORE ranking (SQL ``b.vec_id <> a.vec_id`` parity, so
+    an exact-duplicate neighbor with a smaller id wins the tie).
+    Zero vectors are excluded from both sides (cosine undefined);
+    NULL labels are a group, and a NULL-label query AGREES with a
+    NULL-label neighbor (IS NOT DISTINCT FROM parity)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_cosine
+
+    empty = dict(label="int64", n="int64", n_agree="int64")
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"]) \
+        .to_pandas()
+    if full.empty:
+        return _empty_result(**empty)
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    nz = (mat * mat).sum(axis=1) > 0.0
+    full = full[nz].reset_index(drop=True)
+    if full.empty:
+        return _empty_result(**empty)
+    mat = mat[nz]
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def nonzero(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _to_matrix
+        m = _to_matrix(t.column("embedding"))
+        keep = (m * m).sum(axis=1) > 0.0
+        return t.filter(pa.array(keep))
+
+    nn = knn_cosine(ds.map_batches(nonzero, batch_format="pyarrow"),
+                    mat, ids, k=2)
+    nn = nn[nn["neighbor_id"] != nn["query_id"]]
+    nn = nn.sort_values(["query_id", "rk"]).groupby(
+        "query_id", as_index=False).first()
+    lab = pd.DataFrame({
+        "vec_id": ids,
+        "label": full["label"].astype("float64").to_numpy()})
+    j = nn.merge(lab.rename(columns={"vec_id": "query_id",
+                                     "label": "la"}), on="query_id") \
+        .merge(lab.rename(columns={"vec_id": "neighbor_id",
+                                   "label": "lb"}), on="neighbor_id")
+    la = j["la"].to_numpy(dtype=np.float64)
+    lb = j["lb"].to_numpy(dtype=np.float64)
+    agree = (la == lb) | (np.isnan(la) & np.isnan(lb))
+    g = pd.DataFrame({"label": la, "n": np.int64(1),
+                      "n_agree": agree.astype(np.int64)}) \
+        .groupby("label", as_index=False, dropna=False).sum()
+    g["label"] = _int_or_float64(g["label"])
+    g["n"] = g["n"].astype(np.int64)
+    g["n_agree"] = g["n_agree"].astype(np.int64)
+    return g.sort_values("label", na_position="last") \
+        .reset_index(drop=True)

@@ -417,6 +417,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                 "entropy_e6"],
         "max_silence_days": ["event_type", "n_days_active",
                              "max_gap_days"],
+        "knn_label_agreement": ["label", "n", "n_agree"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -752,6 +753,9 @@ NASTY_QUERIES = [
     # silence gaps: NULL ts excluded, NULL type group, the nasty
     # isolated pre-1970/future days create giant gaps
     "max_silence_days",
+    # 1-NN agreement: nasty zero vectors excluded on both sides,
+    # NULL labels NULL-safe agree, duplicate vectors tie on min id
+    "knn_label_agreement",
 ]
 
 
