@@ -620,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q.source_lang_entropy,
         "max_silence_days": q.max_silence_days,
         "knn_label_agreement": q.knn_label_agreement,
+        "dow_anova": q.dow_anova,
+        "customer_trend_census": q.customer_trend_census,
     }
 
 
@@ -4993,5 +4995,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN lb IS NOT DISTINCT FROM la
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
             FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1
+        """,
+        # weekday ANOVA eta²: per-group terms e6-quantized to ints
+        # (order-free), integer half-away final ratio
+        "dow_anova": """
+            WITH d AS (
+                SELECT epoch_us(date_trunc('day', ts))
+                           // 86400000000 AS day_i,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            g AS (SELECT ((day_i + 4) % 7 + 7) % 7 AS dow,
+                         CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(sum(n) AS BIGINT) AS s
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(n) AS BIGINT) AS s_all,
+                         CAST(sum(n * n) AS BIGINT) AS ss_all
+                  FROM d),
+            q AS (SELECT CAST(sum(CAST(round(1000000
+                       * (CAST(s AS DOUBLE) * s / cnt)) AS BIGINT))
+                       AS BIGINT) AS ssb_q
+                  FROM g),
+            f AS (SELECT t.n_days, t.s_all,
+                         1000000 * t.ss_all
+                         - CAST(round(1000000 * (CAST(t.s_all
+                               AS DOUBLE) * t.s_all / t.n_days))
+                               AS BIGINT) AS sst_i,
+                         greatest(q.ssb_q - CAST(round(1000000
+                             * (CAST(t.s_all AS DOUBLE) * t.s_all
+                                / t.n_days)) AS BIGINT),
+                             0) AS num
+                  FROM t, q)
+            SELECT n_days, s_all AS n_events,
+                   CASE WHEN sst_i > 0 THEN CAST(
+                       (2 * 1000000 * CAST(num AS HUGEINT)
+                        + CAST(sst_i AS HUGEINT))
+                       // (2 * CAST(sst_i AS HUGEINT)) AS BIGINT)
+                   END AS eta2_e6
+            FROM f WHERE n_days > 0
+        """,
+        # per-customer OLS slope SIGN census, all-integer with the
+        # globally-rebased day index
+        "customer_trend_census": """
+            WITH o AS (
+                SELECT o_custkey AS c,
+                       epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000 AS day_i,
+                       CAST(round(1000000 * o_totalprice) AS BIGINT)
+                           AS y
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_orderdate IS NOT NULL
+                  AND o_totalprice IS NOT NULL),
+            g0 AS (SELECT min(day_i) AS gmin FROM o),
+            m AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(day_i - g0.gmin) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum((day_i - g0.gmin) * y) AS BIGINT)
+                             AS sxy
+                  FROM o, g0 GROUP BY 1),
+            t AS (SELECT CASE WHEN n < 2 THEN 'single'
+                              WHEN n * sxy - sx * sy > 0 THEN 'up'
+                              WHEN n * sxy - sx * sy < 0 THEN 'down'
+                              ELSE 'flat' END AS trend
+                  FROM m)
+            SELECT trend, CAST(count(*) AS BIGINT) AS n_customers
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }

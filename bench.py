@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "source_lang_entropy",
     "max_silence_days",
     "knn_label_agreement",
+    "dow_anova",
+    "customer_trend_census",
 ]
 
 

@@ -11019,3 +11019,138 @@ def knn_label_agreement(sf_dir: str) -> pa.Table:
     g["n_agree"] = g["n_agree"].astype(np.int64)
     return g.sort_values("label", na_position="last") \
         .reset_index(drop=True)
+
+
+def dow_anova(sf_dir: str) -> pa.Table:
+    """Day-of-week seasonality strength of the event stream: one-way
+    ANOVA eta² — the between-weekday share of the daily-count
+    variance — from EXACT integer moments over the bounded
+    (dow × day) grid (daily counts by the integer Thursday-offset
+    weekday of ``event_heatmap``).  The only float arithmetic is the
+    final closed form, mirrored operand-for-operand in the oracle.
+    NULL timestamps are excluded.  Output: weekday group sizes, the
+    e6 eta², and the grand totals — one row."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"day_i": us // _DAY_US, "n": np.int64(1)})
+        return df.groupby("day_i", as_index=False).sum()
+
+    grid = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["day_i"], ["n"]).to_pandas()
+    empty = dict(n_days="int64", n_events="int64", eta2_e6="int64")
+    if grid.empty or "n" not in grid:
+        return _empty_result(**empty)
+    d = grid["day_i"].to_numpy(dtype=np.int64)
+    n = grid["n"].to_numpy(dtype=np.int64)
+    dow = (d + 4) % 7
+    big_n = int(len(grid))
+    s_all = int(n.sum())
+    ss_all = int((n * n).sum())
+    rows = pd.DataFrame({"dow": dow, "n": n}).groupby(
+        "dow", as_index=False).agg(cnt=("n", "size"), s=("n", "sum"))
+    # order-free quantization (the token_entropy convention): each
+    # group's s²/n term e6-rounds to an INT before the sum, the grand
+    # term likewise, so no float accumulation order exists anywhere;
+    # the final ratio is the integer half-away division on exact ints
+    ssb_q = sum(int(_round_half_away(np.float64(
+        1e6 * (float(s) * float(s) / float(c)))))
+        for s, c in zip(rows["s"], rows["cnt"]))
+    grand_q = int(_round_half_away(np.float64(
+        1e6 * (float(s_all) * float(s_all) / float(big_n)))))
+    sst_i = 10**6 * ss_all - grand_q
+    num = max(ssb_q - grand_q, 0)
+    eta2 = float((2 * 10**6 * num + sst_i) // (2 * sst_i)) \
+        if sst_i > 0 else np.nan
+    out = pd.DataFrame({
+        "n_days": np.array([big_n], dtype=np.int64),
+        "n_events": np.array([s_all], dtype=np.int64),
+        "eta2_e6": _int_or_float64(pd.Series([eta2]))})
+    return out
+
+
+def customer_trend_census(sf_dir: str) -> pa.Table:
+    """Per-customer spend-trend SIGN census: for every customer with
+    ≥ 2 dated orders, the sign of the OLS slope of order value over
+    time — counted, never the slopes themselves, so the statistic is
+    ALL-INTEGER: sign(n·Σxy − Σx·Σy) with x the GLOBALLY-rebased day
+    index (keeps the int64 products small) and y the e6 order value.
+    Per-customer moments ride ONE sorted-run keyed reduction at
+    customer cardinality; the census is a bounded fold.  Orders with
+    NULL custkey/date/totalprice drop; single-order customers report
+    in their own bucket."""
+    from ray.data.aggregate import Min
+
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    _DAY_US = 86_400 * 10**6
+    empty = dict(trend=object, n_customers="int64")
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def clean(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.and_(pc.is_valid(t.column("o_custkey")),
+                            pc.is_valid(t.column("o_orderdate"))),
+                    pc.is_valid(t.column("o_totalprice")))
+        t = t.filter(m)
+        us = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        return pd.DataFrame({
+            "c": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "day_i": us // _DAY_US,
+            "y": _round_half_away(1e6 * tp).astype(np.int64)})
+
+    filt = ds.map_batches(clean, batch_format="pyarrow").materialize()
+    if filt.count() == 0:
+        return _empty_result(**empty)
+    gmin = int(filt.aggregate(Min("day_i"))["min(day_i)"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "c": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "sx": pd.Series([], dtype="int64"),
+                "sy": pd.Series([], dtype="int64"),
+                "sxy": pd.Series([], dtype="int64")})
+        x = df["day_i"].to_numpy(dtype=np.int64) - gmin
+        y = df["y"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"c": df["c"].to_numpy(dtype=np.int64),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y})
+        return g.groupby("c", as_index=False).sum()
+
+    per = sorted_reduce_by_key_ds(
+        filt.map_batches(moments, batch_format="pandas"),
+        ["c"], {"n": "sum", "sx": "sum", "sy": "sum", "sxy": "sum"})
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "trend": pd.Series([], dtype=object),
+                "n_customers": pd.Series([], dtype="int64")})
+        n = df["n"].to_numpy(dtype=np.int64)
+        num = n * df["sxy"].to_numpy(dtype=np.int64) \
+            - df["sx"].to_numpy(dtype=np.int64) \
+            * df["sy"].to_numpy(dtype=np.int64)
+        trend = np.where(n < 2, "single",
+                         np.where(num > 0, "up",
+                                  np.where(num < 0, "down", "flat")))
+        g = pd.DataFrame({"trend": trend.astype(object),
+                          "n_customers": np.int64(1)})
+        return g.groupby("trend", as_index=False).sum()
+
+    agg = _sum_by_key(per.map_batches(census, batch_format="pandas"),
+                      ["trend"], ["n_customers"]).to_pandas()
+    if agg.empty or "n_customers" not in agg:
+        return _empty_result(**empty)
+    agg["n_customers"] = agg["n_customers"].astype(np.int64)
+    return agg[["trend", "n_customers"]].sort_values("trend") \
+        .reset_index(drop=True)

@@ -418,6 +418,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "max_silence_days": ["event_type", "n_days_active",
                              "max_gap_days"],
         "knn_label_agreement": ["label", "n", "n_agree"],
+        "dow_anova": ["n_days", "n_events", "eta2_e6"],
+        "customer_trend_census": ["trend", "n_customers"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -756,6 +758,12 @@ NASTY_QUERIES = [
     # 1-NN agreement: nasty zero vectors excluded on both sides,
     # NULL labels NULL-safe agree, duplicate vectors tie on min id
     "knn_label_agreement",
+    # weekday ANOVA: NULL ts excluded; pre-1970/future nasty days
+    # floor and mod identically; quantized terms order-free
+    "dow_anova",
+    # trend census: NULL custkey/date/price drop; the nasty extra
+    # orders create fresh single-order customers
+    "customer_trend_census",
 ]
 
 
