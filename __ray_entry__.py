@@ -622,6 +622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q.knn_label_agreement,
         "dow_anova": q.dow_anova,
         "customer_trend_census": q.customer_trend_census,
+        "revenue_top1pct_share": q.revenue_top1pct_share,
+        "signup_to_purchase_latency": q.signup_to_purchase_latency,
     }
 
 
@@ -5061,5 +5063,69 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT trend, CAST(count(*) AS BIGINT) AS n_customers
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        # whale concentration: ceil(n/100) ranked (rev DESC, custkey),
+        # integer half-away share
+        "revenue_top1pct_share": """
+            WITH po AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(1000000 * (l_extendedprice
+                            * (1 - l_discount))) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+                GROUP BY 1),
+            pc0 AS (SELECT o.o_custkey AS c,
+                           CAST(sum(po.rev) AS BIGINT) AS rev
+                    FROM po JOIN orders o
+                        ON o.o_orderkey = po.l_orderkey
+                    WHERE o.o_custkey IS NOT NULL GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                         CAST(sum(rev) AS BIGINT) AS total,
+                         CAST(-((-count(*)) // 100) AS BIGINT) AS k
+                  FROM pc0),
+            r AS (SELECT rev, ROW_NUMBER() OVER (
+                      ORDER BY rev DESC, c) AS rk FROM pc0),
+            topr AS (SELECT CAST(sum(r.rev) AS BIGINT) AS top_rev
+                     FROM r, t WHERE r.rk <= t.k)
+            SELECT t.n_customers, t.k AS top_k,
+                   topr.top_rev AS top_rev_e6,
+                   t.total AS total_rev_e6,
+                   CAST((2 * 1000000 * CAST(topr.top_rev AS HUGEINT)
+                         + CAST(t.total AS HUGEINT))
+                        // (2 * CAST(t.total AS HUGEINT)) AS BIGINT)
+                       AS share_e6
+            FROM t, topr WHERE t.total > 0
+        """,
+        # conversion latency: first purchase strictly after the first
+        # signup in (ts, id) order; quantile_disc ranks
+        "signup_to_purchase_latency": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       event_type
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IN ('signup', 'purchase')),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS rn FROM e),
+            s AS (SELECT user_id, min(rn) AS srn FROM r
+                  WHERE event_type = 'signup' GROUP BY 1),
+            p AS (SELECT r.user_id, min(r.rn) AS prn
+                  FROM r JOIN s ON s.user_id = r.user_id
+                  WHERE r.event_type = 'purchase' AND r.rn > s.srn
+                  GROUP BY 1),
+            l AS (SELECT rp.us - rs.us AS lat
+                  FROM p
+                  JOIN s ON s.user_id = p.user_id
+                  JOIN r rp ON rp.user_id = p.user_id
+                      AND rp.rn = p.prn
+                  JOIN r rs ON rs.user_id = p.user_id
+                      AND rs.rn = s.srn)
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_us,
+                   CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_us
+            FROM l HAVING count(*) > 0
         """,
     }

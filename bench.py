@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "knn_label_agreement",
     "dow_anova",
     "customer_trend_census",
+    "revenue_top1pct_share",
+    "signup_to_purchase_latency",
 ]
 
 

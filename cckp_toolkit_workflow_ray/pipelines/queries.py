@@ -11154,3 +11154,183 @@ def customer_trend_census(sf_dir: str) -> pa.Table:
     agg["n_customers"] = agg["n_customers"].astype(np.int64)
     return agg[["trend", "n_customers"]].sort_values("trend") \
         .reset_index(drop=True)
+
+
+def revenue_top1pct_share(sf_dir: str) -> pa.Table:
+    """Whale-concentration report: the revenue share of the top 1% of
+    customers (k = ceil(n/100), ranked revenue DESC then custkey) —
+    the money-axis sibling of ``host_n50``/``gini_hosts``.
+    Per-customer revenue rides the sorted-run keyed reduction; the
+    top-k is a distributed sort-limit (k computed from the reduced
+    stream's count, never the corpus); the share is the integer
+    half-away ratio.  Lineitems with NULL price/discount and orders
+    with NULL custkey drop (inner parity)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+    from ..stages.joins import hash_join, restore_plain_ints
+
+    empty = dict(n_customers="int64", top_k="int64",
+                 top_rev_e6="int64", total_rev_e6="int64",
+                 share_e6="int64")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_clean(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                    pc.and_(pc.is_valid(t.column("l_discount")),
+                            pc.is_valid(t.column("l_orderkey"))))
+        t = t.filter(m)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        df = pd.DataFrame({
+            "o_orderkey": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "rev": _round_half_away(1e6 * (p * (1 - d)))
+            .astype(np.int64)})
+        return df.groupby("o_orderkey", as_index=False).sum()
+
+    per_order = sorted_reduce_by_key_ds(
+        li.map_batches(li_clean, batch_format="pyarrow"),
+        ["o_orderkey"], {"rev": "sum"}).materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ord_clean(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        return pd.DataFrame({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "c": pc.cast(t.column("o_custkey"), pa.int64())
+            .to_numpy(zero_copy_only=False)})
+
+    o_ds = orders.map_batches(ord_clean,
+                              batch_format="pyarrow").materialize()
+    if per_order.count() == 0 or o_ds.count() == 0:
+        return _empty_result(**empty)
+    j = hash_join(per_order, o_ds, on="o_orderkey").map_batches(
+        restore_plain_ints, batch_format="pandas")
+    per_cust = sorted_reduce_by_key_ds(
+        j.map_batches(
+            lambda df: df[["c", "rev"]].groupby(
+                "c", as_index=False).sum(),
+            batch_format="pandas"),
+        ["c"], {"rev": "sum"}).materialize()
+    n_cust = per_cust.count()
+    if n_cust == 0:
+        return _empty_result(**empty)
+    k = -(-n_cust // 100)  # ceil(n/100)
+    top = per_cust.sort(["rev", "c"],
+                        descending=[True, False]).limit(k).to_pandas()
+    totals = per_cust.map_batches(
+        lambda df: pd.DataFrame({"t": [np.int64(df["rev"].sum())]}),
+        batch_format="pandas").to_pandas()
+    total = int(totals["t"].sum())
+    top_rev = int(top["rev"].sum())
+    share = (2 * 10**6 * top_rev + total) // (2 * total) \
+        if total > 0 else 0
+    return pd.DataFrame({
+        "n_customers": np.array([n_cust], dtype=np.int64),
+        "top_k": np.array([k], dtype=np.int64),
+        "top_rev_e6": np.array([top_rev], dtype=np.int64),
+        "total_rev_e6": np.array([total], dtype=np.int64),
+        "share_e6": np.array([share], dtype=np.int64)})
+
+
+def signup_to_purchase_latency(sf_dir: str) -> pa.Table:
+    """Conversion latency: for every user, microseconds from their
+    FIRST 'signup' to their first 'purchase' AT-OR-AFTER it —
+    quantiles of the exact latency distribution (the ordered-funnel
+    first-touch motif of ``funnel_conversion`` with a latency
+    payload).  One range sort by (user, ts, id); block-interior users
+    fold vectorized; edge users ride the sorted-run contract; the
+    surface is one row of exact ``quantile_disc`` ranks computed from
+    the bounded converted-user latency set via the distributed
+    selection machinery's rank rule (driver-side here — converted
+    users are a corpus fraction, documented).  NULL users/timestamps
+    are excluded."""
+    from ..stages.ranking import _edge_mask
+
+    empty = dict(n_converted="int64", p50_us="int64", p90_us="int64")
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(t.column("ts")),
+                            pc.is_valid(t.column("user_id"))),
+                    pc.fill_null(pc.is_in(
+                        t.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"])),
+                        False))
+        t = t.filter(m)
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({"lat": pd.Series([], dtype="int64")})
+
+    def latencies(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized first-touch fold: rows sit in (user, ts,
+        # id) order, so "first purchase after the first signup" is a
+        # position comparison — no per-user Python
+        if df.empty:
+            return _EMPTY
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        tsv = df["ts_us"].to_numpy(dtype=np.int64)
+        ty = df["event_type"].to_numpy(dtype=object)
+        s_pos = np.flatnonzero(ty == "signup")
+        if s_pos.size == 0:
+            return _EMPTY
+        su = u[s_pos]
+        first_s = np.concatenate(([True], su[1:] != su[:-1]))
+        s_users = su[first_s]
+        s_first = s_pos[first_s]
+        p_pos = np.flatnonzero(ty == "purchase")
+        if p_pos.size == 0:
+            return _EMPTY
+        pu = u[p_pos]
+        loc = np.minimum(np.searchsorted(s_users, pu),
+                         s_users.size - 1)
+        valid = (s_users[loc] == pu) & (p_pos > s_first[loc])
+        if not valid.any():
+            return _EMPTY
+        vu = pu[valid]
+        vpos = p_pos[valid]
+        first_p = np.concatenate(([True], vu[1:] != vu[:-1]))
+        win = vpos[first_p]
+        t0 = tsv[s_first[np.searchsorted(s_users, vu[first_p])]]
+        return pd.DataFrame({"lat": tsv[win] - t0})
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return latencies(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        edge_sorted = edge_rows.sort_values(
+            ["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        parts = pd.concat([parts, latencies(edge_sorted)],
+                          ignore_index=True)
+    if parts.empty:
+        return _empty_result(**empty)
+    lat = np.sort(parts["lat"].to_numpy(dtype=np.int64))
+    n = lat.size
+
+    def qd(q: float) -> int:
+        import math
+        return int(lat[max(1, math.ceil(q * n)) - 1])
+
+    return pd.DataFrame({
+        "n_converted": np.array([n], dtype=np.int64),
+        "p50_us": np.array([qd(0.5)], dtype=np.int64),
+        "p90_us": np.array([qd(0.9)], dtype=np.int64)})

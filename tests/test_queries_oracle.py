@@ -420,6 +420,11 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "knn_label_agreement": ["label", "n", "n_agree"],
         "dow_anova": ["n_days", "n_events", "eta2_e6"],
         "customer_trend_census": ["trend", "n_customers"],
+        "revenue_top1pct_share": ["n_customers", "top_k",
+                                  "top_rev_e6", "total_rev_e6",
+                                  "share_e6"],
+        "signup_to_purchase_latency": ["n_converted", "p50_us",
+                                       "p90_us"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -764,6 +769,11 @@ NASTY_QUERIES = [
     # trend census: NULL custkey/date/price drop; the nasty extra
     # orders create fresh single-order customers
     "customer_trend_census",
+    # whale share: NULL price/custkey rows drop; ceil-k boundary
+    "revenue_top1pct_share",
+    # conversion latency: same-ts purchase converts only when it
+    # sorts after the signup; NULL users/ts excluded
+    "signup_to_purchase_latency",
 ]
 
 
