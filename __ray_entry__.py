@@ -5084,7 +5084,7 @@ def oracle_sql() -> dict[str, str]:
                     WHERE o.o_custkey IS NOT NULL GROUP BY 1),
             t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
                          CAST(sum(rev) AS BIGINT) AS total,
-                         CAST(-((-count(*)) // 100) AS BIGINT) AS k
+                         CAST((count(*) + 99) // 100 AS BIGINT) AS k
                   FROM pc0),
             r AS (SELECT rev, ROW_NUMBER() OVER (
                       ORDER BY rev DESC, c) AS rk FROM pc0),
