@@ -624,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_trend_census": q.customer_trend_census,
         "revenue_top1pct_share": q.revenue_top1pct_share,
         "signup_to_purchase_latency": q.signup_to_purchase_latency,
+        "order_size_histogram": q.order_size_histogram,
+        "discount_by_qty_band": q.discount_by_qty_band,
     }
 
 
@@ -5127,5 +5129,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_us,
                    CAST(quantile_disc(lat, 0.9) AS BIGINT) AS p90_us
             FROM l HAVING count(*) > 0
+        """,
+        # order fan-out profile
+        "order_size_histogram": """
+            WITH c AS (SELECT l_orderkey,
+                              CAST(count(*) AS BIGINT) AS n_items
+                       FROM lineitem WHERE l_orderkey IS NOT NULL
+                       GROUP BY 1)
+            SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # volume-discount curve: integer band on the e6 quantity
+        "discount_by_qty_band": """
+            SELECT CAST(round(1000000 * l_quantity) AS BIGINT)
+                       // 10000000 AS qty_band,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(1000000 * l_discount)
+                        AS BIGINT)) AS BIGINT) AS disc_e6
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
     }

@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "customer_trend_census",
     "revenue_top1pct_share",
     "signup_to_purchase_latency",
+    "order_size_histogram",
+    "discount_by_qty_band",
 ]
 
 

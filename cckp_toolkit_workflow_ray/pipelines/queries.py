@@ -11334,3 +11334,86 @@ def signup_to_purchase_latency(sf_dir: str) -> pa.Table:
         "n_converted": np.array([n], dtype=np.int64),
         "p50_us": np.array([qd(0.5)], dtype=np.int64),
         "p90_us": np.array([qd(0.9)], dtype=np.int64)})
+
+
+def order_size_histogram(sf_dir: str) -> pa.Table:
+    """Order-size distribution: lineitems per order, histogrammed —
+    the fan-out profile that sizes the orders⋈lineitem exchange.
+    Per-order counts ride the sorted-run keyed reduction; the
+    histogram is a bounded second fold.  NULL orderkeys drop."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    empty = dict(n_items="int64", n_orders="int64")
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_orderkey")))
+        df = pd.DataFrame({
+            "o": pc.cast(t.column("l_orderkey"), pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "n_items": np.int64(1)})
+        return df.groupby("o", as_index=False).sum()
+
+    per = sorted_reduce_by_key_ds(
+        li.map_batches(counts, batch_format="pyarrow"),
+        ["o"], {"n_items": "sum"})
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "n_items": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({"n_items": df["n_items"]
+                          .to_numpy(dtype=np.int64),
+                          "n_orders": np.int64(1)})
+        return g.groupby("n_items", as_index=False).sum()
+
+    agg = _sum_by_key(per.map_batches(hist, batch_format="pandas"),
+                      ["n_items"], ["n_orders"]).to_pandas()
+    if agg.empty or "n_orders" not in agg:
+        return _empty_result(**empty)
+    agg["n_items"] = agg["n_items"].astype(np.int64)
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    return agg[["n_items", "n_orders"]].sort_values("n_items") \
+        .reset_index(drop=True)
+
+
+def discount_by_qty_band(sf_dir: str) -> pa.Table:
+    """Pricing curve: discount mass per 10-unit quantity band — the
+    volume-discount diagnostic.  One pruned scan; the band is an
+    integer divide on the e6 quantity; discount sums are the e6
+    idiom with per-metric NULL parity.  Rows with NULL quantity drop
+    (no band); a band whose rows all have NULL discount reports a
+    NULL mass with an exact n_rows."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("l_quantity")))
+        qv = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        dv = t.column("l_discount").to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        ok = ~np.isnan(dv)
+        band = (_round_half_away(1e6 * qv).astype(np.int64)
+                // 10_000_000)
+        df = pd.DataFrame({
+            "qty_band": band,
+            "n_rows": np.int64(1),
+            "disc": np.where(ok, _round_half_away(
+                np.where(ok, 1e6 * dv, 0.0)), 0).astype(np.int64),
+            "n_disc": ok.astype(np.int64)})
+        return df.groupby("qty_band", as_index=False).sum()
+
+    g = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["qty_band"], ["n_rows", "disc", "n_disc"]) \
+        .to_pandas()
+    empty = dict(qty_band="int64", n_rows="int64", disc_e6="int64")
+    if g.empty or "n_rows" not in g:
+        return _empty_result(**empty)
+    out = pd.DataFrame({
+        "qty_band": g["qty_band"].astype(np.int64),
+        "n_rows": g["n_rows"].astype(np.int64),
+        "disc_e6": _int_or_float64(pd.Series(np.where(
+            g["n_disc"].to_numpy(dtype=np.int64) > 0,
+            g["disc"].to_numpy(dtype=np.float64), np.nan)))})
+    return out.sort_values("qty_band").reset_index(drop=True)

@@ -425,6 +425,8 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                   "share_e6"],
         "signup_to_purchase_latency": ["n_converted", "p50_us",
                                        "p90_us"],
+        "order_size_histogram": ["n_items", "n_orders"],
+        "discount_by_qty_band": ["qty_band", "n_rows", "disc_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -774,6 +776,11 @@ NASTY_QUERIES = [
     # conversion latency: same-ts purchase converts only when it
     # sorts after the signup; NULL users/ts excluded
     "signup_to_purchase_latency",
+    # fan-out profile: NULL orderkeys drop
+    "order_size_histogram",
+    # discount curve: NULL quantity drops the row, all-NULL-discount
+    # bands report NULL mass
+    "discount_by_qty_band",
 ]
 
 
