@@ -626,6 +626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_to_purchase_latency": q.signup_to_purchase_latency,
         "order_size_histogram": q.order_size_histogram,
         "discount_by_qty_band": q.discount_by_qty_band,
+        "km_user_survival": q.km_user_survival,
+        "topk_with_ties": q.topk_with_ties,
+        "weighted_median_price": q.weighted_median_price,
     }
 
 
@@ -5148,5 +5151,76 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)) AS BIGINT) AS disc_e6
             FROM lineitem WHERE l_quantity IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # Kaplan-Meier over user lifetimes: censored = active on the
+        # corpus's final observed day; n_risk = duration >= t (DESC running
+        # sum); survival = EXP(SUM(LN(1-d/n)) OVER (ORDER BY t)) after
+        # the deaths>0 WHERE (same associativity as the engine cumsum)
+        "km_user_survival": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(date_trunc('day', ts))
+                                  // 86400000000 AS day_i
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            u AS (SELECT user_id, min(day_i) AS fd, max(day_i) AS ld
+                  FROM e GROUP BY 1),
+            lif AS (SELECT ld - fd AS dur,
+                           ((SELECT max(day_i) FROM e) - ld) >= 1
+                               AS dead
+                    FROM u),
+            g AS (SELECT dur,
+                         CAST(count(*) FILTER (WHERE dead) AS BIGINT)
+                             AS n_deaths,
+                         CAST(count(*) AS BIGINT) AS ending
+                  FROM lif GROUP BY 1),
+            r AS (SELECT dur, n_deaths,
+                         SUM(ending) OVER (ORDER BY dur DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS n_risk
+                  FROM g)
+            SELECT CAST(dur AS BIGINT) AS duration_days,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   n_deaths,
+                   EXP(SUM(LN(1.0 - CAST(n_deaths AS DOUBLE) / n_risk))
+                       OVER (ORDER BY dur)) AS survival
+            FROM r WHERE n_deaths > 0 ORDER BY duration_days
+        """,
+        # RANK() semantics: ties at the k-th length are all kept;
+        # NULL n_chars rows are peers ordered last (DuckDB default)
+        "topk_with_ties": """
+            WITH r AS (SELECT lang, doc_id, n_chars,
+                              RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC) AS rk
+                       FROM documents)
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10
+            ORDER BY lang NULLS LAST, rk, doc_id
+        """,
+        # lower weighted median: smallest price whose cumulative
+        # INTEGER quantity weight reaches half the flag's total
+        "weighted_median_price": """
+            WITH g AS (SELECT l_returnflag, l_extendedprice AS price,
+                              CAST(sum(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS wt
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                       GROUP BY 1, 2),
+            t AS (SELECT l_returnflag,
+                         CAST(sum(wt) AS BIGINT) AS wtotal
+                  FROM g GROUP BY 1),
+            c AS (SELECT l_returnflag, price,
+                         SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw
+                  FROM g)
+            SELECT c.l_returnflag, min(price) AS wmedian,
+                   any_value(t.wtotal) AS wtotal
+            FROM c JOIN t ON c.l_returnflag
+                     IS NOT DISTINCT FROM t.l_returnflag
+            WHERE 2 * cw >= t.wtotal
+            GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
     }

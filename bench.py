@@ -241,6 +241,9 @@ BENCH_QUERIES = [
     "signup_to_purchase_latency",
     "order_size_histogram",
     "discount_by_qty_band",
+    "km_user_survival",
+    "topk_with_ties",
+    "weighted_median_price",
 ]
 
 

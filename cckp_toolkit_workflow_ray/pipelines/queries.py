@@ -11417,3 +11417,212 @@ def discount_by_qty_band(sf_dir: str) -> pa.Table:
             g["n_disc"].to_numpy(dtype=np.int64) > 0,
             g["disc"].to_numpy(dtype=np.float64), np.nan)))})
     return out.sort_values("qty_band").reset_index(drop=True)
+
+
+def km_user_survival(sf_dir: str) -> pa.Table:
+    """Kaplan-Meier survival curve over user lifetimes in ``events`` —
+    the churn/retention estimator (Kaplan & Meier 1958) a usage
+    analytics pipeline runs on top of the event stream.  A user's
+    lifetime is the day span between their first and last event; users
+    active on the corpus's final observed day are right-CENSORED
+    (still alive at observation end), everyone else
+    churned at their observed duration.  At each death duration t:
+    n_risk = users with duration >= t (censored or not), and
+    S(t) = prod(1 - d_i/n_i) over death times <= t.
+
+    Scale shape: per-user (first, last) day fold through the sorted-run
+    keyed reduction (any user cardinality; edge-key reconciliation is
+    bounded by blocks, not users), corpus end = a max over that reduced
+    stream, then a SECOND distributed fold onto the bounded duration-day
+    grid (corpus span in days).  Only the grid reaches the driver; the
+    KM product is exp(cumsum(ln)) over the ascending death durations —
+    the same associativity order as the SQL windowed SUM(LN(..)), so
+    the only float divergence left is the libm ulp on LN/EXP (well
+    inside the 1e-12 comparison tolerance).  NULL ts /
+    user_id rows are excluded up front (``user_growth`` policy)."""
+    from ..stages.groupagg import sorted_reduce_by_key_ds
+
+    _DAY_US = 86_400 * 10**6
+    _HORIZON = 1
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def per_user_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // _DAY_US
+        return pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "fd": day, "ld": day,
+        }).groupby("user_id", as_index=False).agg(fd=("fd", "min"),
+                                                  ld=("ld", "max"))
+
+    users = sorted_reduce_by_key_ds(
+        ds.map_batches(per_user_partial, batch_format="pyarrow"),
+        ["user_id"], {"fd": "min", "ld": "max"})
+    empty = dict(duration_days="int64", n_risk="int64",
+                 n_deaths="int64", survival="float64")
+    if users.count() == 0:
+        return _empty_result(**empty)
+    md = users.max("ld")
+
+    def dur_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dur = (df["ld"] - df["fd"]).to_numpy(dtype=np.int64)
+        dead = ((md - df["ld"].to_numpy(dtype=np.int64)) >= _HORIZON)
+        return pd.DataFrame({
+            "duration_days": dur,
+            "n_deaths": dead.astype(np.int64),
+            "ending": np.int64(1),
+        }).groupby("duration_days", as_index=False).sum()
+
+    grid = _sum_by_key(
+        users.map_batches(dur_partial, batch_format="pandas"),
+        ["duration_days"], ["n_deaths", "ending"]).to_pandas()
+    if grid.empty or "duration_days" not in grid:
+        return _empty_result(**empty)
+    grid = grid.sort_values("duration_days", ascending=False) \
+               .reset_index(drop=True)
+    grid["n_risk"] = grid["ending"].cumsum()
+    grid = grid.sort_values("duration_days").reset_index(drop=True)
+    grid = grid[grid["n_deaths"] > 0].reset_index(drop=True)
+    if grid.empty:
+        return _empty_result(**empty)
+    d = grid["n_deaths"].to_numpy(dtype=np.float64)
+    n = grid["n_risk"].to_numpy(dtype=np.float64)
+    grid["survival"] = np.exp(np.cumsum(np.log(1.0 - d / n)))
+    out = grid[["duration_days", "n_risk", "n_deaths", "survival"]].copy()
+    for c in ("duration_days", "n_risk", "n_deaths"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def topk_with_ties(sf_dir: str) -> pa.Table:
+    """Longest 10 documents per lang under RANK() semantics — ties at
+    the k-th length are ALL kept (``RANK() OVER (PARTITION BY lang
+    ORDER BY n_chars DESC) <= 10``), the SQL contract ``row_number``-
+    based top-k (``grouped_top_k``) cannot express.
+
+    Scale shape: pass 1 folds to the bounded (lang × distinct-length)
+    grid through the combiner + sorted-run reduction; the driver ranks
+    VALUES, not rows (rank(v) = #strictly-greater + 1, a shifted cumsum
+    per lang), and broadcasts the tiny kept (lang, value, rank) table;
+    pass 2 is a vectorized semi-join filter over the corpus.  Works at
+    any row count — the grid is bounded by the length domain, never by
+    docs.  NULL n_chars rows are window PEERS ordered last (DuckDB
+    NULLS LAST default): they share rank #non-null+1 and are kept when
+    a sparse lang leaves that rank within k.  NULL lang is a partition
+    group."""
+    import ray
+
+    K = 10
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def grid_partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "n_chars": t.column("n_chars")
+                .to_numpy(zero_copy_only=False).astype(np.float64),
+            "n": np.int64(1),
+        }).groupby(["lang", "n_chars"], as_index=False,
+                   dropna=False).sum()
+
+    grid = _sum_by_key(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["lang", "n_chars"], ["n"]).to_pandas()
+    empty = dict(lang=object, doc_id="int64", n_chars="int64", rk="int64")
+    if grid.empty or "lang" not in grid:
+        return _empty_result(**empty)
+
+    kept = []
+    for lang, sub in grid.groupby("lang", dropna=False):
+        sub = sub.sort_values("n_chars", ascending=False,
+                              na_position="last").reset_index(drop=True)
+        greater = np.concatenate(
+            ([0], sub["n"].to_numpy(dtype=np.int64).cumsum()[:-1]))
+        rk = greater + 1
+        hit = rk <= K
+        kept.append(pd.DataFrame({
+            "lang": lang, "n_chars": sub["n_chars"][hit],
+            "rk": rk[hit]}))
+    kept = pd.concat(kept, ignore_index=True)
+    kept_ref = ray.put(kept)
+
+    def attach(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": _sentinel_nulls(pd.Series(
+                t.column("lang").to_numpy(zero_copy_only=False))),
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_chars": t.column("n_chars")
+                .to_numpy(zero_copy_only=False).astype(np.float64),
+        })
+        m = df.merge(ray.get(kept_ref), on=["lang", "n_chars"],
+                     how="inner")
+        return m if not m.empty else pd.DataFrame(
+            {"lang": pd.Series(dtype=object),
+             "doc_id": pd.Series(dtype=np.int64),
+             "n_chars": pd.Series(dtype=np.float64),
+             "rk": pd.Series(dtype=np.int64)})
+
+    out = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return _empty_result(**empty)
+    out = _restore_null_keys(out, ["lang"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = _int_or_float64(out["n_chars"])
+    out["rk"] = out["rk"].astype(np.int64)
+    return out.sort_values(["lang", "rk", "doc_id"],
+                           na_position="last").reset_index(drop=True)
+
+
+def weighted_median_price(sf_dir: str) -> pa.Table:
+    """Quantity-weighted median extended price per return flag — the
+    weighted-median operator (lower weighted median: smallest price
+    whose cumulative quantity reaches half the total).  Plain medians
+    over lineitem rows mis-state the "typical traded price" when cheap
+    lines carry big quantities; the weighted median is the standard
+    fix.
+
+    Scale shape: the combiner folds rows to the (flag × distinct
+    price) grid with INTEGER quantity weights (exact cumulative sums —
+    no float-order drift against the SQL windowed SUM); the sorted-run
+    reduction keeps the grid distributed past its driver limit; the
+    selection scan per flag is a cumsum over the bounded grid.  Rows
+    with NULL price or NULL quantity are excluded (the SQL WHERE);
+    a NULL flag would be its own group via the shared sentinel."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.is_valid(t.column("l_extendedprice")),
+                             pc.is_valid(t.column("l_quantity"))))
+        return pd.DataFrame({
+            "l_returnflag": _sentinel_nulls(pd.Series(
+                t.column("l_returnflag").to_numpy(zero_copy_only=False))),
+            "price": t.column("l_extendedprice")
+                .to_numpy(zero_copy_only=False).astype(np.float64),
+            "wt": t.column("l_quantity")
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+        }).groupby(["l_returnflag", "price"], as_index=False,
+                   dropna=False).sum()
+
+    grid = _sum_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "price"], ["wt"]).to_pandas()
+    empty = dict(l_returnflag=object, wmedian="float64", wtotal="int64")
+    if grid.empty or "l_returnflag" not in grid:
+        return _empty_result(**empty)
+
+    rows = []
+    for flag, sub in grid.groupby("l_returnflag", dropna=False):
+        sub = sub.sort_values("price").reset_index(drop=True)
+        cw = sub["wt"].to_numpy(dtype=np.int64).cumsum()
+        tot = int(cw[-1])
+        pick = int(np.flatnonzero(2 * cw >= tot)[0])
+        rows.append((flag, float(sub["price"][pick]), tot))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "wmedian", "wtotal"])
+    out = _restore_null_keys(out, ["l_returnflag"])
+    out["wtotal"] = out["wtotal"].astype(np.int64)
+    return out.sort_values("l_returnflag", na_position="last") \
+        .reset_index(drop=True)

@@ -190,6 +190,42 @@ def test_mode_and_quantiles_with_null_values(ray_session, tmp_path):
     assert gqi.loc["en", "q50"] == 7              # NULLs ignored in ranks
 
 
+def test_topk_with_ties_null_peers_and_ties(ray_session, tmp_path):
+    """RANK() semantics: ties at the k-th value are ALL kept, and NULL
+    n_chars rows are window peers ordered last — they share rank
+    #non-null+1 and survive when a sparse lang leaves that within k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    # en: 14 docs, 12 tied at rank 3 -> RANK keeps all 14 (ROW_NUMBER
+    # would keep only 10);  de: 3 docs, one NULL length -> the NULL
+    # peer ranks 3rd and is kept.
+    n_en, n_de = 14, 3
+    t = pa.table({
+        "doc_id": pa.array(list(range(n_en + n_de)), type=pa.int64()),
+        "text": pa.array(["x"] * (n_en + n_de), type=pa.string()),
+        "lang": pa.array(["en"] * n_en + ["de"] * n_de, type=pa.string()),
+        "source": pa.array(["s"] * (n_en + n_de), type=pa.string()),
+        "n_chars": pa.array([100, 90] + [50] * 12 + [7, None, 3],
+                            type=pa.int64()),
+    })
+    pq.write_table(t, f"{d}/documents.parquet")
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+
+    got = entrymod.queries()["topk_with_ties"](d)
+    want = c.sql(entrymod.oracle_sql()["topk_with_ties"]).df()
+    _compare(got, want, "topk_with_ties[ties+null]")
+    en = got[got["lang"] == "en"]
+    assert len(en) == 14                       # 2 + all 12 ties at rank 3
+    assert (en["rk"].to_numpy() == np.r_[1, 2, [3] * 12]).all()
+    de = got[got["lang"] == "de"]
+    assert len(de) == 3
+    null_row = de[de["n_chars"].isna()]
+    assert len(null_row) == 1 and int(null_row["rk"].iloc[0]) == 3
+
+
 def test_quantiles_null_key_holds_all_values(ray_session, tmp_path):
     """review r3: when the only groups with non-null values have NULL
     keys, the missing-key merge must not crash on mismatched dtypes."""
@@ -427,6 +463,10 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
                                        "p90_us"],
         "order_size_histogram": ["n_items", "n_orders"],
         "discount_by_qty_band": ["qty_band", "n_rows", "disc_e6"],
+        "km_user_survival": ["duration_days", "n_risk", "n_deaths",
+                             "survival"],
+        "topk_with_ties": ["lang", "doc_id", "n_chars", "rk"],
+        "weighted_median_price": ["l_returnflag", "wmedian", "wtotal"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -781,6 +821,14 @@ NASTY_QUERIES = [
     # discount curve: NULL quantity drops the row, all-NULL-discount
     # bands report NULL mass
     "discount_by_qty_band",
+    # KM survival: NULL ts/user excluded; censoring at the corpus's
+    # observed end day must agree after the exclusions
+    "km_user_survival",
+    # RANK ties: NULL lang partition group; NULL n_chars rows are
+    # peers ranked last and kept when a sparse lang leaves rank <= k
+    "topk_with_ties",
+    # weighted median: NULL price/quantity rows drop (SQL WHERE)
+    "weighted_median_price",
 ]
 
 
