@@ -11458,9 +11458,13 @@ def km_user_survival(sf_dir: str) -> pa.Table:
         }).groupby("user_id", as_index=False).agg(fd=("fd", "min"),
                                                   ld=("ld", "max"))
 
+    # materialize the per-user stream ONCE: it is consumed three times
+    # (count, corpus-end max, duration fold) and the reduction is lazy
+    # in its above-driver-limit regime — without this the whole keyed
+    # reduce would re-execute per consumer
     users = sorted_reduce_by_key_ds(
         ds.map_batches(per_user_partial, batch_format="pyarrow"),
-        ["user_id"], {"fd": "min", "ld": "max"})
+        ["user_id"], {"fd": "min", "ld": "max"}).materialize()
     empty = dict(duration_days="int64", n_risk="int64",
                  n_deaths="int64", survival="float64")
     if users.count() == 0:
