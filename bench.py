@@ -244,6 +244,58 @@ BENCH_QUERIES = [
     "km_user_survival",
     "topk_with_ties",
     "weighted_median_price",
+    # r4 sixth session: the remaining registered queries — with these
+    # the per-round bench times the ENTIRE registry, so no query can
+    # regress unobserved between rounds
+    "asof_bucketed",
+    "bpe_token_count",
+    "chi2_lang_source",
+    "chunk_docs",
+    "cosine_threshold_pairs",
+    "deterministic_sample",
+    "distinct_sources",
+    "distinct_users_events",
+    "drift_check",
+    "dup_ngram_flag",
+    "edit_distance_pairs",
+    "embedding_neardup",
+    "embedding_norm_stats",
+    "event_type_trend",
+    "exact_dedup_full",
+    "fingerprint_docs",
+    "format_check",
+    "global_shuffle",
+    "interval_event_windows",
+    "ivf_knn_embeddings",
+    "ivf_knn_exhaustive",
+    "ivf_knn_oracled",
+    "json_props_stats",
+    "kcore_hosts",
+    "keyword_check",
+    "minhash_seeded_containment",
+    "minhash_verify_jaccard",
+    "mixture_sample",
+    "nchars_mode",
+    "nchars_quantiles",
+    "ngram_jaccard_dedup",
+    "ngram_seeded_containment",
+    "ngram_verify_jaccard",
+    "normalized_prefixes",
+    "pages_validate",
+    "pii_redact",
+    "quality_check",
+    "referential_events_check",
+    "referential_lang_check",
+    "repetition_check",
+    "rollup_lang_source",
+    "rrf_fusion",
+    "sliding_events",
+    "stratified_sample",
+    "top_orders",
+    "topk_longest",
+    "value_winsorized",
+    "verdict_rollup",
+    "winnow_verify",
 ]
 
 
