@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_user_survival": q.km_user_survival,
         "topk_with_ties": q.topk_with_ties,
         "weighted_median_price": q.weighted_median_price,
+        "phrase_search": q.phrase_search,
     }
 
 
@@ -5222,5 +5223,35 @@ def oracle_sql() -> dict[str, str]:
                      IS NOT DISTINCT FROM t.l_returnflag
             WHERE 2 * cw >= t.wtotal
             GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        # positional phrase search: docs containing each query phrase
+        # as a CONSECUTIVE token run + total occurrences; tokenisation
+        # = the word_frequencies convention; never-occurring phrases
+        # absent on both sides
+        "phrase_search": """
+            WITH toks AS (
+                SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS l,
+                       row_number() OVER () AS rid
+                FROM documents),
+            g2 AS (SELECT rid, l[i.i] || ' ' || l[i.i + 1] AS ph
+                   FROM toks,
+                        LATERAL (SELECT unnest(range(1, len(l))) AS i) i),
+            g3 AS (SELECT rid,
+                          l[i.i] || ' ' || l[i.i + 1] || ' '
+                              || l[i.i + 2] AS ph
+                   FROM toks,
+                        LATERAL (SELECT unnest(range(1, len(l) - 1))
+                                     AS i) i),
+            hits AS (
+                SELECT ph AS phrase, rid FROM g2
+                WHERE ph IN ('order fast', 'window join')
+                UNION ALL
+                SELECT ph, rid FROM g3
+                WHERE ph IN ('big order scan', 'quux phrase absent'))
+            SELECT phrase,
+                   CAST(count(DISTINCT rid) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM hits GROUP BY phrase ORDER BY phrase
         """,
     }

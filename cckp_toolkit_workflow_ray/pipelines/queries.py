@@ -11630,3 +11630,78 @@ def weighted_median_price(sf_dir: str) -> pa.Table:
     out["wtotal"] = out["wtotal"].astype(np.int64)
     return out.sort_values("l_returnflag", na_position="last") \
         .reset_index(drop=True)
+
+
+_SEARCH_PHRASES = ("order fast", "window join", "big order scan",
+                   "quux phrase absent")
+
+
+def phrase_search(sf_dir: str) -> pa.Table:
+    """Positional phrase search over the token stream (the
+    inverted-index operator the bag-of-words family lacks): for each
+    query phrase, the number of documents containing it as a
+    CONSECUTIVE token run plus the total occurrence count.  Extends the
+    reference's keyword predicates (`analyze_joss.py:133-151`, substring
+    any-match) to order-sensitive multi-token matching.
+
+    Scale shape: the phrase list is tiny and ships in the map closure
+    (broadcast probe — NO shuffle); per batch the token stream is
+    flattened ONCE into (code, doc) int arrays (`pd.factorize`), each
+    phrase match is a vectorized shift-AND over the code array with a
+    doc-boundary guard (first/last token in same doc — sufficient
+    because the flat doc index is non-decreasing), and hits collapse to
+    at most len(phrases) partial rows per batch; the final rollup is
+    the sorted-run keyed sum over the bounded phrase grid.  A doc lives
+    whole in one batch, so per-batch distinct-doc counts sum exactly.
+    NULL text → no tokens → no match (the SQL coalesce('') convention);
+    phrases that never occur are absent from the result on both sides.
+    Tokenisation = the ``word_frequencies`` convention (split on ' ',
+    drop empties)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    phrase_words = [p.split(" ") for p in _SEARCH_PHRASES]
+
+    _EMPTY = pd.DataFrame({"phrase": pd.Series([], dtype=object),
+                           "n_docs": pd.Series([], dtype="int64"),
+                           "n_hits": pd.Series([], dtype="int64")})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks: list[str] = []
+        did: list[int] = []
+        for i, x in enumerate(t.column("text").to_pylist()):
+            w = [v for v in (x or "").split(" ") if v]
+            toks.extend(w)
+            did.extend([i] * len(w))
+        if not toks:
+            return _EMPTY
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        lut = {w: c for c, w in enumerate(uniq)}
+        d = np.asarray(did, dtype=np.int64)
+        n = len(codes)
+        rows = []
+        for label, words in zip(_SEARCH_PHRASES, phrase_words):
+            big = len(words)
+            if n < big:
+                continue
+            cs = [lut.get(w, -1) for w in words]
+            if min(cs) < 0:
+                continue
+            m = codes[: n - big + 1] == cs[0]
+            for k in range(1, big):
+                m &= codes[k: n - big + 1 + k] == cs[k]
+            m &= d[: n - big + 1] == d[big - 1: n]
+            hits = np.flatnonzero(m)
+            if hits.size:
+                rows.append((label, int(np.unique(d[hits]).size),
+                             int(hits.size)))
+        if not rows:
+            return _EMPTY
+        return pd.DataFrame(rows, columns=["phrase", "n_docs", "n_hits"])
+
+    out = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["phrase"], ["n_docs", "n_hits"]).to_pandas()
+    empty = dict(phrase=object, n_docs="int64", n_hits="int64")
+    if out.empty or "phrase" not in out:
+        return _empty_result(**empty)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.sort_values("phrase").reset_index(drop=True)
