@@ -630,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_with_ties": q.topk_with_ties,
         "weighted_median_price": q.weighted_median_price,
         "phrase_search": q.phrase_search,
+        "term_proximity": q.term_proximity,
     }
 
 
@@ -5253,5 +5254,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT rid) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_hits
             FROM hits GROUP BY phrase ORDER BY phrase
+        """,
+        # proximity histogram: per-doc MIN token distance between each
+        # term pair, counted per gap; docs containing only one term
+        # contribute nothing (inner-join semantics)
+        "term_proximity": """
+            WITH toks AS (
+                SELECT row_number() OVER () AS rid,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS l
+                FROM documents),
+            pos AS (SELECT rid, unnest(l) AS w,
+                           generate_subscripts(l, 1) AS p
+                    FROM toks),
+            pairs(term_a, term_b) AS (VALUES ('order', 'join'),
+                                             ('data', 'spark'),
+                                             ('quux', 'absent')),
+            md AS (SELECT pr.term_a, pr.term_b, a.rid,
+                          CAST(min(abs(a.p - b.p)) AS BIGINT) AS gap
+                   FROM pairs pr
+                   JOIN pos a ON a.w = pr.term_a
+                   JOIN pos b ON b.w = pr.term_b AND b.rid = a.rid
+                   GROUP BY 1, 2, 3)
+            SELECT term_a, term_b, gap,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM md GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
     }

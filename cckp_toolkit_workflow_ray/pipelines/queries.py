@@ -11705,3 +11705,90 @@ def phrase_search(sf_dir: str) -> pa.Table:
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_hits"] = out["n_hits"].astype(np.int64)
     return out.sort_values("phrase").reset_index(drop=True)
+
+
+_PROXIMITY_PAIRS = (("order", "join"), ("data", "spark"),
+                    ("quux", "absent"))
+
+
+def term_proximity(sf_dir: str) -> pa.Table:
+    """Term-proximity histogram (the positional-relevance operator
+    behind proximity-boosted search ranking): for each query term pair,
+    the per-document MINIMUM token distance between any occurrence of
+    the two terms, rolled up as a (pair, gap, n_docs) histogram over
+    docs containing both.
+
+    Scale shape: the pair list ships in the map closure (broadcast
+    probe — no shuffle); per batch the token stream is flattened once
+    into (code, doc, pos) int arrays, and each pair's per-doc min gap
+    is computed WITHOUT the SQL O(n_a x n_b) position join: in the
+    position-ordered subsequence of tokens that are either term, the
+    minimum cross-term distance is always realised by an ADJACENT
+    opposite-type pair (standard two-pointer argument), so one mask +
+    one diff + one bounded pandas groupby(doc).min per pair does it.
+    Per-batch partials collapse to the (pair x gap) grid — bounded by
+    the max doc length — and the final rollup is the sorted-run keyed
+    sum.  NULL text → no tokens; docs with only one of the terms
+    contribute nothing (inner-join semantics, both sides)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    _EMPTY = pd.DataFrame({"term_a": pd.Series([], dtype=object),
+                           "term_b": pd.Series([], dtype=object),
+                           "gap": pd.Series([], dtype="int64"),
+                           "n_docs": pd.Series([], dtype="int64")})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks: list[str] = []
+        did: list[int] = []
+        posl: list[int] = []
+        for i, x in enumerate(t.column("text").to_pylist()):
+            w = [v for v in (x or "").split(" ") if v]
+            toks.extend(w)
+            did.extend([i] * len(w))
+            posl.extend(range(len(w)))
+        if not toks:
+            return _EMPTY
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        lut = {w: c for c, w in enumerate(uniq)}
+        d = np.asarray(did, dtype=np.int64)
+        p = np.asarray(posl, dtype=np.int64)
+        frames = []
+        for ta, tb in _PROXIMITY_PAIRS:
+            ca, cb = lut.get(ta, -1), lut.get(tb, -2)
+            if ca < 0 or cb < 0:
+                continue
+            isa = codes == ca
+            sel = np.flatnonzero(isa | (codes == cb))
+            if sel.size < 2:
+                continue
+            same_doc = d[sel[1:]] == d[sel[:-1]]
+            diff_term = isa[sel[1:]] != isa[sel[:-1]]
+            hit = same_doc & diff_term
+            if not hit.any():
+                continue
+            gaps = p[sel[1:]][hit] - p[sel[:-1]][hit]
+            docs = d[sel[1:]][hit]
+            md = pd.DataFrame({"doc": docs, "gap": gaps}) \
+                .groupby("doc", as_index=False)["gap"].min()
+            hist = md.groupby("gap", as_index=False).size() \
+                .rename(columns={"size": "n_docs"})
+            hist.insert(0, "term_b", tb)
+            hist.insert(0, "term_a", ta)
+            frames.append(hist)
+        if not frames:
+            return _EMPTY
+        out = pd.concat(frames, ignore_index=True)
+        out["gap"] = out["gap"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    out = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["term_a", "term_b", "gap"], ["n_docs"]).to_pandas()
+    empty = dict(term_a=object, term_b=object, gap="int64",
+                 n_docs="int64")
+    if out.empty or "term_a" not in out:
+        return _empty_result(**empty)
+    out["gap"] = out["gap"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["term_a", "term_b", "gap"]) \
+        .reset_index(drop=True)

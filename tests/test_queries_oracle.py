@@ -468,6 +468,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "topk_with_ties": ["lang", "doc_id", "n_chars", "rk"],
         "weighted_median_price": ["l_returnflag", "wmedian", "wtotal"],
         "phrase_search": ["phrase", "n_docs", "n_hits"],
+        "term_proximity": ["term_a", "term_b", "gap", "n_docs"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -536,7 +537,7 @@ NASTY_QUERIES = [
     # groups, which must stay distinct from '__all__'
     "cube_lang_source",
     # tokenizer family on exotic whitespace / empty strings
-    "token_entropy", "pmi_bigrams", "phrase_search",
+    "token_entropy", "pmi_bigrams", "phrase_search", "term_proximity",
     # NULL source -> NULL host: no node, and no edge THROUGH the doc —
     # adjacency must skip null-host endpoints identically to SQL
     "pagerank_hosts", "host_components",
