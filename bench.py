@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "ngram_verify_jaccard",
     "normalized_prefixes",
     "pages_validate",
+    "phrase_search",
     "pii_redact",
     "quality_check",
     "referential_events_check",
@@ -291,6 +292,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "sliding_events",
     "stratified_sample",
+    "term_proximity",
     "top_orders",
     "topk_longest",
     "value_winsorized",
