@@ -631,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q.weighted_median_price,
         "phrase_search": q.phrase_search,
         "term_proximity": q.term_proximity,
+        "window_collocations": q.window_collocations,
     }
 
 
@@ -5279,5 +5280,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT term_a, term_b, gap,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM md GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # skip-window collocations: words within +-3 positions of the
+        # target, counted per (target occurrence, neighbor position)
+        # pair; target may neighbor itself; (n DESC, word) tie-break
+        "window_collocations": """
+            WITH toks AS (
+                SELECT row_number() OVER () AS rid,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS l
+                FROM documents),
+            pos AS (SELECT rid, unnest(l) AS w,
+                           generate_subscripts(l, 1) AS p
+                    FROM toks),
+            tgt AS (SELECT rid, p FROM pos WHERE w = 'order'),
+            nb AS (SELECT n.w FROM tgt t
+                   JOIN pos n ON n.rid = t.rid
+                             AND abs(n.p - t.p) <= 3 AND n.p <> t.p),
+            cnt AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+                    FROM nb GROUP BY w)
+            SELECT word, n, rk FROM (
+                SELECT word, n,
+                       row_number() OVER (ORDER BY n DESC, word) AS rk
+                FROM cnt)
+            WHERE rk <= 20 ORDER BY rk
         """,
     }

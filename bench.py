@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "topk_longest",
     "value_winsorized",
     "verdict_rollup",
+    "window_collocations",
     "winnow_verify",
 ]
 

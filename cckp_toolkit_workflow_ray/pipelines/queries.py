@@ -11792,3 +11792,73 @@ def term_proximity(sf_dir: str) -> pa.Table:
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values(["term_a", "term_b", "gap"]) \
         .reset_index(drop=True)
+
+
+def window_collocations(sf_dir: str) -> pa.Table:
+    """Window collocations (distributional-semantics context counts):
+    the top-20 words co-occurring within ±3 token positions of the
+    target term 'order', counted once per (target occurrence, neighbor
+    position) pair.  Complements ``pmi_bigrams`` (adjacent-only) with
+    the skip-window shape word-vector pipelines use.
+
+    Scale shape: NO position join (the SQL oracle's O(n_t × n_w)
+    per-doc join) — per batch the token stream is flattened once into
+    (code, doc) int arrays, and each window offset in {-3..-1, 1..3}
+    is ONE shifted vectorized mask (target at i, same doc at i+off;
+    doc contiguity makes flat-array offset == position offset), with
+    neighbor counts folded by ``np.bincount`` over token codes; a
+    batch emits at most its local vocabulary as partial rows, the
+    rollup is the sorted-run keyed sum over vocabulary cardinality,
+    and the top-20 cut happens on the reduced grid.  NULL text → no
+    tokens; the target word itself can be its own neighbor (both
+    sides).  Deterministic (n DESC, word) tie-break."""
+    ds = _read(sf_dir, "documents", ["text"])
+    target, window = "order", 3
+
+    _EMPTY = pd.DataFrame({"word": pd.Series([], dtype=object),
+                           "n": pd.Series([], dtype="int64")})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks: list[str] = []
+        did: list[int] = []
+        for i, x in enumerate(t.column("text").to_pylist()):
+            w = [v for v in (x or "").split(" ") if v]
+            toks.extend(w)
+            did.extend([i] * len(w))
+        if not toks:
+            return _EMPTY
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        tc = {w: c for c, w in enumerate(uniq)}.get(target, -1)
+        if tc < 0:
+            return _EMPTY
+        d = np.asarray(did, dtype=np.int64)
+        n = len(codes)
+        is_t = codes == tc
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        for off in range(-window, window + 1):
+            if off == 0:
+                continue
+            if off > 0:
+                m = is_t[: n - off] & (d[: n - off] == d[off:])
+                nbr = codes[off:][m]
+            else:
+                k = -off
+                m = is_t[k:] & (d[k:] == d[: n - k])
+                nbr = codes[: n - k][m]
+            if nbr.size:
+                acc += np.bincount(nbr, minlength=len(uniq))
+        hit = np.flatnonzero(acc)
+        if not hit.size:
+            return _EMPTY
+        return pd.DataFrame({"word": uniq[hit], "n": acc[hit]})
+
+    out = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["word"], ["n"]).to_pandas()
+    empty = dict(word=object, n="int64", rk="int64")
+    if out.empty or "word" not in out:
+        return _empty_result(**empty)
+    out["n"] = out["n"].astype(np.int64)
+    out = out.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

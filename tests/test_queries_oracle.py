@@ -469,6 +469,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "weighted_median_price": ["l_returnflag", "wmedian", "wtotal"],
         "phrase_search": ["phrase", "n_docs", "n_hits"],
         "term_proximity": ["term_a", "term_b", "gap", "n_docs"],
+        "window_collocations": ["word", "n", "rk"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -538,6 +539,7 @@ NASTY_QUERIES = [
     "cube_lang_source",
     # tokenizer family on exotic whitespace / empty strings
     "token_entropy", "pmi_bigrams", "phrase_search", "term_proximity",
+    "window_collocations",
     # NULL source -> NULL host: no node, and no edge THROUGH the doc —
     # adjacency must skip null-host endpoints identically to SQL
     "pagerank_hosts", "host_components",
