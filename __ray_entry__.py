@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q.phrase_search,
         "term_proximity": q.term_proximity,
         "window_collocations": q.window_collocations,
+        "gap_fill_daily": q.gap_fill_daily,
     }
 
 
@@ -5304,5 +5305,51 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY n DESC, word) AS rk
                 FROM cnt)
             WHERE rk <= 20 ORDER BY rk
+        """,
+        # calendar-grid gap fill: full day grid between first and last
+        # active day, missing days linearly interpolated between
+        # nearest observed neighbours as ONE rational expression over
+        # exact integers (identical operand order as the engine)
+        "gap_fill_daily": """
+            WITH d AS (SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
+                                  AS day_i,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            bounds AS (SELECT min(day_i) AS lo, max(day_i) AS hi FROM d),
+            grid AS (SELECT unnest(range(lo, hi + 1)) AS day_i
+                     FROM bounds),
+            j AS (SELECT g.day_i, d.n
+                  FROM grid g LEFT JOIN d ON g.day_i = d.day_i),
+            f AS (SELECT day_i, n,
+                         last_value(CASE WHEN n IS NOT NULL
+                                         THEN day_i END IGNORE NULLS)
+                             OVER (ORDER BY day_i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS pd,
+                         last_value(n IGNORE NULLS)
+                             OVER (ORDER BY day_i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS pn,
+                         first_value(CASE WHEN n IS NOT NULL
+                                          THEN day_i END IGNORE NULLS)
+                             OVER (ORDER BY day_i
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS nd,
+                         first_value(n IGNORE NULLS)
+                             OVER (ORDER BY day_i
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS nn
+                  FROM j)
+            SELECT day_i,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_obs,
+                   CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS filled,
+                   CAST(CASE WHEN n IS NOT NULL THEN 1000000 * n
+                             ELSE CAST(round(1000000.0
+                                             * (pn * (nd - day_i)
+                                                + nn * (day_i - pd))
+                                             / (nd - pd)) AS BIGINT)
+                        END AS BIGINT) AS value_e6
+            FROM f ORDER BY day_i
         """,
     }

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     # r4 continuation: dup-rate report + derived-stream selection
     "dup_rate_by_source",
+    "gap_fill_daily",
     "gap_quantiles",
     # r4 continuation: Z-order multi-dimensional layout clustering
     "zorder_layout",

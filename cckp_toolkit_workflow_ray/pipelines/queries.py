@@ -11862,3 +11862,64 @@ def window_collocations(sf_dir: str) -> pa.Table:
                           kind="mergesort").head(20).reset_index(drop=True)
     out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def gap_fill_daily(sf_dir: str) -> pa.Table:
+    """Calendar-grid gap fill with exact linear interpolation (the
+    time-series regularization / imputation operator): daily event
+    counts re-emitted on the FULL day grid between the corpus's first
+    and last active day, with missing days filled by linear
+    interpolation between their nearest observed neighbours.
+
+    Scale shape: the per-day counts fold to the bounded day grid via
+    per-batch partials + the sorted-run keyed sum (the daily_drift
+    shape — the wide corpus never funnels through the driver); the
+    grid fill itself is a driver-side vectorized ``searchsorted`` over
+    the bounded day axis.  Interpolated values are computed as ONE
+    rational expression over exact integers — round_e6((pn·(nd−day) +
+    nn·(day−pd)) / (nd−pd)) with the identical operand order in the
+    SQL — so the e6 fixed-point outputs match bit-exactly (no
+    np.interp, whose slope-form association differs in the last ulp).
+    NULL timestamps are excluded (event-time policy); a day absent
+    from the observed grid has, by construction, zero events, so
+    ``n_obs = 0`` + ``filled = 1`` is unambiguous."""
+    _DAY_US = 86_400 * 10**6
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"day_i": us // _DAY_US, "n": np.int64(1)})
+        return df.groupby("day_i", as_index=False).sum()
+
+    grid = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["day_i"], ["n"]).to_pandas()
+    empty = dict(day_i="int64", n_obs="int64", filled="int64",
+                 value_e6="int64")
+    if grid.empty or "day_i" not in grid:
+        return _empty_result(**empty)
+    grid = grid.sort_values("day_i").reset_index(drop=True)
+    od = grid["day_i"].to_numpy(dtype=np.int64)
+    on = grid["n"].to_numpy(dtype=np.int64)
+    days = np.arange(od[0], od[-1] + 1, dtype=np.int64)
+    # position of each grid day among the observed days
+    ins = np.searchsorted(od, days)
+    observed = (ins < len(od)) & (od[np.minimum(ins, len(od) - 1)] == days)
+    n_obs = np.zeros(len(days), dtype=np.int64)
+    n_obs[observed] = on[np.searchsorted(od, days[observed])]
+    value = 1_000_000 * n_obs
+    miss = ~observed
+    if miss.any():
+        hi = ins[miss]                       # next observed index
+        lo = hi - 1                          # prev observed index
+        pd_, nd_ = od[lo], od[hi]
+        pn_, nn_ = on[lo], on[hi]
+        day = days[miss]
+        num = (pn_ * (nd_ - day) + nn_ * (day - pd_)).astype(np.float64)
+        den = (nd_ - pd_).astype(np.float64)
+        value[miss] = _round_half_away(
+            1_000_000.0 * num / den).astype(np.int64)
+    return pd.DataFrame({"day_i": days, "n_obs": n_obs,
+                         "filled": miss.astype(np.int64),
+                         "value_e6": value})

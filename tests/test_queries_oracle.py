@@ -470,6 +470,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "phrase_search": ["phrase", "n_docs", "n_hits"],
         "term_proximity": ["term_a", "term_b", "gap", "n_docs"],
         "window_collocations": ["word", "n", "rk"],
+        "gap_fill_daily": ["day_i", "n_obs", "filled", "value_e6"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -540,6 +541,9 @@ NASTY_QUERIES = [
     # tokenizer family on exotic whitespace / empty strings
     "token_entropy", "pmi_bigrams", "phrase_search", "term_proximity",
     "window_collocations",
+    # gap fill: NULL ts excluded; the nasty fixture's isolated days
+    # exercise the interpolation path
+    "gap_fill_daily",
     # NULL source -> NULL host: no node, and no edge THROUGH the doc —
     # adjacency must skip null-host endpoints identically to SQL
     "pagerank_hosts", "host_components",
