@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_proximity": q.term_proximity,
         "window_collocations": q.window_collocations,
         "gap_fill_daily": q.gap_fill_daily,
+        "activity_coverage": q.activity_coverage,
     }
 
 
@@ -5351,5 +5352,30 @@ def oracle_sql() -> dict[str, str]:
                                              / (nd - pd)) AS BIGINT)
                         END AS BIGINT) AS value_e6
             FROM f ORDER BY day_i
+        """,
+        # interval-union engagement: 30-min windows per event, union
+        # length per (user, type) via the fixed-L gap telescoping
+        # (first event contributes L, each next min(gap, L)), rolled
+        # up per type; NULL user/ts excluded, NULL type kept
+        "activity_coverage": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) AS ts_us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id)
+                                  AS prev
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            u AS (SELECT user_id, event_type,
+                         CAST(sum(CASE WHEN prev IS NULL
+                                       THEN 1800000000
+                                       ELSE least(ts_us - prev,
+                                                  1800000000)
+                                  END) AS BIGINT) AS covered_us
+                  FROM e GROUP BY 1, 2)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(covered_us) AS BIGINT) AS covered_us
+            FROM u GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
     }

@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "dedup_threshold_curve",
     "doc_id_islands",
     "value_iqr_outliers",
+    "activity_coverage",
     "apply_upserts",
     "host_n50",
     "token_length_histogram",

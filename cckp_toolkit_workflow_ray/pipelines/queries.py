@@ -11923,3 +11923,94 @@ def gap_fill_daily(sf_dir: str) -> pa.Table:
     return pd.DataFrame({"day_i": days, "n_obs": n_obs,
                          "filled": miss.astype(np.int64),
                          "value_e6": value})
+
+
+def activity_coverage(sf_dir: str) -> pa.Table:
+    """Interval-union engagement time (the overlapping-interval merge
+    operator): each event opens a 30-minute activity window; per
+    (user, event_type) the total UNION length of those windows —
+    overlaps merged exactly — rolled up per type as (n_users,
+    covered_us).  The DAU-minutes metric.
+
+    Scale shape: for fixed window length L the union telescopes to a
+    consecutive-gap fold — covered = L + Σ min(next_ts − ts, L) over
+    the (user, type)-partitioned time order — so NO interval
+    merge/sweep structure is materialised: ONE range sort by
+    (user, ts_us, event_id), run starts and clamped gaps computed
+    vectorized in place for interior users, and only the ≤2
+    block-EDGE users per block ship rows to the driver (the
+    ``value_volatility`` motif).  Gap values depend only on the sorted
+    timestamp multiset, so tie order never changes the sum.  NULL
+    users/timestamps are excluded (event-time policy); NULL event_type
+    is a kept group."""
+    from ..stages.ranking import _edge_mask
+
+    _L_US = 1_800_000_000  # 30 min in microseconds
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("user_id"))))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
+                  .sort(["user_id", "ts_us", "event_id"]).materialize()
+    _EMPTY = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_users": pd.Series([], dtype="int64"),
+        "covered_us": pd.Series([], dtype="int64")})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        # (user, type) runs need type-contiguity: order within the fold
+        # by (user, type, ts) — stable on already (user, ts)-sorted rows
+        df = df.sort_values(["user_id", "event_type", "ts_us",
+                             "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        ty = _sentinel_nulls(df["event_type"]).to_numpy()
+        n = len(df)
+        start = np.ones(n, dtype=bool)
+        if n > 1:
+            start[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        contrib = np.empty(n, dtype=np.int64)
+        contrib[start] = _L_US
+        cont = ~start
+        if cont.any():
+            gaps = np.minimum(ts[1:] - ts[:-1], _L_US)
+            contrib[1:][cont[1:]] = gaps[cont[1:]]
+        g = pd.DataFrame({"event_type": ty,
+                          "n_users": start.astype(np.int64),
+                          "covered_us": contrib})
+        return g.groupby("event_type", as_index=False).sum()
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        return fold(df[~_edge_mask(df, ["user_id"])])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_edge_mask(df, ["user_id"])] if len(df) else df
+
+    parts = sorted_ds.map_batches(
+        interior, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None).to_pandas()
+    if len(edge_rows):
+        parts = pd.concat([parts, fold(edge_rows)], ignore_index=True)
+    empty = dict(event_type=object, n_users="int64",
+                 covered_us="int64")
+    if parts.empty or "event_type" not in parts:
+        return _empty_result(**empty)
+    out = parts.groupby("event_type", as_index=False).sum()
+    out = _restore_null_keys(out, ["event_type"])
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["covered_us"] = out["covered_us"].astype(np.int64)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

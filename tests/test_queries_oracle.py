@@ -471,6 +471,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "term_proximity": ["term_a", "term_b", "gap", "n_docs"],
         "window_collocations": ["word", "n", "rk"],
         "gap_fill_daily": ["day_i", "n_obs", "filled", "value_e6"],
+        "activity_coverage": ["event_type", "n_users", "covered_us"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -544,6 +545,9 @@ NASTY_QUERIES = [
     # gap fill: NULL ts excluded; the nasty fixture's isolated days
     # exercise the interpolation path
     "gap_fill_daily",
+    # interval union: NULL users/ts excluded, NULL type kept; isolated
+    # events contribute exactly L
+    "activity_coverage",
     # NULL source -> NULL host: no node, and no edge THROUGH the doc —
     # adjacency must skip null-host endpoints identically to SQL
     "pagerank_hosts", "host_components",
