@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_collocations": q.window_collocations,
         "gap_fill_daily": q.gap_fill_daily,
         "activity_coverage": q.activity_coverage,
+        "peak_concurrency": q.peak_concurrency,
     }
 
 
@@ -5377,5 +5378,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users,
                    CAST(sum(covered_us) AS BIGINT) AS covered_us
             FROM u GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        # sweep-line peak: max simultaneously-open 30-min windows per
+        # type; at equal t a close precedes an open (half-open windows,
+        # ORDER BY t, d); NULL ts excluded, NULL type kept
+        "peak_concurrency": """
+            WITH b AS (
+                SELECT event_type, epoch_us(ts) AS t, 1 AS d
+                FROM events WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT event_type, epoch_us(ts) + 1800000000, -1
+                FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT event_type,
+                         sum(d) OVER (PARTITION BY event_type
+                                      ORDER BY t, d
+                                      ROWS UNBOUNDED PRECEDING) AS open
+                  FROM b)
+            SELECT event_type, CAST(max(open) AS BIGINT) AS peak
+            FROM c GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
     }

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "event_type_cosine",
     "gini_hosts",
     "part_cooccurrence",
+    "peak_concurrency",
     # r4 third session, second batch: warehouse rollups, profiling,
     # vocabulary statistics, spectral/selection/robust-stats ops,
     # survivorship, compressibility, seed-teleport PageRank

@@ -12014,3 +12014,102 @@ def activity_coverage(sf_dir: str) -> pa.Table:
     out["covered_us"] = out["covered_us"].astype(np.int64)
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def peak_concurrency(sf_dir: str) -> pa.Table:
+    """Peak interval concurrency (the sweep-line operator): each event
+    opens a 30-minute window; per event type, the MAXIMUM number of
+    simultaneously-open windows — capacity planning's "how many at
+    once" metric, the max-prefix-sum dual of ``activity_coverage``'s
+    union length.
+
+    Scale shape: a distributed MAX-PREFIX-SCAN with NO global sorted
+    structure on the driver — the ``grouped_budget_fill`` order-range
+    bucket motif (packing.py) lifted from running-sum filtering to
+    running-sum maxima.  The ±1 boundary stream is bucketed by TIME
+    range (bounds from one cheap min/max fold, so buckets are
+    contiguous in global sweep order with no block-identity
+    dependence); pass 1 folds per-(type, bucket) delta sums per batch
+    — O(types × buckets) driver rows whose per-type exclusive scan
+    gives each bucket's base open-count; pass 2 is one ``map_groups``
+    per (type, bucket): vectorized within-bucket (t, d) sort + cumsum
+    + base, emitting ONE peak row; the final max folds the bounded
+    (types × buckets) grid.  Sweep tie policy: at equal t a close
+    (d = −1) precedes an open (half-open [t, t+L) windows), the SQL
+    ORDER BY t, d.  NULL timestamps are excluded; NULL event_type is
+    a kept group."""
+    import ray
+
+    _L_US = 1_800_000_000
+    _NB = 64
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def bounds(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        if t.num_rows == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64")})
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"lo": [int(us.min())],
+                             "hi": [int(us.max()) + _L_US]})
+
+    bdf = ds.map_batches(bounds, batch_format="pyarrow").to_pandas()
+    empty = dict(event_type=object, peak="int64")
+    if bdf.empty:
+        return _empty_result(**empty)
+    lo, hi = int(bdf["lo"].min()), int(bdf["hi"].max())
+    span = max(hi - lo + 1, 1)
+
+    def boundaries(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.is_valid(t.column("ts")))
+        us = pc.cast(t.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = _sentinel_nulls(pd.Series(
+            t.column("event_type").to_numpy(zero_copy_only=False))) \
+            .to_numpy()
+        tt = np.concatenate([us, us + _L_US])
+        return pd.DataFrame({
+            "event_type": np.concatenate([ty, ty]),
+            "t": tt,
+            "d": np.concatenate([np.ones(len(us), dtype=np.int64),
+                                 -np.ones(len(us), dtype=np.int64)]),
+            "__b": (tt - lo) * _NB // span})
+
+    bds = ds.map_batches(boundaries, batch_format="pyarrow") \
+        .materialize()
+
+    def bsums(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "__b"], as_index=False,
+                          dropna=False)["d"].sum()
+
+    sums = bds.map_batches(bsums, batch_format="pandas").to_pandas()
+    if sums.empty:
+        return _empty_result(**empty)
+    sums = sums.groupby(["event_type", "__b"], as_index=False,
+                        dropna=False)["d"].sum() \
+        .sort_values(["event_type", "__b"], kind="mergesort") \
+        .reset_index(drop=True)
+    sums["__off"] = (sums.groupby("event_type")["d"].cumsum()
+                     - sums["d"]).astype(np.int64)
+    handle = ray.put(sums[["event_type", "__b", "__off"]])
+
+    def bucket_peak(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(handle)
+        grp, b = g["event_type"].iloc[0], g["__b"].iloc[0]
+        row = offs[(offs["event_type"] == grp) & (offs["__b"] == b)]
+        base = int(row["__off"].iloc[0]) if len(row) else 0
+        g = g.sort_values(["t", "d"], kind="mergesort")
+        run = base + np.cumsum(g["d"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"event_type": [grp],
+                             "peak": [int(run.max())]})
+
+    peaks = bds.groupby(["event_type", "__b"]).map_groups(
+        bucket_peak, batch_format="pandas").to_pandas()
+    if peaks.empty or "event_type" not in peaks:
+        return _empty_result(**empty)
+    out = peaks.groupby("event_type", as_index=False)["peak"].max()
+    out = _restore_null_keys(out, ["event_type"])
+    out["peak"] = out["peak"].astype(np.int64)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)

@@ -472,6 +472,7 @@ def test_queries_survive_empty_corpus(ray_session, tmp_path):
         "window_collocations": ["word", "n", "rk"],
         "gap_fill_daily": ["day_i", "n_obs", "filled", "value_e6"],
         "activity_coverage": ["event_type", "n_users", "covered_us"],
+        "peak_concurrency": ["event_type", "peak"],
     }
     for name, cols in expect.items():
         out = qs[name](d)
@@ -548,6 +549,9 @@ NASTY_QUERIES = [
     # interval union: NULL users/ts excluded, NULL type kept; isolated
     # events contribute exactly L
     "activity_coverage",
+    # sweep-line peak: NULL ts excluded, NULL type kept; the pre-1970
+    # rows land in their own far-left time buckets
+    "peak_concurrency",
     # NULL source -> NULL host: no node, and no edge THROUGH the doc —
     # adjacency must skip null-host endpoints identically to SQL
     "pagerank_hosts", "host_components",
