@@ -5313,8 +5313,10 @@ def oracle_sql() -> dict[str, str]:
         # nearest observed neighbours as ONE rational expression over
         # exact integers (identical operand order as the engine)
         "gap_fill_daily": """
-            WITH d AS (SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
-                                  AS day_i,
+            WITH d AS (SELECT (epoch_us(ts)
+                               - ((epoch_us(ts) % 86400000000)
+                                  + 86400000000) % 86400000000)
+                              // 86400000000 AS day_i,
                               CAST(count(*) AS BIGINT) AS n
                        FROM events WHERE ts IS NOT NULL GROUP BY 1),
             bounds AS (SELECT min(day_i) AS lo, max(day_i) AS hi FROM d),

@@ -322,6 +322,46 @@ def _pages_dir(n: int) -> str:
     return out
 
 
+class _ObjStorePeak:
+    """Samples cluster object-store usage (total - available of the
+    ``object_store_memory`` resource, i.e. bytes of primary copies the
+    raylet accounts) at 30 ms while the wrapped block runs; ``peak`` is
+    the max sample.  Verified against ``ray.put`` of known-size arrays
+    (500 MB measured 500.0 MB).  Sub-sample-interval spikes can be
+    missed — fine for the multi-second queries this brackets."""
+
+    def __init__(self):
+        import threading
+
+        self._stop = threading.Event()
+        self.peak = 0.0
+        self._thr = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import ray
+
+        try:
+            total = ray.cluster_resources().get("object_store_memory", 0.0)
+            while not self._stop.is_set():
+                avail = ray.available_resources().get(
+                    "object_store_memory", total)
+                used = total - avail
+                if used > self.peak:
+                    self.peak = used
+                self._stop.wait(0.03)
+        except Exception:
+            pass  # ray shutting down mid-sample
+
+    def __enter__(self):
+        self._thr.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thr.join(timeout=2.0)
+        return False
+
+
 def run_bench() -> dict:
     import ray
 
@@ -360,21 +400,25 @@ def run_bench() -> dict:
     validate(warm, out_dir=f"/tmp/cckp_bench_warm_{NUM_CPUS}")
 
     t0 = time.perf_counter()
-    validate(pages, out_dir=f"/tmp/cckp_bench_out_{NUM_CPUS}")
+    with _ObjStorePeak() as head_peak:
+        validate(pages, out_dir=f"/tmp/cckp_bench_out_{NUM_CPUS}")
     headline = time.perf_counter() - t0
 
     qs = em.queries()
     qtimes = {}
+    qpeaks = {}
     # the scaling protocol compares only the headline validate wall time;
     # its child runs skip the per-query loop (GRAFT_SKIP_QUERIES=1)
     bench_queries = [] if os.environ.get("GRAFT_SKIP_QUERIES") \
         else BENCH_QUERIES
     for name in bench_queries:
         t0 = time.perf_counter()
-        res = qs[name](SF_DIR)
-        # force materialization for lazy results
-        getattr(res, "to_pandas", lambda: res)()
+        with _ObjStorePeak() as qp:
+            res = qs[name](SF_DIR)
+            # force materialization for lazy results
+            getattr(res, "to_pandas", lambda: res)()
         qtimes[name] = round(time.perf_counter() - t0, 3)
+        qpeaks[name] = int(qp.peak)
 
     ray.shutdown()
     return {
@@ -382,6 +426,8 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": qtimes,
+        "peak_obj_bytes": qpeaks,
+        "headline_peak_obj_bytes": int(head_peak.peak),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,

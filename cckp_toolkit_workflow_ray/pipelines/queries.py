@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
@@ -26,9 +27,23 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned scan.  The explicit ``schema=`` is the file's own schema with
+    the pandas-written metadata dict stripped: hash(pa.Schema) raises on
+    that dict inside Ray's unify_schemas, logging a 'Failed to hash the
+    schemas' warning on every multi-fragment merge.  Passing the clean
+    schema keeps every downstream block metadata-free with zero extra
+    stages, and (unlike a map_batches strip) preserves schema()
+    availability on a fully EMPTY corpus."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        # Ray applies schema= AFTER the column projection — pass the
+        # projected subset or Table.from_batches raises on the mismatch
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _int_or_float64(s: pd.Series) -> pd.Series:
@@ -96,7 +111,7 @@ def presence_check(sf_dir: str) -> pa.Table:
             "n_text_missing": text_missing.to_numpy(zero_copy_only=False).astype(np.int64),
             "n_source_missing": src_missing.to_numpy(zero_copy_only=False).astype(np.int64),
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("lang", as_index=False).sum(), preserve_index=False
         )
 
@@ -132,7 +147,7 @@ def referential_lang_check(sf_dir: str) -> pa.Table:
             "n_rows": 1,
             "n_violations": viol.to_numpy(zero_copy_only=False).astype(np.int64),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     return _restore_null_keys(
         _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -164,7 +179,7 @@ def referential_events_check(sf_dir: str) -> pa.Table:
                 "n_events": 1,
                 "n_orphans": orphan.astype(np.int64),
             })
-            return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(),
+            return _table_from_pandas(df.groupby("event_type", as_index=False).sum(),
                                         preserve_index=False)
 
     partials = ds.map_batches(
@@ -192,7 +207,7 @@ def stats_profile(sf_dir: str) -> pa.Table:
             n_docs=("n_chars", "size"), min_chars=("n_chars", "min"),
             max_chars=("n_chars", "max"), sum_chars=("n_chars", "sum"),
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     from ..stages.groupagg import sorted_reduce_by_key_ds as _srk2
     agg = _srk2(ds.map_batches(partial, batch_format="pyarrow"),
@@ -218,7 +233,7 @@ def distinct_sources(sf_dir: str) -> pa.Table:
             "source": t.column("source").to_numpy(zero_copy_only=False),
         })
         df = df[df["source"].notna()]  # count(DISTINCT source) ignores NULLs
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.drop_duplicates(["lang", "source"]), preserve_index=False
         )
 
@@ -271,7 +286,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
             "k": _sentinel_nulls(t.column("text").to_pandas().str.slice(0, 16)),
             "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("k", as_index=False)["doc_id"].min(), preserve_index=False
         )
 
@@ -297,7 +312,7 @@ def keyword_check(sf_dir: str) -> pa.Table:
             "n_join": has_j.to_numpy(zero_copy_only=False).astype(np.int64),
             "n_both": pc.and_(has_q, has_j).to_numpy(zero_copy_only=False).astype(np.int64),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     return _restore_null_keys(
         _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -441,7 +456,7 @@ def token_count(sf_dir: str) -> pa.Table:
             "n_docs": 1,
             "total_tokens": toks.to_numpy(zero_copy_only=False).astype(np.int64),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     return _restore_null_keys(
         _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -461,7 +476,7 @@ def verdict_rollup(sf_dir: str) -> pa.Table:
                 t.column("n_chars").to_numpy(zero_copy_only=False) < 200
             ).astype(np.int64),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     df = _restore_null_keys(
         _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -508,7 +523,7 @@ def windowed_events(sf_dir: str) -> pa.Table:
             "n_events": 1,
             "sum_value_cents": cents,
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["event_type", "window_start_us"], as_index=False).sum(),
             preserve_index=False,
         )
@@ -833,7 +848,7 @@ def canonical_url_dedup(sf_dir: str) -> pa.Table:
             "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)})
         g = df.groupby("canonical_url", as_index=False).agg(
             doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     out = sorted_reduce_by_key_ds(
         urls.map_batches(partial, batch_format="pyarrow"),
@@ -1347,7 +1362,7 @@ def bpe_token_count(sf_dir: str) -> pa.Table:
             "n_docs": 1,
             "bpe_tokens": toks,
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     return _restore_null_keys(
         _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -1377,7 +1392,7 @@ def quality_check(sf_dir: str) -> pa.Table:
             "n_docs": 1,
             "n_low_quality": low.astype(np.int64),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     return _restore_null_keys(
         _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -1460,7 +1475,7 @@ def langid_confusion(sf_dir: str) -> pa.Table:
             "predicted": t.column("predicted").to_numpy(zero_copy_only=False),
             "n": 1,
         }).groupby(["lang", "predicted"], as_index=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False,
+        return _table_from_pandas(df, preserve_index=False,
                                     schema=_partial_schema)
 
     out = _restore_null_keys(
@@ -1526,7 +1541,7 @@ def winnow_verify(sf_dir: str) -> pa.Table:
             import pyarrow.parquet as pq
 
             pq.write_table(
-                pa.Table.from_pandas(pd.concat(gram_frames,
+                _table_from_pandas(pd.concat(gram_frames,
                                                ignore_index=True),
                                      preserve_index=False),
                 f"{WINNOW_ORACLE_DIR}/{uuid.uuid4().hex}.parquet")
@@ -2029,7 +2044,7 @@ def embedding_norm_stats(sf_dir: str) -> pa.Table:
             "n_vecs": 1,
             "sum_norm_e6": norm_e6,
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("label", as_index=False, dropna=False).sum(),
             preserve_index=False)
 
@@ -2116,7 +2131,7 @@ def json_props_stats(sf_dir: str) -> pa.Table:
             "n_events": 1,
             "sum_k": k,
         })
-        return pa.Table.from_pandas(df.groupby("event_type", as_index=False).sum(),
+        return _table_from_pandas(df.groupby("event_type", as_index=False).sum(),
                                     preserve_index=False)
 
     return _restore_null_keys(
@@ -2497,7 +2512,7 @@ def label_centroids(sf_dir: str) -> pa.Table:
         df["label"] = t.column("label").to_numpy(
             zero_copy_only=False).astype(np.float64)
         df["n_vecs"] = np.int64(1)
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("label", as_index=False, dropna=False).sum(),
             preserve_index=False)
 
@@ -2656,7 +2671,7 @@ def media_features(sf_dir: str) -> pa.Table:
             "kind": df["kind"], "decode_ok": df["decode_ok"], "n": 1,
             "sum_pixels": df["px"].astype("int64"),
         }).groupby(["kind", "decode_ok"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False,
+        return _table_from_pandas(g, preserve_index=False,
                                     schema=_partial_schema)
 
     out = _sum_by_key(assets.map_batches(partial, batch_format="pyarrow"),
@@ -2733,7 +2748,7 @@ def pii_redact(sf_dir: str) -> pa.Table:
                 t.column("n_seeded_chars").to_numpy(zero_copy_only=False)
                 - red_len,
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(),
                                     preserve_index=False)
 
     return _restore_null_keys(
@@ -2799,7 +2814,7 @@ def repetition_check(sf_dir: str) -> pa.Table:
             "n_top_repetitive": (nonempty & (10 * mx >= tot)).astype(np.int64),
             "n_low_diversity": (nonempty & (2 * nd <= tot)).astype(np.int64),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(),
                                     preserve_index=False)
 
     return _restore_null_keys(
@@ -3070,7 +3085,7 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
             "total_tokens":
                 t.column("n_tokens").to_numpy(zero_copy_only=False),
         })
-        return pa.Table.from_pandas(df.groupby("lang", as_index=False).sum(),
+        return _table_from_pandas(df.groupby("lang", as_index=False).sum(),
                                     preserve_index=False)
 
     return _restore_null_keys(
@@ -3112,7 +3127,7 @@ def mixture_sample(sf_dir: str) -> pa.Table:
                 t.column("source").to_numpy(zero_copy_only=False))),
             "n": 1,
         })
-        return pa.Table.from_pandas(df.groupby("source", as_index=False).sum(),
+        return _table_from_pandas(df.groupby("source", as_index=False).sum(),
                                     preserve_index=False)
 
     counts = _sum_by_key(ds.map_batches(cpart, batch_format="pyarrow"),
@@ -3174,7 +3189,7 @@ def temperature_mixture(sf_dir: str) -> pa.Table:
                 t.column("lang").to_numpy(zero_copy_only=False))),
             "n": 1,
         })
-        return pa.Table.from_pandas(df.groupby("__g", as_index=False).sum(),
+        return _table_from_pandas(df.groupby("__g", as_index=False).sum(),
                                     preserve_index=False)
 
     counts = _sum_by_key(ds.map_batches(cpart, batch_format="pyarrow"),
@@ -3328,7 +3343,7 @@ def rollup_lang_source(sf_dir: str) -> pa.Table:
             "n_docs": 1,
             "total_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["lang", "source"], as_index=False).sum(),
             preserve_index=False)
 
@@ -3728,7 +3743,7 @@ def daily_drift(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({
             "day_us": t.column("day_us").to_numpy(zero_copy_only=False),
             "bucket": b, "n": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["day_us", "bucket"], as_index=False).sum(),
             preserve_index=False)
 
@@ -3911,7 +3926,7 @@ def corr_chars_tokens(sf_dir: str) -> pa.Table:
                 t.column("lang").to_numpy(zero_copy_only=False))),
             "n_pairs": 1, "sx": x, "sy": y, "sxy": x * y,
             "sxx": x * x, "syy": y * y})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     s = _sum_by_key(ds.map_batches(partial, batch_format="pyarrow"),
@@ -3964,7 +3979,7 @@ def cube_lang_source(sf_dir: str) -> pa.Table:
             "total_chars": t.column("n_chars").to_numpy(
                 zero_copy_only=False),
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["lang", "source"], as_index=False).sum(),
             preserve_index=False)
 
@@ -4283,7 +4298,7 @@ def event_rate_anomaly(sf_dir: str) -> pa.Table:
             zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame({"day_us": (us // _DAY_US) * _DAY_US,
                            "n_events": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("day_us", as_index=False).sum(),
             preserve_index=False)
 
@@ -4420,7 +4435,7 @@ def dataset_split(sf_dir: str) -> pa.Table:
             "sum_chars": t.column("n_chars").to_numpy(
                 zero_copy_only=False),
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["lang", "split"], as_index=False).sum(),
             preserve_index=False)
 
@@ -4672,7 +4687,7 @@ def keyword_matrix(sf_dir: str) -> pa.Table:
             frames.append(pd.DataFrame({"lang": lang, "keyword": kw,
                                         "n": n}))
         df = pd.concat(frames, ignore_index=True)
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["lang", "keyword"], as_index=False).sum(),
             preserve_index=False)
 
@@ -4725,7 +4740,7 @@ def value_histogram(sf_dir: str) -> pa.Table:
             "event_type": t.column("event_type").to_numpy(
                 zero_copy_only=False),
             "bin": b, "n": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["event_type", "bin"], as_index=False).sum(),
             preserve_index=False)
 
@@ -4759,7 +4774,7 @@ def daily_type_growth(sf_dir: str) -> pa.Table:
                 t.column("event_type").to_numpy(zero_copy_only=False))),
             "day_us": (us // _DAY_US) * _DAY_US,
             "n": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["event_type", "day_us"], as_index=False).sum(),
             preserve_index=False)
 
@@ -4961,7 +4976,7 @@ def dup_rate_by_source(sf_dir: str) -> pa.Table:
             "n_nonnull": pc.is_valid(txt).to_numpy(
                 zero_copy_only=False).astype(np.int64),
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("source", as_index=False).sum(),
             preserve_index=False)
 
@@ -5159,7 +5174,7 @@ def event_type_trend(sf_dir: str) -> pa.Table:
                 t.column("event_type").to_numpy(zero_copy_only=False))),
             "day": us // 86_400_000_000,
             "cnt": np.ones(len(us), dtype=np.int64)})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["event_type", "day"], as_index=False).sum(),
             preserve_index=False)
 
@@ -5219,7 +5234,7 @@ def chi2_lang_source(sf_dir: str) -> pa.Table:
             "source": _sentinel_nulls(pd.Series(
                 t.column("source").to_numpy(zero_copy_only=False))),
             "n": np.int64(1)})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["lang", "source"], as_index=False).sum(),
             preserve_index=False)
 
@@ -5681,7 +5696,7 @@ def welch_ttest_chars(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({
             "lang": t.column("lang").to_numpy(zero_copy_only=False),
             "n": np.int64(1), "sx": x, "sxx": x * x})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("lang", as_index=False).sum(),
             preserve_index=False)
 
@@ -5754,7 +5769,7 @@ def cusum_changepoint(sf_dir: str) -> pa.Table:
                 t.column("event_type").to_numpy(zero_copy_only=False))),
             "day_us": (us // _DAY_US) * _DAY_US,
             "n": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["event_type", "day_us"], as_index=False).sum(),
             preserve_index=False)
 
@@ -5922,7 +5937,7 @@ def event_type_cosine(sf_dir: str) -> pa.Table:
             "event_type": t.column("event_type").to_numpy(
                 zero_copy_only=False),
             "c": np.int64(1)})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["user_id", "event_type"], as_index=False).sum(),
             preserve_index=False)
 
@@ -6205,7 +6220,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
                 ok, _round_half_away(np.where(ok, v, 0.0)), 0) \
                 .astype(np.int64)
             df[f"n_{m}"] = ok.astype(np.int64)
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["l_returnflag", "l_linestatus"],
                        as_index=False).sum(), preserve_index=False)
 
@@ -6687,7 +6702,7 @@ def theil_sen_trend(sf_dir: str) -> pa.Table:
                 t.column("event_type").to_numpy(zero_copy_only=False))),
             "day_us": (us // _DAY_US) * _DAY_US,
             "n": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["event_type", "day_us"], as_index=False).sum(),
             preserve_index=False)
 
@@ -6773,7 +6788,7 @@ def compression_ratio(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({"lang": _sentinel_nulls(pd.Series(langs)),
                            "n_docs": np.int64(1),
                            "sum_raw": n_raw, "sum_comp": n_comp})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("lang", as_index=False).sum(),
             preserve_index=False)
 
@@ -6928,7 +6943,7 @@ def rolling_median_anomaly(sf_dir: str) -> pa.Table:
             zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame({"day_us": (us // _DAY_US) * _DAY_US,
                            "n_events": 1})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("day_us", as_index=False).sum(),
             preserve_index=False)
 
@@ -7092,7 +7107,7 @@ def chars_percent_rank(sf_dir: str) -> pa.Table:
             "n_chars": t.column("n_chars").to_numpy(
                 zero_copy_only=False).astype(np.int64),
             "n": np.int64(1)})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby(["lang", "n_chars"], as_index=False).sum(),
             preserve_index=False)
 
@@ -7666,7 +7681,7 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
         # blocks measured ~10x slower on this exchange
         g2 = m2.groupby(["l_orderkey", "sn", "l_year"],
                         as_index=False)[["rev", "n_rows"]].sum()
-        return pa.Table.from_pandas(g2, preserve_index=False)
+        return _table_from_pandas(g2, preserve_index=False)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
@@ -7677,7 +7692,7 @@ def nation_trade_volume(sf_dir: str) -> pa.Table:
             .to_numpy(zero_copy_only=False),
             "c_custkey": pc.cast(t.column("o_custkey"), pa.int64())
             .to_numpy(zero_copy_only=False)})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.merge(ray.get(_ref), on="c_custkey")[
                 ["l_orderkey", "cn"]], preserve_index=False)
 
@@ -8084,9 +8099,11 @@ def customer_order_distribution(sf_dir: str) -> pa.Table:
             .to_numpy(zero_copy_only=False),
             "n": np.ones(t.num_rows, dtype=np.int64)})
 
+    # single consumer (the inner join below): stream the O(customers)
+    # reduction into the join shuffle instead of pinning it whole
     per_cust = sorted_reduce_by_key_ds(
         orders.map_batches(ord_clean, batch_format="pyarrow"),
-        ["c_custkey"], {"n": "sum"}).materialize()
+        ["c_custkey"], {"n": "sum"})
     # restrict to existing customers: bucketed inner join (scale-safe)
     matched = hash_join(per_cust, keys, on="c_custkey")
 
@@ -8982,7 +8999,7 @@ def embedding_quantize(sf_dir: str) -> pa.Table:
             "n_vecs": np.int64(1),
             "sum_err_e6": err.sum(axis=1),
             "sum_abs_code": np.abs(code).astype(np.int64).sum(axis=1)})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("label", as_index=False, dropna=False).sum(),
             preserve_index=False)
 
@@ -9826,7 +9843,7 @@ def tokens_per_char_ols(sf_dir: str) -> pa.Table:
                 t.column("lang").to_numpy(zero_copy_only=False))),
             "n_pairs": 1, "sx": x, "sy": y, "sxy": x * y,
             "sxx": x * x})
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("lang", as_index=False).sum(),
             preserve_index=False)
 
@@ -10247,8 +10264,10 @@ def doc_id_islands(sf_dir: str) -> pa.Table:
             "doc_id": pc.cast(t.column("doc_id"), pa.int64())
             .to_numpy(zero_copy_only=False)}).drop_duplicates()
 
+    # single-consumer sorted stream: no materialize — the sort barrier
+    # already exists, and streaming the output frees blocks as consumed
     sorted_ds = ds.map_batches(prep, batch_format="pyarrow") \
-                  .sort("doc_id").materialize()
+                  .sort("doc_id")
 
     def block_islands(df: pd.DataFrame) -> pd.DataFrame:
         # islands fully interior to the block close here; the block's
@@ -10416,8 +10435,9 @@ def apply_upserts(sf_dir: str) -> pa.Table:
             "op": np.where(is_d[sel], "D", "U").astype(object),
             "new_text": np.where(is_d[sel], None, nt)})
 
-    deltas = base.map_batches(mk_deltas,
-                              batch_format="pyarrow").materialize()
+    # single consumer (the left join below): stream — hash_join's
+    # schema() peek executes one lineage block, the shuffle the rest
+    deltas = base.map_batches(mk_deltas, batch_format="pyarrow")
 
     def base_keyed(t: pa.Table) -> pd.DataFrame:
         return pd.DataFrame({
@@ -12092,13 +12112,15 @@ def peak_concurrency(sf_dir: str) -> pa.Table:
         .reset_index(drop=True)
     sums["__off"] = (sums.groupby("event_type")["d"].cumsum()
                      - sums["d"]).astype(np.int64)
-    handle = ray.put(sums[["event_type", "__b", "__off"]])
+    # broadcast an O(1)-lookup dict keyed by (event_type, bucket) — a frame
+    # scan per map_groups call would be quadratic in the grid size
+    handle = ray.put({(ty, int(b)): int(off) for ty, b, off in zip(
+        sums["event_type"], sums["__b"], sums["__off"])})
 
     def bucket_peak(g: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(handle)
         grp, b = g["event_type"].iloc[0], g["__b"].iloc[0]
-        row = offs[(offs["event_type"] == grp) & (offs["__b"] == b)]
-        base = int(row["__off"].iloc[0]) if len(row) else 0
+        base = offs.get((grp, int(b)), 0)
         g = g.sort_values(["t", "d"], kind="mergesort")
         run = base + np.cumsum(g["d"].to_numpy(dtype=np.int64))
         return pd.DataFrame({"event_type": [grp],

@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 import pyarrow.compute as pc
 
 from ..config import ValidationConfig, validate_check_names
@@ -84,7 +85,7 @@ def violation_counts(viol_dir: str) -> pd.DataFrame:
             "check": t.column("check").to_numpy(zero_copy_only=False),
         })
         g = df.groupby(["lang", "check"], as_index=False).size()
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             g.rename(columns={"size": "n_violations"}), preserve_index=False
         )
 
@@ -231,7 +232,7 @@ def validate(
 
     # ---- persist verdicts/profile + driver report (K3/K5 analog) ---------
     pq.write_table(
-        pa.Table.from_pandas(verdicts, preserve_index=False),
+        _table_from_pandas(verdicts, preserve_index=False),
         os.path.join(out_dir, "verdicts.parquet"),
     )
     pq.write_table(profile_tbl, os.path.join(out_dir, "profile.parquet"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 
 from ..functions.hashing import splitmix64
 from .dedup import _pair_keys
@@ -159,7 +160,7 @@ def bloom_anti_join_texts(new_ds, existing_ds, text_col: str = "text",
     def key_partial(t: pa.Table) -> pa.Table:
         k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
         g = pd.DataFrame({"k1": k1, "k2": k2}).drop_duplicates()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     keys = sorted_distinct_keys(
         existing_ds.select_columns([text_col])

@@ -254,35 +254,93 @@ def semantic_dedup_keep(ds, centroids: np.ndarray, threshold: float = 0.995,
 
     Within-cluster pairwise is one matmul per ``map_groups`` group —
     O(m_c² d) flops per cluster, bounded because SemDeDup scales k with
-    the corpus.  Clusters larger than ``max_cluster`` are kept whole
-    with a loud warning (recall cap, precision intact — the
-    ``max_bucket`` policy; raise ``k`` to shrink clusters).
+    the corpus.  Clusters larger than ``max_cluster`` are recursively
+    split by a deterministic local 2-means (farthest-point init, Lloyd,
+    median-projection fallback on a degenerate split) until every leaf
+    fits, then the keep rule runs within each leaf — the standard
+    SemDeDup approximation applied one level deeper, so near-identical
+    vectors (cosine ≥ threshold ≈ 1) stay co-located and the keep-set
+    matches whole-cluster pairwise except for pairs a split separates.
+    Only a cluster that still exceeds ``max_cluster`` after the bounded
+    recursion (depth 16 ⇒ ≥ 2^16 × max_cluster members) is kept whole
+    with a loud driver warning.
     """
     assigned = kmeans_assign(ds, centroids, vec_col=vec_col, id_col=id_col,
                              batch_size=batch_size,
                              export_dir=export_assign_dir, with_vec=True)
+
+    def pairwise_removed(m: np.ndarray) -> np.ndarray:
+        # removed := has an earlier (row-index < mine, i.e. smaller id)
+        # neighbor at ≥ threshold — strictly-lower triangle per column
+        sims = m @ m.T
+        return np.tril(sims >= threshold, k=-1).any(axis=1)
+
+    def split_removed(ids: np.ndarray, m: np.ndarray,
+                      depth: int) -> np.ndarray:
+        """Boolean removed-mask for rows sorted by id; recursive 2-means
+        split until the leaf fits max_cluster."""
+        n = len(ids)
+        if n <= max_cluster:
+            return pairwise_removed(m)
+        if depth <= 0:
+            # pathological: >2^16 × max_cluster members in one k-means
+            # cluster — keep whole (recall cap, precision intact)
+            return np.zeros(n, dtype=bool)
+        # deterministic farthest-point init: seed = row 0 (smallest id),
+        # second centroid = farthest row from it
+        c0 = m[0]
+        d0 = m @ c0
+        c1 = m[int(np.argmin(d0))]
+        for _ in range(8):  # local Lloyd on the cosine surrogate
+            s0, s1 = m @ c0, m @ c1
+            side = s1 > s0
+            if side.all() or (~side).all():
+                break
+            n0 = m[~side].mean(axis=0)
+            n1 = m[side].mean(axis=0)
+            for v in (n0, n1):
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    v /= nrm
+            if np.allclose(n0, c0) and np.allclose(n1, c1):
+                c0, c1 = n0, n1
+                s0, s1 = m @ c0, m @ c1
+                side = s1 > s0
+                break
+            c0, c1 = n0, n1
+        s0, s1 = m @ c0, m @ c1
+        side = s1 > s0
+        if side.all() or (~side).all() or side.sum() == 0:
+            # degenerate 2-means: median split on the projection onto the
+            # dominant direction (guaranteed balanced, deterministic)
+            proj = s0
+            side = proj > np.median(proj)
+            if side.all() or (~side).all():
+                side = np.arange(n) >= n // 2  # last resort: id halves
+        removed = np.zeros(n, dtype=bool)
+        for mask in (~side, side):
+            removed[mask] = split_removed(ids[mask], m[mask], depth - 1)
+        return removed
 
     def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
         out_cols = ["vec_id", "cluster_id"]
         if not len(df):
             return pd.DataFrame({c: pd.Series([], dtype="int64")
                                  for c in out_cols + ["oversize"]})
-        if len(df) > max_cluster:
-            # keep the whole cluster (recall cap, precision intact); the
-            # flag rides back so the DRIVER can warn loudly — a worker
-            # warnings.warn never reaches the caller's process
-            out = df[out_cols].astype("int64")
-            out["oversize"] = np.int64(len(df))
-            return out
         ids = df["vec_id"].to_numpy().astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         m = np.stack([np.frombuffer(b, dtype=np.float64)
                       for b in df["vec"].to_numpy()[order]])
-        sims = m @ m.T
-        # removed := has an earlier (row-index < mine, i.e. smaller id)
-        # neighbor at ≥ threshold — strictly-lower triangle per column
-        hit = np.tril(sims >= threshold, k=-1).any(axis=1)
+        if len(df) > max_cluster:
+            hit = split_removed(ids, m, depth=16)
+            keep = df[out_cols].iloc[order[~hit]].astype("int64")
+            # flag rides back so the DRIVER can note the recursive split —
+            # a worker warnings.warn never reaches the caller's process;
+            # oversize>0 now means "split applied", not "kept whole"
+            keep["oversize"] = np.int64(len(df))
+            return keep
+        hit = pairwise_removed(m)
         keep = df[out_cols].iloc[order[~hit]].astype("int64")
         keep["oversize"] = np.int64(0)
         return keep
@@ -299,7 +357,8 @@ def semantic_dedup_keep(ds, centroids: np.ndarray, threshold: float = 0.995,
         for cl, sz in oversize.drop_duplicates("cluster_id").itertuples(index=False):
             warnings.warn(
                 f"semantic_dedup: cluster {int(cl)} has {int(sz)} members "
-                f"> max_cluster={max_cluster}; kept whole (recall cap) — "
-                "raise k to shrink clusters")
+                f"> max_cluster={max_cluster}; recursively 2-means-split "
+                "before pairwise dedup (pairs a split separates are not "
+                "compared — raise k to shrink clusters)")
     return (out[["vec_id", "cluster_id"]]
             .sort_values("vec_id").reset_index(drop=True))

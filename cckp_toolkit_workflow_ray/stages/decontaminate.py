@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 
 from ..functions.hashing import hash_strings
 from ..functions.text import re2_words
@@ -62,7 +63,7 @@ def benchmark_gram_set(bench_ds, text_col: str = "text", n: int = 13,
                 else np.empty(0, dtype=object))
         h1, h2 = _gram_hash_pairs(flat)
         df = pd.DataFrame({"h1": h1, "h2": h2})
-        return pa.Table.from_pandas(df.drop_duplicates(),
+        return _table_from_pandas(df.drop_duplicates(),
                                     preserve_index=False)
 
     parts = bench_ds.select_columns([text_col]).map_batches(

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 
 from ..functions.hashing import hash_strings, isin_sorted, splitmix64
 
@@ -372,7 +373,7 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
         g = pd.DataFrame({"k1": k1, "k2": k2}).groupby(
             ["k1", "k2"], as_index=False
         ).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     pruned = ds.select_columns([text_col]) if hasattr(ds, "select_columns") else ds
     regime, dup_keys = find_duplicate_int_keys_two_regime(
@@ -390,7 +391,7 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
                                "winner": t.column(id_col).to_numpy(zero_copy_only=False)})
             m = df.merge(dup_pairs, on=["k1", "k2"])
             g = m.groupby(["k1", "k2"], as_index=False)["winner"].min()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _table_from_pandas(g, preserve_index=False)
 
         wp = ds.select_columns([text_col, id_col]).map_batches(
             winners_partial, batch_format="pyarrow", batch_size=batch_size
@@ -417,7 +418,7 @@ def exact_dedup_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
         df = pd.DataFrame({"k1": k1, "k2": k2,
                            "winner": t.column(id_col).to_numpy(zero_copy_only=False)})
         g = df.groupby(["k1", "k2"], as_index=False)["winner"].min()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     partials = ds.select_columns([text_col, id_col]).map_batches(
         winners_partial_all, batch_format="pyarrow", batch_size=batch_size)
@@ -506,7 +507,7 @@ def anti_join_texts(new_ds, existing_ds, text_col: str = "text",
     def key_partial(t: pa.Table) -> pa.Table:
         k1, k2 = _pair_keys(t.column(text_col).to_numpy(zero_copy_only=False))
         g = pd.DataFrame({"k1": k1, "k2": k2}).drop_duplicates()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     distinct = sorted_distinct_keys(
         existing_ds.select_columns([text_col])
@@ -588,7 +589,7 @@ def drop_duplicate_paragraphs(ds, text_col: str = "text",
             t.column(text_col).to_numpy(zero_copy_only=False))
         g = pd.DataFrame({"h1": h1, "h2": h2}).groupby(
             ["h1", "h2"], as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     dup = find_duplicate_int_keys(ds.select_columns([text_col]),
                                   para_partial, batch_size,
@@ -1039,6 +1040,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     least one band.  Band buckets feed the same rare-duplicate-key
     machinery; verification checks exact hamming distance.
     """
+    import ray
+
     n_bands = max_hamming + 1
     width = 64 // n_bands
     doc_simhash = doc_simhash64
@@ -1063,16 +1066,18 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     dup_buckets = cap_giant_buckets(dup_buckets, max_bucket, "simhash_pairs")
     if dup_buckets.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    bucket_sorted = np.sort(dup_buckets["key"].to_numpy())
+    bucket_ref = ray.put(np.sort(dup_buckets["key"].to_numpy()))
 
     def memberships(t: pa.Table) -> pa.Table:
         # fully vectorized (mirrors the MinHash membership pass above):
         # ravel the (n_docs, n_bands) key matrix, one sorted-membership
-        # probe, then repeat ids/simhash alongside and take the hits
+        # probe, then repeat ids/simhash alongside and take the hits.
+        # The dup-bucket array rides the object store (ray.put once),
+        # not the task closure — on a duplicate-heavy corpus it is large.
         sh = doc_simhash(t.column(text_col).to_numpy(zero_copy_only=False))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = band_keys(sh).ravel()
-        hit = isin_sorted(bucket_sorted, flat)
+        hit = isin_sorted(ray.get(bucket_ref), flat)
         return pa.table({
             "bucket": pa.array(flat[hit], type=pa.int64()),
             "doc": pa.array(np.repeat(ids, n_bands)[hit], type=pa.int64()),

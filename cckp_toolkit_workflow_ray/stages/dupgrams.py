@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 
 from ..functions.nulls import restore_null_keys, sentinel_nulls
 from ..functions.text import re2_words
@@ -86,7 +87,7 @@ def dup_ngram_rollup(ds, text_col: str = "text", lang_col: str = "lang",
         df = pd.DataFrame({"h1": h1, "h2": h2})
         g = df.groupby(["h1", "h2"], as_index=False).size() \
               .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     regime, dup = find_duplicate_int_keys_two_regime(
         ds.select_columns([text_col]), gram_count_partial,
@@ -120,7 +121,7 @@ def dup_ngram_rollup(ds, text_col: str = "text", lang_col: str = "lang",
                 "n_dup_grams": n_dup,
             })
             out = df.groupby("lang", as_index=False).sum()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _table_from_pandas(out, preserve_index=False)
 
         parts = ds.select_columns([text_col, lang_col]).map_batches(
             probe, batch_format="pyarrow", batch_size=batch_size)
@@ -157,7 +158,7 @@ def _dup_rollup_join(ds, dup_ds, text_col: str, lang_col: str, id_col: str,
                 if nz.size else np.empty(0, dtype=object))
         h1, h2 = _gram_hash_pairs(flat)
         reps = lens[nz]
-        return pa.Table.from_pandas(pd.DataFrame({
+        return _table_from_pandas(pd.DataFrame({
             "h1": h1, "h2": h2,
             "doc_id": np.repeat(ids[nz], reps),
             "lang": np.repeat(langs[nz], reps),
@@ -177,7 +178,7 @@ def _dup_rollup_join(ds, dup_ds, text_col: str, lang_col: str, id_col: str,
             "n_docs": has_grams,
             "n_flagged": 0, "n_dup_grams": 0,
         })
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             df.groupby("lang", as_index=False).sum(), preserve_index=False)
 
     base = ds.select_columns([text_col, lang_col]).map_batches(
@@ -214,7 +215,7 @@ def _dup_rollup_join(ds, dup_ds, text_col: str, lang_col: str, id_col: str,
         out = out[["lang"] + ROLLUP_COLS]
         for c in ROLLUP_COLS:
             out[c] = out[c].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _table_from_pandas(out, preserve_index=False)
 
     def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -312,7 +313,7 @@ def exact_substring_spans(ds, text_col: str = "text", id_col: str = "doc_id",
         g = pd.DataFrame({"h1": h1, "h2": h2}) \
             .groupby(["h1", "h2"], as_index=False).size() \
             .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     regime, dup = find_duplicate_int_keys_two_regime(
         ds.select_columns([text_col]), gram_count_partial,

@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 import pyarrow.compute as pc
 
 from ..config import ValidationConfig
@@ -127,7 +128,7 @@ def _make_recover_fn(dup_h1_sorted: np.ndarray, dup_h2_for_h1: np.ndarray):
         g = df.groupby(["h1", "h2"], as_index=False).agg(
             url=("url", "min"), lang=("lang", "min")
         )
-        return pa.Table.from_pandas(g[["h1", "h2", "url", "lang"]], preserve_index=False)
+        return _table_from_pandas(g[["h1", "h2", "url", "lang"]], preserve_index=False)
 
     return recover
 
@@ -266,7 +267,7 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None,
         )
         out = dup_keys.merge(reps, on=["h1", "h2"], how="inner")[["url", "lang_min", "n"]]
         return rd.from_arrow(
-            pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False).cast(
+            _table_from_pandas(out.reset_index(drop=True), preserve_index=False).cast(
                 _DUPS_SCHEMA
             )
         )
@@ -294,7 +295,7 @@ def duplicate_urls(source, cfg: ValidationConfig | None = None,
         df = pd.DataFrame({"h1": h1, "h2": h2, "url": url_np, "lang": lang_np})
         g = df.groupby(["h1", "h2"], as_index=False).agg(
             url=("url", "min"), lang=("lang", "min"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     recs = pages_scan().map_batches(
         recover_all, batch_format="pyarrow",

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 import pyarrow.compute as pc
 
 from ..functions.nulls import restore_null_keys, sentinel_nulls
@@ -63,7 +64,7 @@ def tumbling_window(ds, ts_col: str, key_col: str, size_us: int,
         if value_col is not None:
             df[value_col] = t.column(value_col).to_numpy(zero_copy_only=False)
         g = _partial_counts(key_col, "window_start_us", value_col)(df)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g, preserve_index=False)
 
     aggs = {"n_events": "sum"}
     if value_col is not None:
@@ -99,7 +100,7 @@ def sliding_window(ds, ts_col: str, key_col: str, size_us: int, hop_us: int):
             "window_start_us": starts.ravel(),
         })
         g = df.groupby([key_col, "window_start_us"], as_index=False).size()
-        return pa.Table.from_pandas(
+        return _table_from_pandas(
             g.rename(columns={"size": "n_events"}), preserve_index=False
         )
 

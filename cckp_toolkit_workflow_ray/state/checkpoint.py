@@ -28,6 +28,7 @@ import shutil
 
 import pandas as pd
 import pyarrow as pa
+from ..functions.arrow import table_from_pandas as _table_from_pandas
 import pyarrow.parquet as pq
 
 from ..config import ValidationConfig
@@ -330,7 +331,7 @@ def run_partitioned_validation(
     verdicts = assemble_verdicts(profiles, counts_df, cfg, reference_profile)
     profile_tbl = profile_to_table(profiles)
     pq.write_table(
-        pa.Table.from_pandas(verdicts, preserve_index=False),
+        _table_from_pandas(verdicts, preserve_index=False),
         os.path.join(out_dir, "verdicts.parquet"),
     )
     pq.write_table(profile_tbl, os.path.join(out_dir, "profile.parquet"))

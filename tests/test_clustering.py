@@ -131,15 +131,43 @@ def test_semantic_dedup_drops_same_cluster_near_dups(ray_session, tmp_path):
     assert set(kept["vec_id"]) == set(range(n))  # originals only
 
 
-def test_semantic_dedup_oversize_cluster_kept_whole(ray_session, tmp_path):
-    """Clusters past max_cluster are kept un-deduped with a loud warning
-    (recall cap, precision intact — the max_bucket policy)."""
-    path, n = _planted_corpus(tmp_path)
+def test_semantic_dedup_oversize_cluster_recursive_split(ray_session, tmp_path):
+    """Clusters past max_cluster are recursively 2-means-split before the
+    pairwise keep rule.  With EXACT duplicate vectors (identical rows ⇒
+    identical projections ⇒ every split keeps a dup-pair co-located) the
+    keep-set must match whole-cluster brute-force pairwise exactly."""
+    n, dim = 60, 8
+    m = np.random.default_rng(42).normal(size=(n, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    gram = m @ m.T
+    np.fill_diagonal(gram, -1.0)
+    assert gram.max() < 0.99, "fixture base vectors not separated"
+    dups = m[::3].copy()  # byte-identical rows: cosine exactly 1
+    ids = np.array(list(range(n)) + [1000 + i for i in range(0, n, 3)],
+                   dtype=np.int64)
+    full = np.vstack([m, dups])
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in full],
+                              type=pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / "planted_exact.parquet")
+    pq.write_table(t, path)
+
+    # brute-force oracle over the single whole cluster, float32 like the
+    # engine sees: removed := some smaller-id row with dot >= threshold
+    order = np.argsort(ids, kind="stable")
+    mf = full.astype(np.float32).astype(np.float64)[order]
+    sims = mf @ mf.T
+    removed = np.tril(sims >= 0.995, k=-1).any(axis=1)
+    expect = set(ids[order][~removed].tolist())
+
     ds = rd.read_parquet(path)
     cent = kmeans_fit(ds, k=1, n_iters=1)
     with pytest.warns(UserWarning, match="max_cluster"):
         kept = semantic_dedup_keep(ds, cent, threshold=0.995, max_cluster=10)
-    assert len(kept) == n + len(range(0, n, 3))  # nothing dropped
+    assert set(kept["vec_id"]) == expect
+    assert set(kept["vec_id"]) == set(range(n))  # originals only
 
 
 def test_kmeans_assign_exports_match_output(ray_session, tmp_path):
