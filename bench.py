@@ -467,6 +467,10 @@ def run_scaling() -> dict:
         f"docs_per_sec_{n_lo}": lo["docs_per_sec"],
         f"docs_per_sec_{n_hi}": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # object-store peak at each level: footprint must stay bounded as
+        # parallelism grows (more concurrent tasks ≠ more pinned bytes)
+        f"peak_obj_bytes_{n_lo}": lo.get("headline_peak_obj_bytes"),
+        f"peak_obj_bytes_{n_hi}": hi.get("headline_peak_obj_bytes"),
         "n_pages": lo["n_pages"],
         "sf": SF_DIR,
     }
