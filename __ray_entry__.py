@@ -13,7 +13,14 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from cckp_toolkit_workflow_ray.logfilter import (
+    install_empty_column_size_filter as _install_logfilter,
+)
 from cckp_toolkit_workflow_ray.pipelines import queries as q
+
+# driver-side log hygiene only (drops Ray's spurious empty-column sizing
+# warning); the caller owns ray.init, so the worker-side hook is theirs
+_install_logfilter()
 
 # derived-URL corpus + RE2 canonicalization chain, shared by the
 # canonical_url_dedup and url_host_rollup oracles.  The regex chain is

@@ -27,9 +27,15 @@ def _ensure_ray(num_cpus: int | None):
 
     import ray
 
+    from .logfilter import (install_empty_column_size_filter,
+                            make_worker_setup_hook)
+
+    install_empty_column_size_filter()
     if not ray.is_initialized():
         kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
-                      logging_level="ERROR")
+                      logging_level="ERROR",
+                      runtime_env={"worker_process_setup_hook":
+                                   make_worker_setup_hook()})
         # honor a cluster address from the job environment (ray job
         # submit); default to a fresh local instance otherwise.  num_cpus
         # is only legal when STARTING a local instance — passing it while

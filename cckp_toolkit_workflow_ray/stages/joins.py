@@ -500,6 +500,15 @@ def skew_hash_join(left, right, on, hot_limit: int = 1_000_000,
                          batch_size=batch_size)
     hot_joined = broadcast_join(split(left, True), hot_right, on=on,
                                 how=how, batch_size=batch_size)
+    # align the hot branch's dtypes to the cold hash_join contract
+    # (Arrow-derived nullable dtypes) so the union's blocks agree —
+    # values identical either way, but mismatched Int64/int64 flavors
+    # make the streaming executor warn on every hot/cold boundary
+    dtypes = {**_schema_dtype_map(left.schema(), left.schema().names),
+              **_schema_dtype_map(right.schema(), right.schema().names)}
+    hot_joined = hot_joined.map_batches(
+        lambda df: _cast_side(df, dtypes), batch_format="pandas",
+        batch_size=batch_size)
     return cold.union(hot_joined)
 
 

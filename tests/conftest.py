@@ -7,12 +7,21 @@ import pytest
 def ray_session():
     import ray
 
+    from cckp_toolkit_workflow_ray.logfilter import (
+        install_empty_column_size_filter,
+        make_worker_setup_hook,
+    )
+
+    install_empty_column_size_filter()
     ray.init(
         address="local",
         num_cpus=4,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={
+            "worker_process_setup_hook": make_worker_setup_hook(),
+        },
     )
     from ray.data import DataContext
 

@@ -26,8 +26,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 import ray
+sys.path.insert(0, os.environ["SWEEP_REPO"])
+from cckp_toolkit_workflow_ray.logfilter import install_empty_column_size_filter, make_worker_setup_hook
+install_empty_column_size_filter()
 ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-         include_dashboard=False, logging_level="ERROR")
+         include_dashboard=False, logging_level="ERROR",
+         runtime_env={"worker_process_setup_hook": make_worker_setup_hook()})
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
