@@ -66,8 +66,15 @@ def install_empty_column_size_filter() -> None:
     class _JoinUnionSchemaNoise(logging.Filter):
         def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
             msg = record.getMessage()
-            return not ("RefBundle with a different schema" in msg
-                        and "__side" in msg)
+            if "RefBundle with a different schema" not in msg:
+                return True
+            # (a) the joins' deliberate two-shape union (__side tag);
+            # (b) Ray's own untyped pd.DataFrame() block for an EMPTY
+            #     sort/groupby partition (names=[]) — every empty frame
+            #     THIS package emits is column-typed, so an untyped
+            #     empty side is Ray-internal, never one of our bugs
+            return not ("__side" in msg
+                        or "PandasBlockSchema(names=[], types=[])" in msg)
 
     lg.addFilter(_JoinUnionSchemaNoise())
     lg._join_union_schema_filter = True
